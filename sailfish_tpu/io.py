@@ -1,0 +1,157 @@
+"""Simulation output backends: npz, VTK, Matlab + checkpoint filenames.
+
+Counterpart of the reference's ``sailfish/io.py`` (LBOutput :32, NPYOutput
+:301, VTKOutput :218, MatlabOutput :350, filename schemes :163-216).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+
+def filename_iter_digits(max_iters):
+    return max(len(str(max_iters)), 7)
+
+
+def filename(base, digits, subdomain_id, it, suffix='.npz'):
+    """(reference io.py:163-175)"""
+    return f'{base}.{subdomain_id}.{it:0{digits}d}{suffix}'
+
+
+def merged_filename(base, digits, it, suffix='.npz'):
+    return f'{base}.{it:0{digits}d}{suffix}'
+
+
+def checkpoint_filename(base, digits, subdomain_id, it):
+    """(reference io.py:177-186)"""
+    return f'{base}.{subdomain_id}.{it:0{digits}d}.cpoint.npz'
+
+
+def resolve_checkpoint(path):
+    """Resolve '<base>.last' to the newest matching checkpoint
+    (reference io.py:193-202)."""
+    if path.endswith('.last'):
+        pattern = path[:-len('.last')] + '*.cpoint.npz'
+        files = sorted(glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f'no checkpoints matching {pattern}')
+        return files[-1]
+    if not os.path.exists(path) and os.path.exists(path + '.cpoint.npz'):
+        return path + '.cpoint.npz'
+    return path
+
+
+class LBOutput:
+    """Base output class (reference io.py:32-86)."""
+
+    format_name = None
+
+    def __init__(self, config, subdomain_id=0):
+        self.config = config
+        self.subdomain_id = subdomain_id
+        self.basename = config.output
+        self.digits = filename_iter_digits(config.max_iters)
+        self._scalar_fields = {}
+        self._vector_fields = {}
+
+    def register_field(self, field, name, vector=False):
+        if vector:
+            self._vector_fields[name] = field
+        else:
+            self._scalar_fields[name] = field
+
+    def fields_dict(self):
+        out = dict(self._scalar_fields)
+        for name, comps in self._vector_fields.items():
+            for suffix, arr in zip('xyz', comps):
+                out[name + suffix] = arr
+        return out
+
+    def verify(self):
+        """NaN/Inf check (reference io.py:77-82)."""
+        return all(np.all(np.isfinite(f)) for f in self.fields_dict().values())
+
+    def save(self, i):
+        raise NotImplementedError
+
+
+class VisualizationWrapper(LBOutput):
+    """Passes fields to a live visualization callback."""
+
+    format_name = 'vis'
+
+    def __init__(self, config, callback, subdomain_id=0):
+        super().__init__(config, subdomain_id)
+        self.callback = callback
+
+    def save(self, i):
+        self.callback(self.fields_dict(), i)
+
+
+class NPYOutput(LBOutput):
+    """.npz output (reference io.py:301-348)."""
+
+    format_name = 'npy'
+
+    def save(self, i):
+        fname = filename(self.basename, self.digits, self.subdomain_id, i,
+                         suffix='')
+        tmp = fname + '.tmp.npz'
+        np.savez(tmp, **self.fields_dict())
+        os.rename(tmp, fname + '.npz')
+
+
+class MatlabOutput(LBOutput):
+    """.mat output (reference io.py:350-377)."""
+
+    format_name = 'mat'
+
+    def save(self, i):
+        import scipy.io
+        fname = filename(self.basename, self.digits, self.subdomain_id, i,
+                         suffix='.mat')
+        scipy.io.savemat(fname, self.fields_dict())
+
+
+class VTKOutput(LBOutput):
+    """Legacy-format VTK structured-points output (reference io.py:218-299;
+    the reference uses tvtk, unavailable here, so we emit plain legacy VTK
+    which ParaView/VisIt read natively)."""
+
+    format_name = 'vtk'
+
+    def save(self, i):
+        fname = filename(self.basename, self.digits, self.subdomain_id, i,
+                         suffix='.vtk')
+        fields = self.fields_dict()
+        first = next(iter(fields.values()))
+        shape = first.shape              # (gy, gx) or (gz, gy, gx)
+        dims = tuple(reversed(shape)) + (1,) * (3 - len(shape))
+        npts = int(np.prod(shape))
+        with open(fname, 'wb') as fp:
+            def w(s):
+                fp.write(s.encode())
+            w('# vtk DataFile Version 3.0\n')
+            w(f'sailfish_tpu output, iteration {i}\n')
+            w('BINARY\nDATASET STRUCTURED_POINTS\n')
+            w(f'DIMENSIONS {dims[0]} {dims[1]} {dims[2]}\n')
+            w('ORIGIN 0 0 0\nSPACING 1 1 1\n')
+            w(f'POINT_DATA {npts}\n')
+            for name, arr in fields.items():
+                w(f'SCALARS {name} float 1\nLOOKUP_TABLE default\n')
+                arr.astype('>f4').tofile(fp)
+                w('\n')
+
+
+FORMATS = {c.format_name: c for c in (NPYOutput, VTKOutput, MatlabOutput)}
+
+
+def format_name_to_cls(name):
+    try:
+        return FORMATS[name]
+    except KeyError:
+        raise ValueError(f'unknown output format {name!r}; '
+                         f'known: {sorted(FORMATS)}')

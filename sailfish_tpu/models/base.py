@@ -1,0 +1,136 @@
+"""Simulation base classes: LBSim, LBForcedSim, field declarations, mixins.
+
+API-compatible counterpart of the reference's ``sailfish/lb_base.py``
+(LBSim :30, LBForcedSim :305, Field/ScalarField/VectorField :397-416,
+ForceObject :418, LBMixIn :18). The numerics live in sailfish_tpu/ops; a
+sim class declares fields, options and hooks, and configures a StepBuilder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Field:
+    def __init__(self, name, expr=None, need_nn=False, init=0.0,
+                 gpu_array=False):
+        self.name = name
+        self.expr = expr
+        self.need_nn = need_nn
+        self.init = init
+        self.abstract = False
+
+
+class ScalarField(Field):
+    pass
+
+
+class VectorField(Field):
+    pass
+
+
+class LBMixIn:
+    """Mixin hooks scanned by the runner (reference lb_base.py:18-28)."""
+    aux_code = ()
+
+    # subclasses may define: after_step(runner), before_main_loop(runner)
+
+
+class LBSim:
+    """Base class for simulations (reference lb_base.py:30-304)."""
+
+    #: Subdomain subclass defining the scene geometry.
+    subdomain = None
+    #: Lattice dimensionality; set by concrete model classes.
+    dim = None
+    #: Number of distribution grids (1 single fluid, 2 binary, ...).
+    grids = []
+
+    @classmethod
+    def add_options(cls, group, dim):
+        pass
+
+    @classmethod
+    def modify_config(cls, config):
+        pass
+
+    @classmethod
+    def update_defaults(cls, defaults):
+        pass
+
+    @classmethod
+    def fields(cls):
+        return []
+
+    def __init__(self, config):
+        self.config = config
+        self.iteration = 0
+        self.need_sync_flag = False
+        self._mixin_after_step = []
+        for klass in type(self).mro():
+            if issubclass(klass, LBMixIn) and 'after_step' in vars(klass):
+                self._mixin_after_step.append(klass.after_step)
+
+    def need_output(self):
+        """True when fields should be synced & written this iteration
+        (reference lb_base.py:222-252)."""
+        if self.config.output_required and self.config.every > 0:
+            return self.iteration % self.config.every == 0
+        return False
+
+    def need_fields_sync(self):
+        if self.need_sync_flag:
+            self.need_sync_flag = False
+            return True
+        return self.need_output()
+
+    def need_checkpoint(self):
+        """(reference lb_base.py:254-260)"""
+        cfg = self.config
+        return (cfg.checkpoint_every > 0 and
+                self.iteration >= getattr(cfg, 'checkpoint_from', 0) and
+                (self.iteration % cfg.checkpoint_every) == 0 and
+                bool(cfg.checkpoint_file))
+
+    # hooks
+    def before_main_loop(self, runner):
+        pass
+
+    def after_step(self, runner):
+        pass
+
+    def get_state(self):
+        return {'iteration': self.iteration}
+
+    def set_state(self, state):
+        self.iteration = int(state['iteration'])
+
+
+class ForceObject:
+    """Momentum-exchange force integration over a closed boundary
+    (reference lb_base.py:418-456)."""
+
+    def __init__(self, start, end):
+        self.start = start
+        self.end = end
+        self.force = None
+
+
+class LBForcedSim(LBSim):
+    """Adds constant body forces (reference lb_base.py:305-394)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self._forces = {}
+
+    def add_body_force(self, force, grid=0, accel=True):
+        """Accumulate a constant body force (acceleration if accel=True)
+        on distribution grid ``grid``."""
+        f = np.asarray(force, dtype=np.float64)
+        if grid in self._forces:
+            self._forces[grid] = self._forces[grid] + f
+        else:
+            self._forces[grid] = f
+
+    def body_force(self, grid=0):
+        return self._forces.get(grid)

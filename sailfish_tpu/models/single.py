@@ -1,0 +1,103 @@
+"""Single-fluid models (BGK / MRT / regularized / LES).
+
+API-compatible counterpart of the reference's ``sailfish/lb_single.py``
+(LBFluidSim :14, options :21-51). The entropic, free-surface, Shan-Chen
+and IBM variants arrive with the model-widening milestones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sailfish_tpu import lattice
+from sailfish_tpu.models.base import LBForcedSim, LBSim, ScalarField, \
+    VectorField
+
+
+class LBFluidSim(LBSim):
+    """Single-phase fluid (reference lb_single.py:14-200)."""
+
+    kernel_id = 'fluid'
+
+    @classmethod
+    def add_options(cls, group, dim):
+        group.add_argument('--visc', type=float, default=1.0 / 6.0,
+                           help='numerical viscosity')
+        group.add_argument('--model', type=str, default='bgk',
+                           choices=['bgk', 'mrt', 'trt', 'elbm'],
+                           help='relaxation model')
+        group.add_argument('--subgrid', type=str, default=None,
+                           choices=[None, 'none', 'les-smagorinsky'],
+                           help='subgrid turbulence model')
+        group.add_argument('--smagorinsky_const', type=float, default=0.03,
+                           help='Smagorinsky constant')
+        group.add_argument('--regularized', action='store_true',
+                           default=False,
+                           help='regularized dynamics (filter ghost moments)')
+        group.add_argument('--incompressible', action='store_true',
+                           default=False,
+                           help='incompressible (rho0=1) equilibrium')
+        group.add_argument('--minimize_roundoff', action='store_true',
+                           default=False,
+                           help='store f - w (shifted populations)')
+
+    @classmethod
+    def fields(cls):
+        return [ScalarField('rho'), VectorField('v')]
+
+    def __init__(self, config):
+        super().__init__(config)
+        grid_name = getattr(config, 'grid', None) or \
+            ('D2Q9' if self.dim == 2 else 'D3Q19')
+        self.grid = lattice.get_grid(grid_name)
+        assert self.grid.dim == self.dim, \
+            f'grid {grid_name} does not match dim {self.dim}'
+        self.grids = [self.grid]
+
+    @property
+    def dim(self):
+        return self.subdomain.dim
+
+    # -- field plumbing (runner attaches numpy arrays) -----------------------
+
+    def init_fields(self, shape):
+        """Allocate host-side field arrays for initial_conditions.
+
+        shape: (gy, gx) or (gz, gy, gx). Exposes sim.rho / sim.vx / sim.vy
+        (/ sim.vz) exactly like the reference (lb_base.py:139)."""
+        self.rho = np.ones(shape, dtype=np.float64)
+        self.vx = np.zeros(shape, dtype=np.float64)
+        self.vy = np.zeros(shape, dtype=np.float64)
+        if self.dim == 3:
+            self.vz = np.zeros(shape, dtype=np.float64)
+
+    def velocity_components(self):
+        comps = [self.vx, self.vy]
+        if self.dim == 3:
+            comps.append(self.vz)
+        return comps
+
+    def make_step_builder(self, maps, dtype):
+        from sailfish_tpu.ops.step import StepBuilder
+        cfg = self.config
+        body_force = None
+        if isinstance(self, LBForcedSim):
+            bf = self.body_force(0)
+            if bf is not None:
+                body_force = bf
+        smag = 0.0
+        if cfg.subgrid == 'les-smagorinsky':
+            smag = cfg.smagorinsky_const
+        return StepBuilder(
+            self.grid, maps,
+            model=cfg.model,
+            visc=cfg.visc,
+            incompressible=cfg.incompressible,
+            regularized=cfg.regularized,
+            smagorinsky=smag,
+            body_force=body_force,
+            dtype=dtype)
+
+
+class LBForcedFluidSim(LBFluidSim, LBForcedSim):
+    """Convenience combination."""

@@ -1,0 +1,113 @@
+"""Logging, timing, misc helpers (counterpart of sailfish/util.py)."""
+
+from __future__ import annotations
+
+import logging
+from collections import namedtuple
+
+import numpy as np
+
+TimingInfo = namedtuple('TimingInfo', ('iters', 'elapsed', 'mlups'))
+
+
+class SimpleEvent:
+    """Single-process stand-in for multiprocessing.Event (the reference's
+    quit_event; master.py:94-97)."""
+
+    def __init__(self):
+        self._flag = False
+
+    def set(self):
+        self._flag = True
+
+    def is_set(self):
+        return self._flag
+
+    def clear(self):
+        self._flag = False
+
+
+class TimingStats:
+    """Aggregates per-phase wall times (reference profile.py:54-103)."""
+
+    def __init__(self):
+        self.phases = {}
+
+    def add(self, phase, dt):
+        self.phases.setdefault(phase, []).append(dt)
+
+    def summary(self):
+        return {k: (float(np.mean(v)), float(np.min(v)), float(np.max(v)),
+                    float(np.std(v)))
+                for k, v in self.phases.items()}
+
+
+_logger = None
+
+
+def get_logger(config=None):
+    """Console+file logger (reference util.py:187-213)."""
+    global _logger
+    if _logger is not None:
+        return _logger
+    logger = logging.getLogger('sailfish_tpu')
+    logger.setLevel(logging.DEBUG)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(
+            '[%(relativeCreated)6.0f %(levelname)5s] %(message)s'))
+        logger.addHandler(handler)
+        if config is not None and getattr(config, 'log', None):
+            fh = logging.FileHandler(config.log)
+            logger.addHandler(fh)
+    if config is not None:
+        if getattr(config, 'silent', False):
+            logger.setLevel(logging.ERROR)
+        elif getattr(config, 'quiet', False):
+            logger.setLevel(logging.WARNING)
+        elif getattr(config, 'verbose', False):
+            logger.setLevel(logging.DEBUG)
+        else:
+            logger.setLevel(logging.INFO)
+    _logger = logger
+    return logger
+
+
+def reset_logger():
+    global _logger
+    _logger = None
+
+
+def kinetic_energy(vfield):
+    """Mean kinetic energy of a (dim, ...) velocity field
+    (reference util.py:215-230)."""
+    return float(np.mean(np.sum(np.square(vfield), axis=0))) / 2.0
+
+
+def vorticity2d(vx, vy):
+    dvy_dx = np.gradient(vy, axis=-1)
+    dvx_dy = np.gradient(vx, axis=-2)
+    return dvy_dx - dvx_dy
+
+
+def enstrophy2d(vx, vy):
+    w = vorticity2d(vx, vy)
+    return float(np.mean(w * w)) / 2.0
+
+
+def energy_spectrum(vfield):
+    """Isotropic kinetic-energy spectrum (reference util.py:231-292)."""
+    dim = vfield.shape[0]
+    ks = None
+    e_k = None
+    fts = [np.fft.fftn(vfield[a]) for a in range(dim)]
+    mag = sum(np.abs(ft) ** 2 for ft in fts)
+    shape = vfield.shape[1:]
+    grids = np.meshgrid(*[np.fft.fftfreq(n) * n for n in shape],
+                        indexing='ij')
+    kmag = np.sqrt(sum(g * g for g in grids))
+    kbins = np.arange(0.5, int(np.max(shape) // 2) + 1)
+    which = np.digitize(kmag.flat, kbins)
+    e = np.zeros(len(kbins) + 1)
+    np.add.at(e, which, mag.flat)
+    return e[1:-1] / (2.0 * np.prod(shape))
