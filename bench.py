@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline benchmark: D3Q19 BGK lid-driven cavity, 256^3, fp32, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured MLUPS / 1500 (the TPU-v5e per-chip target from
+BASELINE.json; the reference's best published single-GPU D3Q19 figure is
+509.3 MLUPS on a Tesla C2050, perftest/results -- see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+TARGET = 1500.0
+
+
+def main():
+    import jax
+    from examples.ldc_3d import LDCSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    n = 256
+    warmup = 20
+    iters = 100
+
+    ctrl = LBSimulationController(LDCSim, default_config={
+        'lat_nx': n, 'lat_ny': n, 'lat_nz': n,
+        'max_iters': 0, 'quiet': True})
+    defaults = {}
+    LDCSim.update_defaults(defaults)
+    defaults.update(ctrl._default_config)
+    config = ctrl.config_parser.parse([], internal_defaults=defaults)
+    LDCSim.modify_config(config)
+    sim = LDCSim(config)
+
+    from sailfish_tpu import geo as geo_mod
+    from sailfish_tpu.runner import SubdomainRunner
+    runner = SubdomainRunner(sim, geo_mod.LBGeometry3D(config))
+    runner._init_geometry()
+    runner._init_fields()
+    runner._init_state()
+
+    f = runner._run_steps(runner.f, warmup)
+    jax.block_until_ready(f)
+    t0 = time.perf_counter()
+    f = runner._run_steps(f, iters)
+    jax.block_until_ready(f)
+    t1 = time.perf_counter()
+
+    mlups = n ** 3 * iters / (t1 - t0) / 1e6
+    print(json.dumps({
+        'metric': 'MLUPS/chip D3Q19 LDC 256^3 fp32',
+        'value': round(mlups, 1),
+        'unit': 'MLUPS',
+        'vs_baseline': round(mlups / TARGET, 4),
+    }))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

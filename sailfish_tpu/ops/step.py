@@ -146,6 +146,26 @@ class StepBuilder:
         if self.model == 'mrt':
             self.mrt_rates = g.mrt_relaxation_rates(self.tau)
 
+    def shard_constants(self, mesh):
+        """Re-place the closed-over node-data constants with shardings
+        matching the distribution array, so the jit-SPMD partitioner keeps
+        all BC work local to each shard."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sailfish_tpu.parallel import mesh as pm
+        dim = self.grid.dim
+        for k, v in list(self.dev.items()):
+            self.dev[k] = pm.shard_field(v, mesh, dim)
+        self.bc_masks_dev = [(tid, kk, pm.shard_field(m, mesh, dim))
+                             for tid, kk, m in self.bc_masks_dev]
+        if self.force_dev is not None:
+            if any(s == 1 for s in self.force_dev.shape[1:]):
+                # broadcast force vector: replicate
+                self.force_dev = jax.device_put(
+                    self.force_dev, NamedSharding(mesh, P()))
+            else:
+                self.force_dev = pm.shard_field(self.force_dev, mesh, dim)
+
     # -- pieces --------------------------------------------------------------
 
     def _solve_macro_bc(self, f, rho, u):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import io as sio
 from sailfish_tpu import util
+from sailfish_tpu.parallel import mesh as pmesh
 
 
 class SubdomainRunner:
@@ -67,6 +68,14 @@ class SubdomainRunner:
         self.f = eq.bgk_equilibrium(self.sim.grid, rho, u,
                                     incompressible=self.config.incompressible)
         self.builder = self.sim.make_step_builder(self.maps, dtype)
+        self.mesh = None
+        mesh_shape = pmesh.parse_mesh_shape(
+            getattr(self.config, 'mesh', ''), self.sim.dim)
+        if mesh_shape is not None:
+            self.mesh = pmesh.make_mesh(mesh_shape, self.sim.dim)
+            pmesh.validate_divisible(self._domain_shape(), self.mesh)
+            self.f = pmesh.shard_dists(self.f, self.mesh, self.sim.dim)
+            self.builder.shard_constants(self.mesh)
         step = self.builder.build()
 
         @jax.jit

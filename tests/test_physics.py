@@ -1,0 +1,129 @@
+"""Fast physics regression tests (counterparts of regtest/poiseuille.py and
+regtest/subdomains equivalence; full-resolution versions in regtest/)."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, 'examples')
+
+
+def _run_controller(sim_cls, geo_cls=None, **cfg):
+    from sailfish_tpu.controller import LBSimulationController
+    ctrl = LBSimulationController(sim_cls, geo_cls, default_config=cfg)
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    r._fields_to_host()
+    return ctrl
+
+
+@pytest.mark.parametrize('wall', ['fullbb', 'halfbb'])
+def test_poiseuille_force_driven(wall):
+    from poiseuille import PoiseuilleSim, PoiseuilleSubdomain
+    from sailfish_tpu.geo import LBGeometry2D
+    N = 32
+    ctrl = _run_controller(
+        PoiseuilleSim, LBGeometry2D,
+        lat_nx=N, lat_ny=N, visc=0.1, max_iters=3000, every=3000,
+        quiet=True, wall=wall, stationary=True)
+    sim = ctrl._runner.sim
+    ref = PoiseuilleSubdomain.velocity_profile(ctrl.config, np.arange(N))
+    prof = sim.vy[N // 2, :]
+    m = ref > 0
+    err = np.max(np.abs(prof[m] - ref[m])) / ref.max()
+    assert err < 2e-3, err
+
+
+def test_ldc_smoke_and_mass_conservation():
+    from ldc_2d import LDCSim
+    ctrl = _run_controller(LDCSim, lat_nx=48, lat_ny=48,
+                           max_iters=500, every=500, quiet=True)
+    sim = ctrl._runner.sim
+    assert np.all(np.isfinite(sim.rho))
+    assert np.all(np.isfinite(sim.vx))
+    # lid velocity visible in the flow
+    assert sim.vx[-2, 24] > 0.01
+
+
+@pytest.mark.parametrize('mesh', ['2', '4', '2x2'])
+def test_sharded_equivalence(mesh):
+    """N-device run must equal the 1-device run bitwise (fp32): the TPU
+    analog of the reference's multi-subdomain regtests
+    (regtest/subdomains/2d_propagation.py)."""
+    from ldc_2d import LDCSim
+
+    def run(m):
+        ctrl = _run_controller(LDCSim, lat_nx=32, lat_ny=32,
+                               max_iters=120, every=120, quiet=True, mesh=m)
+        sim = ctrl._runner.sim
+        return np.array(sim.rho), np.array(sim.vx), np.array(sim.vy)
+
+    base = run('')
+    test = run(mesh)
+    for a, b, name in zip(base, test, ['rho', 'vx', 'vy']):
+        assert np.array_equal(a, b), f'{name} differs for mesh {mesh}'
+
+
+def test_sharded_equivalence_3d():
+    from ldc_3d import LDCSim
+
+    def run(m):
+        ctrl = _run_controller(LDCSim, lat_nx=16, lat_ny=16, lat_nz=16,
+                               max_iters=60, every=60, quiet=True, mesh=m)
+        sim = ctrl._runner.sim
+        return np.array(sim.rho), np.array(sim.vx), np.array(sim.vz)
+
+    base = run('')
+    test = run('2x2')
+    for a, b in zip(base, test):
+        assert np.array_equal(a, b)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Analog of tests/gpu/checkpoint.sh: run N+M with a restore in the
+    middle == straight N+M."""
+    from ldc_2d import LDCSim
+    cp = str(tmp_path / 'cp')
+
+    ctrl = _run_controller(LDCSim, lat_nx=24, lat_ny=24, max_iters=60,
+                           every=60, quiet=True)
+    straight = np.array(ctrl._runner.sim.vx)
+
+    _run_controller(LDCSim, lat_nx=24, lat_ny=24, max_iters=40,
+                    checkpoint_file=cp, checkpoint_every=40, quiet=True)
+    ctrl3 = _run_controller(LDCSim, lat_nx=24, lat_ny=24, max_iters=60,
+                            every=60, quiet=True,
+                            restore_from=cp + '.last')
+    assert np.array_equal(straight, np.array(ctrl3._runner.sim.vx))
+
+
+def test_periodic_shear_decay():
+    """Viscosity from shear-wave decay through the full controller stack
+    (mode-resolved; see .claude/skills/verify/SKILL.md)."""
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    N, visc, u0 = 32, 0.05, 0.01
+
+    class SW(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            pass
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.vx[:] = u0 * np.sin(2 * np.pi * hy / N)
+
+    class SWSim(LBFluidSim):
+        subdomain = SW
+
+    ctrl = LBSimulationController(SWSim, default_config=dict(
+        lat_nx=N, lat_ny=N, visc=visc, max_iters=400, every=400,
+        quiet=True, periodic_x=True, periodic_y=True))
+    ctrl.run(ignore_cmdline=True)
+    ctrl._runner._fields_to_host()
+    vx = ctrl._runner.sim.vx
+    k = 2 * np.pi / N
+    amp = abs(np.fft.rfft(vx[:, 0])[1]) * 2 / N
+    nu = -np.log(amp / u0) / (k * k * 400)
+    assert abs(nu - visc) / visc < 0.02, nu
