@@ -16,6 +16,9 @@ TARGET = 1500.0
 
 def main():
     import jax
+
+    from sailfish_tpu import util
+    util.enable_compile_cache()
     from examples.ldc_3d import LDCSim
     from sailfish_tpu.controller import LBSimulationController
 

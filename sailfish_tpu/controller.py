@@ -83,6 +83,9 @@ class LBSimulationController:
         group.add_argument('--mesh', type=str, default='',
                            help='device mesh shape, e.g. "4" or "2x2"; '
                                 'empty = single device')
+        group.add_argument('--engine', type=str, default='auto',
+                           choices=['auto', 'xla', 'pallas'],
+                           help='compute engine for the hot loop')
         group.add_argument('--platform', type=str, default='',
                            help='force a JAX platform (e.g. "cpu", "tpu"); '
                                 'the JAX_PLATFORMS env var may be overridden '
@@ -141,6 +144,7 @@ class LBSimulationController:
             jax.config.update('jax_platforms', config.platform)
         if config.precision == 'double':
             jax.config.update('jax_enable_x64', True)
+        util.enable_compile_cache()
         util.reset_logger()
         log = util.get_logger(config)
 
@@ -176,7 +180,7 @@ class LBSimulationController:
 
         def patched(shape):
             orig_init(shape)
-            output.register_field(sim.rho, 'rho')
-            output.register_field(sim.velocity_components(), 'v',
-                                  vector=True)
+            for name, field in sim.host_fields().items():
+                output.register_field(field, name,
+                                      vector=isinstance(field, list))
         sim.init_fields = patched

@@ -84,6 +84,26 @@ def bgk_equilibrium(grid, rho, u, *, incompressible=False, order=2):
     return wq * (rho[None] + rho_m_poly)
 
 
+def shallow_water_equilibrium(grid, rho, u, gravity):
+    """Shallow-water-equation equilibrium on D2Q9 (rho plays the role of
+    the water height h; reference sym_equilibrium.py:73-89):
+      f0  = h - w0 h (15/8 g h - 3 u.u)
+      fi  = w_i h (3/2 g h + 3 c.u + 9/2 (c.u)^2 - 3/2 u.u)
+    """
+    assert grid.dim == 2 and grid.Q == 9, \
+        'shallow water equation requires the D2Q9 grid'
+    dtype = rho.dtype
+    cu = dot_cu(grid, u)
+    usq = jnp.sum(u * u, axis=0)
+    out = [rho - grid.weights[0] * rho * (
+        (15.0 / 8.0) * gravity * rho - 3.0 * usq)]
+    for i in range(1, grid.Q):
+        out.append(jnp.asarray(grid.weights[i], dtype) * rho * (
+            1.5 * gravity * rho + 3.0 * cu[i] + 4.5 * cu[i] * cu[i]
+            - 1.5 * usq))
+    return jnp.stack(out)
+
+
 def second_moment_noneq(grid, f, feq):
     """Nonequilibrium second moment Pi^{(1)}_{ab} = sum_i c_ia c_ib (f_i-feq_i).
 

@@ -77,6 +77,30 @@ class LBFluidSim(LBSim):
             comps.append(self.vz)
         return comps
 
+    def host_fields(self):
+        """Name -> host array (or component list for vectors); the output
+        writer's field registry."""
+        return {'rho': self.rho, 'v': self.velocity_components()}
+
+    def make_initial_state(self, builder, dtype):
+        """Initial device state: equilibrium at the user-set (rho, u)."""
+        import jax.numpy as jnp
+        rho = jnp.asarray(self.rho, dtype=dtype)
+        u = jnp.asarray(np.stack(self.velocity_components()), dtype=dtype)
+        return builder.feq(rho, u)
+
+    def update_host_fields(self, macro):
+        """Copy device macro fields into the host-side numpy arrays."""
+        rho, u = macro
+        self.rho[...] = np.asarray(rho, dtype=np.float64)
+        comps = self.velocity_components()
+        for a in range(self.dim):
+            comps[a][...] = np.asarray(u[a], dtype=np.float64)
+
+    def step_builder_kwargs(self):
+        """Extra StepBuilder arguments contributed by model subclasses."""
+        return {}
+
     def make_step_builder(self, maps, dtype):
         from sailfish_tpu.ops.step import StepBuilder
         cfg = self.config
@@ -96,8 +120,67 @@ class LBFluidSim(LBSim):
             regularized=cfg.regularized,
             smagorinsky=smag,
             body_force=body_force,
-            dtype=dtype)
+            dtype=dtype,
+            **self.step_builder_kwargs())
 
 
 class LBForcedFluidSim(LBFluidSim, LBForcedSim):
     """Convenience combination."""
+
+
+class LBEntropicFluidSim(LBFluidSim):
+    """Entropic LBM with alpha tracking (reference lb_single.py:200-217).
+
+    alpha == 2 where the flow is fully resolved; < 2 indicates smoothing,
+    > 2 enhancement of perturbations."""
+
+    alpha_output = True
+
+    @classmethod
+    def modify_config(cls, config):
+        config.model = 'elbm'
+
+    @classmethod
+    def fields(cls):
+        return [ScalarField('rho'), VectorField('v'),
+                ScalarField('alpha', init=2.0)]
+
+
+class LBFreeSurface(LBFluidSim):
+    """Shallow-water ("free surface") LB model
+    (reference lb_single.py:219-237)."""
+
+    @classmethod
+    def modify_config(cls, config):
+        config.grid = 'D2Q9'
+        config.model = 'bgk'
+
+    @classmethod
+    def add_options(cls, group, dim):
+        group.add_argument('--gravity', type=float, default=0.001,
+                           help='gravitational acceleration')
+
+    def step_builder_kwargs(self):
+        return {'equilibrium': 'shallow_water',
+                'gravity': self.config.gravity}
+
+
+class LBSingleFluidShanChen(LBFluidSim, LBForcedSim):
+    """Single-component Shan-Chen pseudopotential multiphase model
+    (reference lb_single.py:239-320; the reference's NNSubdomainRunner
+    macro-field pre-exchange collapses into the same traced step here --
+    neighbor densities are one more halo-exchanged gather)."""
+
+    nonlocality = 1
+
+    @classmethod
+    def add_options(cls, group, dim):
+        group.add_argument('--G', type=float, default=1.0,
+                           help='Shan-Chen interaction strength constant')
+        group.add_argument('--sc_potential', type=str,
+                           choices=['linear', 'classic'], default='linear',
+                           help='Shan-Chen pseudopotential function')
+
+    def step_builder_kwargs(self):
+        return {'sc_coupling': self.config.G,
+                'sc_potential': self.config.sc_potential}

@@ -48,15 +48,17 @@ def mrt_collide(grid, f, rho, u, rates, *, incompressible=False):
 def smagorinsky_tau_inv(grid, f, feq, rho, tau, cs_smag):
     """Effective 1/tau field with the Smagorinsky subgrid model.
 
-    tau_total = tau + 0.5 (sqrt(tau^2 + 18 C^2 |Pi|/(rho cs^4 ...)) - tau)
-    following the standard LBM-LES closure (reference:
-    relaxation_common.mako:153-200, --subgrid les-smagorinsky).
-    |Pi| = sqrt(2 Pi_ab Pi_ab) of the nonequilibrium stress.
+    Follows Yu, Girimaji & Luo, JCP 209 (2005) 599-616 as implemented by
+    the reference (relaxation_common.mako:166-203, --subgrid
+    les-smagorinsky):
+      strain = sum_ab T_ab^2   (T = nonequilibrium stress; off-diagonal
+                                terms counted twice by symmetry)
+      tau_eff = tau + 0.5 (sqrt(tau^2 + 36 C^2 sqrt(strain)) - tau)
     """
     pi = eq.second_moment_noneq(grid, f, feq)
-    pi_mag = jnp.sqrt(2.0 * jnp.sum(pi * pi, axis=(0, 1)))
-    tau_t = 0.5 * (jnp.sqrt(tau * tau
-                            + 18.0 * (cs_smag ** 2) * pi_mag / rho) - tau)
+    strain = jnp.sum(pi * pi, axis=(0, 1))  # symmetric: off-diag twice
+    tau_t = 0.5 * (jnp.sqrt(tau * tau + 36.0 * (cs_smag ** 2)
+                            * jnp.sqrt(strain)) - tau)
     return 1.0 / (tau + tau_t)
 
 
@@ -76,6 +78,32 @@ def guo_force_terms(grid, u, force, tau_inv):
     wq = jnp.asarray(w, dtype=dtype).reshape(shape)
     pref = 1.0 - 0.5 * tau_inv
     return pref * wq * (3.0 * (cF - uF[None]) + 9.0 * cu * cF)
+
+
+SHAN_CHEN_POTENTIALS = {
+    'linear': lambda rho: rho,
+    'classic': lambda rho: 1.0 - jnp.exp(-rho),
+}
+
+
+def shan_chen_force(grid, rho_self, rho_other, coupling, potential='linear'):
+    """Pseudopotential interaction force
+    F(x) = -G psi(rho_self(x)) sum_i w_i psi(rho_other(x + c_i)) c_i
+    (reference templates/shan_chen.mako:9-84, sym.py:896-908).
+    Returns (dim, *S)."""
+    from sailfish_tpu.ops.step import sample
+    psi_fn = SHAN_CHEN_POTENTIALS[potential]
+    psi_other = psi_fn(rho_other)
+    acc = [jnp.zeros_like(rho_self) for _ in range(grid.dim)]
+    for i in range(1, grid.Q):
+        psi_n = sample(psi_other, grid.basis[i])
+        w = float(grid.weights[i])
+        for a in range(grid.dim):
+            c = int(grid.basis[i][a])
+            if c:
+                acc[a] = acc[a] + (w * c) * psi_n
+    psi_self = psi_fn(rho_self)
+    return jnp.stack([-coupling * psi_self * a for a in acc])
 
 
 def edm_shift(grid, rho, u, force, *, incompressible=False):

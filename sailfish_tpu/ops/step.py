@@ -1,19 +1,23 @@
-"""The fused collide-and-propagate step as a traced JAX function.
+"""The fused stream-and-collide step as a traced JAX function.
 
 TPU-native counterpart of the reference's generated CollideAndPropagate
 kernel (``templates/models/lb_single_fluid.mako:161-229``: getDist ->
 fixMissingDistributions -> getMacro -> precollisionBoundaryConditions ->
-relaxate -> postcollisionBoundaryConditions -> propagate). There is no
-runtime codegen: a ``StepBuilder`` specializes a jittable python function
-at trace time using the *static* set of node types / orientations present
-in the scene, so only the BC branches actually used are materialized, as
-dense masked selects (TPUs prefer masking over divergent branching).
+relaxate -> propagate). There is no runtime codegen: a ``StepBuilder``
+specializes a jittable python function at trace time using the *static*
+set of node types / orientations present in the scene, so only the BC
+branches actually used are materialized, as dense masked selects (TPUs
+prefer masking over divergent branching).
 
-Streaming is the pull scheme on an AB buffer pair: the output array is a
-fresh buffer and the input may be donated by the caller. Periodic wrap is
-the natural semantics of jnp.roll; non-periodic domain edges must be
-covered by boundary nodes, which either reconstruct or never re-emit the
-wrapped values (same contract as the reference's ghost layer).
+Update ordering: the state array holds POST-COLLISION distributions; one
+step is  gather (pull streaming) -> fix missing -> macro -> BC -> collide.
+This is the same operation sequence as the reference kernel, observed half
+a cycle later, and it makes the hot loop a single gather-compute pass:
+every f_i is read once (from the shifted neighbor), collided once, and
+written once -- the shape both XLA fusion and the Pallas kernel want.
+Periodic wrap is the natural semantics of jnp.roll; non-periodic domain
+edges must be covered by boundary nodes (same contract as the reference's
+ghost layer).
 """
 
 from __future__ import annotations
@@ -55,7 +59,13 @@ class StepBuilder:
     def __init__(self, grid, maps, *, model='bgk', visc=None, tau=None,
                  incompressible=False, regularized=False,
                  smagorinsky=0.0, body_force=None, force_model='guo',
+                 sc_coupling=0.0, sc_potential='linear',
+                 equilibrium='bgk', gravity=0.0,
                  dtype=jnp.float32):
+        self.sc_coupling = sc_coupling
+        self.sc_potential = sc_potential
+        self.equilibrium = equilibrium
+        self.gravity = gravity
         from sailfish_tpu import lattice as lat
         self.grid = grid
         self.maps = maps
@@ -80,8 +90,7 @@ class StepBuilder:
         self.present = m.present_types
 
         def mask_of(tids):
-            sel = np.isin(tm, list(tids))
-            return sel
+            return np.isin(tm, list(tids))
 
         wet_ids = [t for t in self.present if nt.get_node_type(t).wet_node]
         self.wet_np = mask_of(wet_ids)
@@ -119,7 +128,7 @@ class StepBuilder:
         if self.fullbb_np is not None:
             dev['fullbb'] = jnp.asarray(self.fullbb_np)
         if self.halfbb_np is not None:
-            # Per-direction boolean tag planes (only Q-1 bits, bit0 unused).
+            # Per-direction boolean tag planes (bit0 unused).
             tags = m.link_tags
             dev['tags'] = jnp.asarray(
                 np.stack([(tags >> i) & 1 for i in range(g.Q)]).astype(bool))
@@ -143,14 +152,13 @@ class StepBuilder:
         else:
             self.force_dev = None
 
-        if self.model == 'mrt':
+        if self.model in ('mrt', 'trt'):
             self.mrt_rates = g.mrt_relaxation_rates(self.tau)
 
     def shard_constants(self, mesh):
         """Re-place the closed-over node-data constants with shardings
         matching the distribution array, so the jit-SPMD partitioner keeps
         all BC work local to each shard."""
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from sailfish_tpu.parallel import mesh as pm
         dim = self.grid.dim
@@ -160,26 +168,113 @@ class StepBuilder:
                              for tid, kk, m in self.bc_masks_dev]
         if self.force_dev is not None:
             if any(s == 1 for s in self.force_dev.shape[1:]):
-                # broadcast force vector: replicate
                 self.force_dev = jax.device_put(
                     self.force_dev, NamedSharding(mesh, P()))
             else:
                 self.force_dev = pm.shard_field(self.force_dev, mesh, dim)
 
-    # -- pieces --------------------------------------------------------------
+    # -- phases --------------------------------------------------------------
 
-    def _solve_macro_bc(self, f, rho, u):
+    def feq(self, rho, u):
+        """The model's equilibrium distribution (bgk 2nd-order Hermite or
+        shallow-water; ELBM uses its own product form in _collide)."""
+        if self.equilibrium == 'shallow_water':
+            return eq.shallow_water_equilibrium(self.grid, rho, u,
+                                                self.gravity)
+        return eq.bgk_equilibrium(self.grid, rho, u,
+                                  incompressible=self.incompressible)
+
+    def gather(self, f):
+        """Pull streaming: fs_i(x) = f_i(x - c_i)."""
+        g = self.grid
+        return jnp.stack([pull(f[i], g.basis[i]) for i in range(g.Q)])
+
+    def for_window(self, box, flatten=False):
+        """A StepBuilder specialized to a spatial sub-box (tuple of python
+        slices over the spatial axes). Used by the Pallas path to run the
+        exact BC machinery on thin boundary slabs only.
+
+        With ``flatten=True`` the window's spatial axes are collapsed to a
+        single node axis: everything downstream of the streaming gathers is
+        elementwise, and thin slabs (e.g. a 4-wide x face) would otherwise
+        put a tiny axis in the TPU lane dimension, wasting >20x of every
+        vector op on padding."""
+        from copy import copy
+        sub = object.__new__(StepBuilder)
+        sub.__dict__.update({k: v for k, v in self.__dict__.items()
+                             if k not in ('maps', 'dev', 'bc_masks_dev',
+                                          'wet_np', 'fullbb_np', 'halfbb_np',
+                                          'slip_np', 'bc_instances',
+                                          'force_dev')})
+        m = copy(self.maps)
+        m.type_map = self.maps.type_map[box]
+        m.orientation = self.maps.orientation[box]
+        m.link_tags = self.maps.link_tags[box]
+        m.param_rho = self.maps.param_rho[box]
+        m.param_vel = self.maps.param_vel[(slice(None),) + box]
+        m.param_scalar = self.maps.param_scalar[box]
+        if flatten:
+            m.type_map = m.type_map.reshape(-1)
+            m.orientation = m.orientation.reshape(-1)
+            m.link_tags = m.link_tags.reshape(-1)
+            m.param_rho = m.param_rho.reshape(-1)
+            m.param_vel = m.param_vel.reshape(self.grid.dim, -1)
+            m.param_scalar = m.param_scalar.reshape(-1)
+        sub.maps = m
+        sub.body_force = self.body_force
+        sub._prepare_static()
+        return sub
+
+    def fix_missing(self, fs, f, sampler=None):
+        """Replace distributions whose pull source was not a wet node
+        (reference: fixMissingDistributions, kernel_common.mako + link
+        tags, boundary.mako:391-416). ``f`` is the current (post-collision)
+        state, used for local bounce-back replacements. ``sampler(vec)``
+        returns the (Q, *S) state sampled at x+vec; defaults to sampling
+        ``f`` with periodic wrap (window sub-builders pass a globally
+        correct sampler)."""
+        g = self.grid
+        if sampler is None:
+            def sampler(vec):
+                return jnp.stack([sample(f[i], vec) for i in range(g.Q)])
+        if self.halfbb_np is not None:
+            tags = self.dev['tags']
+            fixed = []
+            for i in range(g.Q):
+                o = int(g.opposite[i])
+                fixed.append(jnp.where(tags[i], f[o], fs[i]))
+            fs = jnp.stack(fixed)
+        for tid, k, mask in self.bc_masks_dev:
+            cls = nt.get_node_type(tid)
+            n = g.orientation_vectors[k - 1]
+            unknown = g.unknown_mask(n)
+            if cls is nt.NTDoNothing:
+                upd = [jnp.where(mask, f[i], fs[i])
+                       if unknown[i] else fs[i] for i in range(g.Q)]
+                fs = jnp.stack(upd)
+            elif cls is nt.NTCopy:
+                neigh = sampler(n)
+                fs = jnp.where(mask[None], neigh, fs)
+            elif cls is nt.NTYuOutflow:
+                n1 = sampler(n)
+                n2 = sampler(2 * np.asarray(n))
+                extrap = 2.0 * n1 - n2
+                upd = [jnp.where(mask, extrap[i], fs[i])
+                       if unknown[i] else fs[i] for i in range(g.Q)]
+                fs = jnp.stack(upd)
+        return fs
+
+    def _solve_macro_bc(self, fs, rho, u):
         """Apply per-BC macroscopic overrides (reference boundary.mako
         getMacro dispatch :466+; rho/velocity solves follow Zou & He)."""
         g = self.grid
-        fs = [f[i] for i in range(g.Q)]
+        fl = [fs[i] for i in range(g.Q)]
         for tid, k, mask in self.bc_masks_dev:
             cls = nt.get_node_type(tid)
             n = g.orientation_vectors[k - 1]
             cn = g.basis @ n                       # (Q,) in {-1,0,1}
-            s0 = signed_sum((cn == 0).astype(int), fs)
-            sin = signed_sum((cn < 0).astype(int), fs)
-            axis = (k - 1) // 2
+            s0 = signed_sum((cn == 0).astype(int), fl)
+            sin = signed_sum((cn < 0).astype(int), fl)
             if 'velocity' in cls.param_names:
                 u_bc = self.dev['vel_bc']
                 un = signed_sum(n, [u_bc[a] for a in range(g.dim)])
@@ -189,16 +284,12 @@ class StepBuilder:
             elif 'density' in cls.param_names:
                 rho_bc = self.dev['rho_bc']
                 un = 1.0 - (s0 + 2.0 * sin) / rho_bc
-                # u = u_n * n
                 uvec = jnp.stack([un * int(n[a]) for a in range(g.dim)])
                 rho = jnp.where(mask, rho_bc, rho)
                 u = jnp.where(mask[None], uvec, u)
-            elif cls is nt.NTDoNothing or cls is nt.NTCopy or \
-                    cls is nt.NTYuOutflow or cls is nt.NTNeumann:
-                continue  # standard macro
         return rho, u
 
-    def _noneq_bb(self, f, feq, unknown):
+    def _noneq_bb(self, fs, feq, unknown):
         """Replace unknown f_i by f_opp + feq_i - feq_opp (non-equilibrium
         bounce-back; reference sym.noneq_bb, sym.py:750)."""
         g = self.grid
@@ -206,12 +297,12 @@ class StepBuilder:
         for i in range(g.Q):
             if unknown[i]:
                 o = int(g.opposite[i])
-                out.append(f[o] + feq[i] - feq[o])
+                out.append(fs[o] + feq[i] - feq[o])
             else:
-                out.append(f[i])
+                out.append(fs[i])
         return jnp.stack(out)
 
-    def _pre_collision_bc(self, f, rho, u):
+    def _pre_collision_bc(self, fs, rho, u):
         """Distribution reconstruction at BC nodes
         (reference boundary.mako:322-465)."""
         g = self.grid
@@ -220,16 +311,13 @@ class StepBuilder:
             n = g.orientation_vectors[k - 1]
             unknown = g.unknown_mask(n)
             if cls in (nt.NTEquilibriumVelocity, nt.NTEquilibriumDensity):
-                feq = eq.bgk_equilibrium(g, rho, u,
-                                         incompressible=self.incompressible)
-                f = jnp.where(mask[None], feq, f)
+                feq = self.feq(rho, u)
+                fs = jnp.where(mask[None], feq, fs)
             elif cls in (nt.NTZouHeVelocity, nt.NTZouHeDensity):
-                feq = eq.bgk_equilibrium(g, rho, u,
-                                         incompressible=self.incompressible)
-                fz = self._noneq_bb(f, feq, unknown)
+                feq = self.feq(rho, u)
+                fz = self._noneq_bb(fs, feq, unknown)
                 # Tangential momentum fixup (reference sym.zouhe_fixup,
-                # sym.py:768): distribute the residual tangential momentum
-                # over the unknown populations.
+                # sym.py:768).
                 mom = eq.momentum(g, fz)
                 naxis = (k - 1) // 2
                 for a in range(g.dim):
@@ -244,38 +332,48 @@ class StepBuilder:
                         (float(coeff[i]) / denom) * dj if coeff[i] else
                         jnp.zeros_like(dj) for i in range(g.Q)])
                     fz = fz + corr
-                f = jnp.where(mask[None], fz, f)
+                fs = jnp.where(mask[None], fz, fs)
             elif cls in (nt.NTRegularizedVelocity, nt.NTRegularizedDensity):
-                feq = eq.bgk_equilibrium(g, rho, u,
-                                         incompressible=self.incompressible)
-                fnb = self._noneq_bb(f, feq, unknown)
+                feq = self.feq(rho, u)
+                fnb = self._noneq_bb(fs, feq, unknown)
                 pi = eq.second_moment_noneq(g, fnb, feq)
                 freg = eq.regularized_f(g, rho, u, pi,
                                         incompressible=self.incompressible)
-                f = jnp.where(mask[None], freg, f)
-        return f
+                fs = jnp.where(mask[None], freg, fs)
+        return fs
 
-    def _collide(self, f, rho, u):
+    def _collide(self, fs, rho, u, u_eq=None):
+        """``u_eq`` overrides the equilibrium velocity (used by multi-grid
+        couplings: common-velocity Shan-Chen, free-energy)."""
         g = self.grid
         tau_inv = self.tau_inv
-        feq = None
         if self.smagorinsky > 0.0:
-            feq = eq.bgk_equilibrium(g, rho, u,
-                                     incompressible=self.incompressible)
+            feq = self.feq(rho, u)
             tau_inv = co.smagorinsky_tau_inv(
-                g, f, feq, rho, self.tau, self.smagorinsky)[None]
-        u_eq = u
+                g, fs, feq, rho, self.tau, self.smagorinsky)[None]
+        if u_eq is None:
+            u_eq = u
+        if self.sc_coupling != 0.0:
+            # Single-component Shan-Chen pseudopotential multiphase
+            # (reference lb_single.LBSingleFluidShanChen, lb_single.py:242):
+            # classic velocity-shift forcing u_eq = u + tau F / rho.
+            F = co.shan_chen_force(g, rho, rho, self.sc_coupling,
+                                   self.sc_potential)
+            u_eq = u_eq + self.tau * F / rho[None]
         if self.force_dev is not None and self.force_model == 'guo':
             # Velocity shift: u* = u + F/(2 rho) enters the equilibrium
             # (reference sym_force.py:121-160).
-            u_eq = u + 0.5 * self.force_dev / rho[None]
-        if self.model == 'mrt':
-            fpost = co.mrt_collide(g, f, rho, u_eq, self.mrt_rates,
+            u_eq = u_eq + 0.5 * self.force_dev / rho[None]
+        if self.model in ('mrt', 'trt'):
+            fpost = co.mrt_collide(g, fs, rho, u_eq, self.mrt_rates,
                                    incompressible=self.incompressible)
+        elif self.model == 'elbm':
+            from sailfish_tpu.ops import entropic
+            fpost, self.last_alpha = entropic.elbm_collide(
+                g, fs, rho, u_eq, self.tau)
         else:
-            feq2 = eq.bgk_equilibrium(g, rho, u_eq,
-                                      incompressible=self.incompressible)
-            fpost = f + tau_inv * (feq2 - f)
+            feq2 = self.feq(rho, u_eq)
+            fpost = fs + tau_inv * (feq2 - fs)
         if self.force_dev is not None:
             if self.force_model == 'guo':
                 fpost = fpost + co.guo_force_terms(
@@ -286,12 +384,13 @@ class StepBuilder:
                     incompressible=self.incompressible)
         return fpost
 
-    def _post_collision(self, f_in, fpost):
+    def _post_collision(self, fs, fpost):
         """Dry-node handling: full bounce-back reflection & slip
-        (reference propagation via bb_swap_pairs, sym.py:468-533)."""
+        (reference via bb_swap_pairs, sym.py:468-533). Operates on the
+        freshly gathered distributions fs (the arriving populations)."""
         g = self.grid
         if self.fullbb_np is not None:
-            frefl = f_in[jnp.asarray(g.opposite)]
+            frefl = fs[jnp.asarray(g.opposite)]
             fpost = jnp.where(self.dev['fullbb'][None], frefl, fpost)
         if self.slip_np is not None:
             so = self.dev['slip_orient']
@@ -300,72 +399,41 @@ class StepBuilder:
                     continue
                 axis = (int(k) - 1) // 2
                 perm = g.slip_swap(axis)
-                fslip = f_in[jnp.asarray(perm)]
+                fslip = fs[jnp.asarray(perm)]
                 fpost = jnp.where((so == int(k))[None], fslip, fpost)
         return fpost
 
-    def _propagate(self, f_in, fpost):
-        """Pull-streaming + post-stream fixups (halfbb links, outflow)."""
-        g = self.grid
-        streamed = jnp.stack([pull(fpost[i], g.basis[i])
-                              for i in range(g.Q)])
-        if self.halfbb_np is not None:
-            tags = self.dev['tags']
-            fixed = []
-            for i in range(g.Q):
-                o = int(g.opposite[i])
-                fixed.append(jnp.where(tags[i], fpost[o], streamed[i]))
-            streamed = jnp.stack(fixed)
-        for tid, k, mask in self.bc_masks_dev:
-            cls = nt.get_node_type(tid)
-            n = g.orientation_vectors[k - 1]
-            unknown = g.unknown_mask(n)
-            if cls is nt.NTDoNothing:
-                upd = [jnp.where(mask, f_in[i], streamed[i])
-                       if unknown[i] else streamed[i] for i in range(g.Q)]
-                streamed = jnp.stack(upd)
-            elif cls is nt.NTCopy:
-                neigh = jnp.stack([sample(streamed[i], n)
-                                   for i in range(g.Q)])
-                streamed = jnp.where(mask[None], neigh, streamed)
-            elif cls is nt.NTYuOutflow:
-                n1 = jnp.stack([sample(streamed[i], n) for i in range(g.Q)])
-                n2 = jnp.stack([sample(streamed[i], 2 * np.asarray(n))
-                                for i in range(g.Q)])
-                extrap = 2.0 * n1 - n2
-                upd = [jnp.where(mask, extrap[i], streamed[i])
-                       if unknown[i] else streamed[i] for i in range(g.Q)]
-                streamed = jnp.stack(upd)
-            elif cls is nt.NTNeumann:
-                # f_i(t+1, x) = f_opp(i)^c(t, x + c_i) + 6 w_i phi . c_i ;
-                # with phi = u(x - 2n) + 2 * gradient. Defer the gradient
-                # term (param) to the scalar field; zero-gradient default.
-                pass
-        return streamed
-
     # -- public --------------------------------------------------------------
+
+    def streamed(self, f):
+        """The post-streaming distributions at every node (what the
+        reference kernel sees after getDist+fixMissing)."""
+        return self.fix_missing(self.gather(f), f)
 
     def macro_fields(self, f):
         """rho, u for output, with BC overrides applied so boundary values
         are meaningful."""
-        rho, u = eq.macroscopic(self.grid, f)
-        rho, u = self._solve_macro_bc(f, rho, u)
+        fs = self.streamed(f)
+        rho, u = eq.macroscopic(self.grid, fs)
+        rho, u = self._solve_macro_bc(fs, rho, u)
         if self.force_dev is not None:
             u = u + 0.5 * self.force_dev / rho[None]
         return rho, u
 
     def build(self):
-        """Returns step(f) -> f_next (un-jitted; caller jits/shards)."""
+        """Returns step(f) -> f_next (un-jitted; caller jits/shards).
+        State = post-collision distributions."""
         wet = self.dev['wet']
 
         def step(f):
-            rho, u = eq.macroscopic(self.grid, f)
-            rho, u = self._solve_macro_bc(f, rho, u)
-            f2 = self._pre_collision_bc(f, rho, u)
-            fpost = self._collide(f2, rho, u)
+            fs = self.fix_missing(self.gather(f), f)
+            rho, u = eq.macroscopic(self.grid, fs)
+            rho, u = self._solve_macro_bc(fs, rho, u)
+            fs2 = self._pre_collision_bc(fs, rho, u)
+            fpost = self._collide(fs2, rho, u)
             if self.has_dry:
-                fpost = jnp.where(wet[None], fpost, f2)
-            fpost = self._post_collision(f2, fpost)
-            return self._propagate(f2, fpost)
+                fpost = jnp.where(wet[None], fpost, fs2)
+            fpost = self._post_collision(fs2, fpost)
+            return fpost
 
         return step

@@ -11,6 +11,7 @@ between outputs), and multi-chip halo exchange is compiler-scheduled
 
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
@@ -62,39 +63,72 @@ class SubdomainRunner:
 
     def _init_state(self):
         dtype = self.config.dtype
-        rho = jnp.asarray(self.sim.rho, dtype=dtype)
-        u = jnp.asarray(np.stack(self.sim.velocity_components()),
-                        dtype=dtype)
-        self.f = eq.bgk_equilibrium(self.sim.grid, rho, u,
-                                    incompressible=self.config.incompressible)
         self.builder = self.sim.make_step_builder(self.maps, dtype)
+        self.f = self.sim.make_initial_state(self.builder, dtype)
         self.mesh = None
         mesh_shape = pmesh.parse_mesh_shape(
             getattr(self.config, 'mesh', ''), self.sim.dim)
         if mesh_shape is not None:
             self.mesh = pmesh.make_mesh(mesh_shape, self.sim.dim)
             pmesh.validate_divisible(self._domain_shape(), self.mesh)
-            self.f = pmesh.shard_dists(self.f, self.mesh, self.sim.dim)
+            self.f = jax.tree.map(
+                lambda a: pmesh.shard_dists(a, self.mesh, self.sim.dim),
+                self.f)
             self.builder.shard_constants(self.mesh)
-        step = self.builder.build()
+        self.engine = self._select_engine(dtype)
+        if self.engine == 'pallas':
+            from sailfish_tpu.ops.pallas_step import PallasStep3D
+            interp = jax.default_backend() == 'cpu'
+            pstep = PallasStep3D(self.builder, self._domain_shape(),
+                                 interpret=interp)
+            self._pallas = pstep
+            run_steps = jax.jit(pstep.run_steps, donate_argnums=0)
+        else:
+            step = self.builder.build()
 
-        @jax.jit
-        def run_steps(f, n):
-            return jax.lax.fori_loop(0, n, lambda i, fc: step(fc), f)
+            @functools.partial(jax.jit, donate_argnums=0)
+            def run_steps(f, n):
+                return jax.lax.fori_loop(0, n, lambda i, fc: step(fc), f)
 
         self._run_steps = run_steps
         self._macro = jax.jit(self.builder.macro_fields)
 
+    def _select_engine(self, dtype):
+        """'pallas' = fused TPU kernel + XLA boundary patches; 'xla' =
+        fully traced step. The pallas bulk path currently covers 3D BGK
+        with uniform Guo forcing on a single device in fp32; everything
+        else uses the XLA engine (which is always the reference
+        implementation for equivalence tests)."""
+        cfg = self.config
+        choice = getattr(cfg, 'engine', 'auto')
+        b = self.builder
+        from sailfish_tpu.ops.step import StepBuilder
+        eligible = (
+            type(b) is StepBuilder
+            and self.sim.dim == 3 and self.mesh is None
+            and dtype == jnp.float32 and b.model == 'bgk'
+            and b.smagorinsky == 0.0 and b.sc_coupling == 0.0
+            and b.equilibrium == 'bgk'
+            and (b.body_force is None
+                 or np.asarray(b.body_force).ndim == 1))
+        if choice == 'xla':
+            return 'xla'
+        if choice == 'pallas':
+            if not eligible:
+                raise ValueError('pallas engine requested but this '
+                                 'configuration is not yet supported '
+                                 '(needs 3D BGK fp32 single-device)')
+            return 'pallas'
+        # auto: use the fused kernel on real accelerators only (on CPU it
+        # would run in the slow interpreter).
+        if jax.default_backend() == 'cpu':
+            return 'xla'
+        return 'pallas' if eligible else 'xla'
+
     # -- output & checkpoint -------------------------------------------------
 
     def _fields_to_host(self):
-        rho, u = self._macro(self.f)
-        rho = np.asarray(rho, dtype=np.float64)
-        u = np.asarray(u, dtype=np.float64)
-        self.sim.rho[...] = rho
-        comps = self.sim.velocity_components()
-        for a in range(self.sim.dim):
-            comps[a][...] = u[a]
+        self.sim.update_host_fields(self._macro(self.f))
 
     def _output_fields(self):
         self._fields_to_host()
@@ -107,15 +141,21 @@ class SubdomainRunner:
             self.config.checkpoint_file,
             sio.filename_iter_digits(self.config.max_iters), 0,
             self.sim.iteration)
-        data = {'state': np.array([self.sim.iteration], dtype=np.int64),
-                'dist0a': np.asarray(self.f)}
+        data = {'state': np.array([self.sim.iteration], dtype=np.int64)}
+        leaves = jax.tree.leaves(self.f)
+        for i, leaf in enumerate(leaves):
+            data[f'dist{i}a'] = np.asarray(leaf)
         np.savez(fname, **data)
 
     def restore_checkpoint(self, fname):
         """(reference subdomain_runner.py:1433-1448)"""
         cpoint = np.load(fname, allow_pickle=True)
         self.sim.iteration = int(cpoint['state'][0])
-        self.f = jnp.asarray(cpoint['dist0a'], dtype=self.config.dtype)
+        leaves, treedef = jax.tree.flatten(self.f)
+        new_leaves = [jnp.asarray(cpoint[f'dist{i}a'],
+                                  dtype=self.config.dtype)
+                      for i in range(len(leaves))]
+        self.f = jax.tree.unflatten(treedef, new_leaves)
 
     # -- main loop -----------------------------------------------------------
 

@@ -42,6 +42,28 @@ class TimingStats:
                 for k, v in self.phases.items()}
 
 
+def enable_compile_cache(path=None):
+    """Enable JAX's persistent compilation cache. TPU kernel compiles for
+    the fused step take minutes (remote compile service); the cache brings
+    repeat runs of the same configuration down to seconds."""
+    import os
+
+    import jax
+    if jax.default_backend() == 'cpu':
+        # The axon remote-compile service may AOT-compile CPU code for a
+        # different host microarchitecture (SIGILL risk); cache only
+        # accelerator binaries.
+        return
+    path = path or os.path.expanduser('~/.cache/sailfish_tpu_jax')
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:   # pragma: no cover - cache is best-effort
+        pass
+
+
 _logger = None
 
 

@@ -69,7 +69,8 @@ def test_sharded_equivalence_3d():
 
     def run(m):
         ctrl = _run_controller(LDCSim, lat_nx=16, lat_ny=16, lat_nz=16,
-                               max_iters=60, every=60, quiet=True, mesh=m)
+                               max_iters=60, every=60, quiet=True, mesh=m,
+                               engine='xla')
         sim = ctrl._runner.sim
         return np.array(sim.rho), np.array(sim.vx), np.array(sim.vz)
 
