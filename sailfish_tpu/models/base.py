@@ -66,6 +66,7 @@ class LBSim:
         self.config = config
         self.iteration = 0
         self.need_sync_flag = False
+        self.force_objects = []
         self._mixin_after_step = []
         for klass in type(self).mro():
             if issubclass(klass, LBMixIn) and 'after_step' in vars(klass):
@@ -99,6 +100,11 @@ class LBSim:
     def after_step(self, runner):
         pass
 
+    def add_force_object(self, obj):
+        """(reference lb_base.py:296-300)"""
+        obj.id = len(self.force_objects)
+        self.force_objects.append(obj)
+
     def get_state(self):
         return {'iteration': self.iteration}
 
@@ -107,13 +113,26 @@ class LBSim:
 
 
 class ForceObject:
-    """Momentum-exchange force integration over a closed boundary
-    (reference lb_base.py:418-456)."""
+    """Momentum-exchange force integration over a solid object's boundary
+    links (Ladd, PRL 88:048301; reference lb_base.py:418-456).
+
+    :param start:/:param end: N-tuples (x, y[, z]) bounding the object.
+    ``force()`` returns the accumulated momentum exchange after the runner
+    has called ``update_force_objects()``."""
 
     def __init__(self, start, end):
-        self.start = start
-        self.end = end
-        self.force = None
+        self.start = tuple(start)
+        self.end = tuple(end)
+        self.id = None
+        self._force = None
+
+    def force(self):
+        assert self._force is not None, \
+            'runner.update_force_objects() has not run yet'
+        return tuple(float(c) for c in self._force)
+
+    def __str__(self):
+        return f'ForceObject(id={self.id})'
 
 
 class LBForcedSim(LBSim):

@@ -11,18 +11,24 @@ Layout (chosen for Mosaic's tiling rules -- the last two array dims are
 (sublane, lane) tiled (8, 128), so DMA offsets there must be aligned):
   * State is (Q, Z+2, Y, X): ghost planes only along z (dim 1, untiled ->
     arbitrary DMA offsets allowed). y and x shifts are performed in VMEM
-    as rolls of the full (Y, X) plane, which makes them globally periodic
+    as rolls of the full (Y, X) plane, making them globally periodic
     exactly like jnp.roll; the z ghost ring carries z periodicity (the
     counterpart of the reference's ghost envelope, controller.py:482-494).
   * Grid over z: each program DMAs Q contiguous (Y, X) planes from
     z+1-c_z (pull streaming as plane-shifted reads), rolls by (c_y, c_x),
     collides, and writes the (Q, Y, X) result to plane z+1 of the output.
-  * The kernel collides every node as plain fluid (BGK + uniform Guo
-    forcing). Boundary nodes are then *patched* by the exact XLA BC
-    machinery (StepBuilder.for_window) on thin slabs covering all
-    non-fluid nodes -- the TPU analog of the reference's bulk/boundary
-    kernel split (subdomain_runner.py:48-63), with the bulk on the fast
-    path and the boundary at surface cost.
+
+Boundary handling (the TPU analog of the reference's bulk/boundary kernel
+split, subdomain_runner.py:48-63), designed to avoid ANY full-array
+dynamic-update-slice (XLA copies the whole 2.6 GB buffer per DUS):
+  * full-way bounce-back (dry) and excluded nodes are handled IN-KERNEL
+    via a per-plane int32 mask (0 fluid / 1 reflect / 2 keep);
+  * z-planes containing any other boundary type ("complex" BCs: velocity/
+    density/outflow/half-way walls) are recomputed exactly by the XLA
+    StepBuilder machinery in a prologue and the kernel overlays those
+    planes with a plane-sized HBM->HBM DMA;
+  * the periodic z ghost planes of the output are written by the edge
+    programs themselves (no post-pass).
 
 Reference for the kernel patterns: /opt/skills/guides/pallas_guide.md.
 """
@@ -39,65 +45,39 @@ from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 
 
-# -- boundary-slab cover -----------------------------------------------------
+# -- node classification -----------------------------------------------------
 
-def boundary_boxes(type_map, fluid_id=0):
-    """Cover all non-fluid nodes with a small set of boxes (python slices
-    over the spatial axes): up to 6 domain-face slabs of thickness 1..2
-    plus one bbox for any interior remainder."""
-    nonfluid = type_map != fluid_id
-    shape = type_map.shape
-    dim = len(shape)
-    boxes = []
-    covered = np.zeros_like(nonfluid)
+def classify_nodes(maps):
+    """Split nodes into kernel-native vs patch-requiring classes.
 
-    def full(axis_slice, axis):
-        out = [slice(0, n) for n in shape]
-        out[axis] = axis_slice
-        return out
-
-    for axis in range(dim):
-        for side in (0, 1):
-            t = 0
-            while t < 2:
-                sl = full(slice(t, t + 1) if side == 0 else
-                          slice(shape[axis] - t - 1, shape[axis] - t), axis)
-                if np.any(nonfluid[tuple(sl)] & ~covered[tuple(sl)]):
-                    t += 1
-                else:
-                    break
-            if t > 0:
-                sl = full(slice(0, t) if side == 0 else
-                          slice(shape[axis] - t, shape[axis]), axis)
-                boxes.append(tuple(sl))
-                covered[tuple(sl)] = True
-
-    rest = nonfluid & ~covered
-    if np.any(rest):
-        idx = np.nonzero(rest)
-        boxes.append(tuple(slice(int(a.min()), int(a.max()) + 1)
-                           for a in idx))
-    return boxes
-
-
-def expand_box(box, pad, shape):
-    return tuple(slice(max(s.start - pad, 0), min(s.stop + pad, n))
-                 for s, n in zip(box, shape))
-
-
-def inner_slices(box, ebox):
-    """Slices selecting `box` within the coordinate frame of `ebox`."""
-    return tuple(slice(b.start - e.start, b.stop - e.start)
-                 for b, e in zip(box, ebox))
+    Returns (mask, patch_rows): mask is int32 (*S) with 0 = collide,
+    1 = dry reflect (NTFullBBWall), 2 = keep (excluded nodes);
+    patch_rows is the sorted list of z-planes containing any node type
+    the kernel does not handle natively."""
+    tm = maps.type_map
+    mask = np.zeros(tm.shape, dtype=np.int32)
+    patch_needed = np.zeros(tm.shape, dtype=bool)
+    for tid in maps.present_types:
+        cls = nt.get_node_type(tid)
+        sel = tm == tid
+        if tid == nt._NTFluid.id:
+            continue
+        elif cls is nt.NTFullBBWall:
+            mask[sel] = 1
+        elif cls.excluded or cls.propagation_only:
+            mask[sel] = 2
+        else:
+            patch_needed |= sel
+    rows = sorted(int(z) for z in
+                  np.unique(np.nonzero(patch_needed)[0]))
+    return mask, rows
 
 
 def window_shifted(plane, window, shift):
     """plane[window - shift] with periodic wrap, built from static slices
-    only -- reads just the window-sized region (the roll-then-slice
-    formulation makes XLA materialize the full rolled array, which
-    dominated the step cost). ``window``: python slices per axis (spatial,
-    unpadded coords); ``shift``: source offset (c_x, c_y, c_z) reordered
-    to match the array axes by the caller."""
+    only (reads just the window-sized region). ``window``: python slices
+    per axis (spatial, unpadded coords); ``shift``: source offset in array
+    axis order."""
     out = plane
     for ax, (w, s) in enumerate(zip(window, shift)):
         n = plane.shape[ax]
@@ -164,58 +144,150 @@ def _collide_planes(builder, fs):
     return out
 
 
-def make_kernel_3d(builder, Z, Y, X, interpret=False):
-    """Returns fused(fpad) -> out_padded; state (Q, Z+2, Y, X); the output
-    ghost planes are NOT refreshed here."""
+def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
+                   interpret=False):
+    """Fused step kernel. Signature of the returned callable:
+    fused(fpad[, mask_pad][, patch_vals]) -> out_padded, with ghost planes
+    of the output already refreshed."""
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
     basis = g.basis  # (Q, 3) as (cx, cy, cz)
+    patch_rows = tuple(int(r) for r in patch_rows)
+    opp = [int(o) for o in g.opposite]
 
-    def kernel(f_hbm, out_hbm, fs_buf, out_buf, in_sems, out_sem):
+    def kernel(*refs):
+        idx = 0
+        f_hbm = refs[idx]; idx += 1
+        mask_hbm = None
+        patch_hbm = None
+        if has_mask:
+            mask_hbm = refs[idx]; idx += 1
+        if patch_rows:
+            patch_hbm = refs[idx]; idx += 1
+        out_hbm = refs[idx]; idx += 1
+        fs_buf = refs[idx]; idx += 1
+        out_buf = refs[idx]; idx += 1
+        mask_buf = None
+        if has_mask:
+            mask_buf = refs[idx]; idx += 1
+        in_sems = refs[idx]; idx += 1
+        out_sem = refs[idx]; idx += 1
+        patch_sem = None
+        if patch_rows:
+            patch_sem = refs[idx]; idx += 1
+
         z0 = pl.program_id(0)
 
-        copies = []
-        for i in range(Q):
-            cz = int(basis[i][2])
-            src = f_hbm.at[i, z0 + 1 - cz]
-            c = pltpu.make_async_copy(src, fs_buf.at[i], in_sems.at[i])
-            c.start()
-            copies.append(c)
-        for c in copies:
-            c.wait()
+        is_patch = None
+        for r in patch_rows:
+            cond = z0 == r
+            is_patch = cond if is_patch is None else (is_patch | cond)
 
-        fs = []
-        for i in range(Q):
-            cx, cy = int(basis[i][0]), int(basis[i][1])
-            plane = fs_buf[i]
-            if cy:
-                plane = pltpu.roll(plane, cy % Y, axis=0)
-            if cx:
-                plane = pltpu.roll(plane, cx % X, axis=1)
-            fs.append(plane)
+        def ghost_copies(src_ref, sem):
+            """Edge programs also write the periodic z ghost planes."""
+            @pl.when(z0 == 0)
+            def _():
+                c = pltpu.make_async_copy(src_ref, out_hbm.at[:, Z + 1],
+                                          sem)
+                c.start()
+                c.wait()
 
-        out = _collide_planes(builder, fs)
-        for i in range(Q):
-            out_buf[i] = out[i]
+            @pl.when(z0 == Z - 1)
+            def _():
+                c = pltpu.make_async_copy(src_ref, out_hbm.at[:, 0], sem)
+                c.start()
+                c.wait()
 
-        oc = pltpu.make_async_copy(
-            out_buf, out_hbm.at[:, z0 + 1], out_sem)
-        oc.start()
-        oc.wait()
+        def normal_body():
+            copies = []
+            for i in range(Q):
+                cz = int(basis[i][2])
+                src = f_hbm.at[i, z0 + 1 - cz]
+                c = pltpu.make_async_copy(src, fs_buf.at[i],
+                                          in_sems.at[i])
+                c.start()
+                copies.append(c)
+            if has_mask:
+                mc = pltpu.make_async_copy(mask_hbm.at[z0 + 1],
+                                           mask_buf.at[0], in_sems.at[Q])
+                mc.start()
+                copies.append(mc)
+            for c in copies:
+                c.wait()
+
+            fs = []
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                plane = fs_buf[i]
+                if cy:
+                    plane = pltpu.roll(plane, cy % Y, axis=0)
+                if cx:
+                    plane = pltpu.roll(plane, cx % X, axis=1)
+                fs.append(plane)
+
+            out = _collide_planes(builder, fs)
+            if has_mask:
+                m = mask_buf[0]
+                is_dry = m == 1
+                is_keep = m == 2
+                for i in range(Q):
+                    v = jnp.where(is_dry, fs[opp[i]], out[i])
+                    v = jnp.where(is_keep, fs[i], v)
+                    out[i] = v
+            for i in range(Q):
+                out_buf[i] = out[i]
+
+            oc = pltpu.make_async_copy(out_buf, out_hbm.at[:, z0 + 1],
+                                       out_sem)
+            oc.start()
+            oc.wait()
+            ghost_copies(out_buf, out_sem)
+
+        def patch_body():
+            for j, r in enumerate(patch_rows):
+                @pl.when(z0 == r)
+                def _(j=j):
+                    c = pltpu.make_async_copy(patch_hbm.at[:, j],
+                                              out_hbm.at[:, z0 + 1],
+                                              patch_sem)
+                    c.start()
+                    c.wait()
+                    ghost_copies(patch_hbm.at[:, j], patch_sem)
+
+        if patch_rows:
+            @pl.when(is_patch)
+            def _():
+                patch_body()
+
+            @pl.when(jnp.logical_not(is_patch))
+            def _():
+                normal_body()
+        else:
+            normal_body()
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    scratch = [
+        pltpu.VMEM((Q, Y, X), dtype),
+        pltpu.VMEM((Q, Y, X), dtype),
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch.append(pltpu.VMEM((1, Y, X), jnp.int32))
+    if patch_rows:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch.append(pltpu.SemaphoreType.DMA((Q + 1,)))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    if patch_rows:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
 
     fused = pl.pallas_call(
         kernel,
         grid=(Z,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, Z + 2, Y, X), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Q, Y, X), dtype),
-            pltpu.VMEM((Q, Y, X), dtype),
-            pltpu.SemaphoreType.DMA((Q,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     return fused
@@ -242,50 +314,61 @@ def refresh_ghosts(fpad):
     return fpad
 
 
-# -- full fused step (kernel + boundary patches) -----------------------------
+# -- full fused step ---------------------------------------------------------
 
 class PallasStep3D:
     """Drop-in replacement for StepBuilder.build() on one device (3D)."""
+
+    # refuse the fused path when too much of the domain needs plane patches
+    MAX_PATCH_FRACTION = 0.25
 
     def __init__(self, builder, domain_shape, interpret=False):
         self.builder = builder
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
+        mask_np, patch_rows = classify_nodes(builder.maps)
+        if len(patch_rows) > self.MAX_PATCH_FRACTION * Zs:
+            raise NotImplementedError(
+                f'{len(patch_rows)}/{Zs} z-planes need complex-BC patches; '
+                'use the XLA engine for this scene')
+        self.patch_rows = patch_rows
+        self.has_mask = bool((mask_np != 0).any())
+        self.mask_pad = None
+        if self.has_mask:
+            mp = np.zeros((Zs + 2, Ys, Xs), dtype=np.int32)
+            mp[1:-1] = mask_np
+            self.mask_pad = jnp.asarray(mp)
         self.kernel = make_kernel_3d(builder, Zs, Ys, Xs,
+                                     patch_rows=patch_rows,
+                                     has_mask=self.has_mask,
                                      interpret=interpret)
-        self._make_patches()
+        self._make_patch_builders()
 
-    def _make_patches(self):
-        b = self.builder
-        boxes = boundary_boxes(b.maps.type_map, fluid_id=nt._NTFluid.id)
-        self.patches = []
-        for box in boxes:
-            ebox = expand_box(box, 2, self.shape)
-            sub = b.for_window(ebox, flatten=True)
-            self.patches.append((box, ebox, inner_slices(box, ebox), sub))
+    def _make_patch_builders(self):
+        self.patch_subs = []
+        for r in self.patch_rows:
+            box = (slice(r, r + 1), slice(0, self.shape[1]),
+                   slice(0, self.shape[2]))
+            self.patch_subs.append(
+                (box, self.builder.for_window(box, flatten=True)))
 
-    def _patch(self, f, out_pad):
-        """Recompute BC slabs exactly with the XLA machinery and write the
-        corrected values into the padded output. All gathers are static
-        wrapped-window slices (reads only slab-sized regions)."""
-        b = self.builder
-        g = b.grid
+    def _compute_patches(self, f):
+        """Exact XLA recompute of the patched planes -> (Q, P, Y, X)."""
+        g = self.builder.grid
 
         def axes_shift(vec):
-            # basis vectors are (cx, cy, cz); array axes are (z, y, x)
             return (int(vec[2]), int(vec[1]), int(vec[0]))
 
-        for box, ebox, inner, sub in self.patches:
-            qsl = (slice(None),)
-            box_shape = tuple(s.stop - s.start for s in ebox)
-            f_box = f[qsl + ebox].reshape(g.Q, -1)
+        planes = []
+        for box, sub in self.patch_subs:
+            f_box = f[(slice(None),) + box].reshape(g.Q, -1)
             fs_box = jnp.stack([
-                window_shifted(f[i], ebox, axes_shift(g.basis[i]))
+                window_shifted(f[i], box, axes_shift(g.basis[i]))
                 .reshape(-1) for i in range(g.Q)])
 
-            def sampler(vec, _f=f, _ebox=ebox):
+            def sampler(vec, _f=f, _box=box):
                 sh = axes_shift(-np.asarray(vec))
-                return jnp.stack([window_shifted(_f[i], _ebox, sh)
+                return jnp.stack([window_shifted(_f[i], _box, sh)
                                   .reshape(-1) for i in range(g.Q)])
 
             fs_box = sub.fix_missing(fs_box, f_box, sampler)
@@ -296,17 +379,16 @@ class PallasStep3D:
             if sub.has_dry:
                 fpost = jnp.where(sub.dev['wet'][None], fpost, fs2)
             fpost = sub._post_collision(fs2, fpost)
-            piece = fpost.reshape((g.Q,) + box_shape)[qsl + inner]
-            out_pad = jax.lax.dynamic_update_slice(
-                out_pad, piece,
-                (0, box[0].start + 1, box[1].start, box[2].start))
-        return out_pad
+            planes.append(fpost.reshape(g.Q, self.shape[1], self.shape[2]))
+        return jnp.stack(planes, axis=1)
 
     def step_padded(self, fpad):
-        out = self.kernel(fpad)
-        f = from_padded(fpad)
-        out = self._patch(f, out)
-        return refresh_ghosts(out)
+        args = [fpad]
+        if self.has_mask:
+            args.append(self.mask_pad)
+        if self.patch_rows:
+            args.append(self._compute_patches(from_padded(fpad)))
+        return self.kernel(*args)
 
     def run_steps(self, f, n):
         """(Q, Z, Y, X) unpadded in/out; jit-friendly."""

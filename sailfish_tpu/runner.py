@@ -125,6 +125,78 @@ class SubdomainRunner:
             return 'xla'
         return 'pallas' if eligible else 'xla'
 
+    # -- force objects (momentum exchange) -----------------------------------
+
+    def _init_force_objects(self):
+        """Precompute boundary-link masks per force object and build the
+        jitted momentum-exchange reduction (reference
+        subdomain_runner.py:1459-1526, kernel_force_objects.mako).
+
+        F = sum over links (x_f wet, x_f + c_i solid) of
+            c_i [ f_i(x_f) + f_opp(i)(x_f + c_i) ]
+        on the post-collision state."""
+        if not self.sim.force_objects:
+            self._force_obj_fn = None
+            return
+        import sailfish_tpu.node_type as nt
+        from sailfish_tpu.ops.pallas_step import window_shifted
+        g = self.sim.grid
+        m = self.maps
+        dim = self.sim.dim
+        wet = np.isin(m.type_map, [t for t in m.present_types
+                                   if nt.get_node_type(t).wet_node])
+        solid = ~wet
+        shape = m.type_map.shape
+        obj_specs = []
+        for fo in self.sim.force_objects:
+            # bbox given in (x, y[, z]); array axes are (.., z, y, x)
+            los = tuple(reversed(fo.start))
+            his = tuple(reversed(fo.end))
+            window = tuple(
+                slice(max(lo - 1, 0), min(hi + 2, n))
+                for lo, hi, n in zip(los, his, shape))
+            masks = {}
+            for i in range(1, g.Q):
+                vec = g.basis[i]
+                sh = tuple(int(-vec[dim - 1 - ax]) for ax in range(dim))
+                # solid at x + c_i  <=>  solid shifted by -c_i
+                neigh_solid = np.roll(solid, sh, axis=tuple(range(dim)))
+                link = (wet & neigh_solid)[window]
+                if link.any():
+                    masks[i] = jnp.asarray(link)
+            obj_specs.append((window, masks))
+        self._force_obj_specs = obj_specs
+
+        def force_all(state):
+            f = state[0] if isinstance(state, tuple) else state
+            out = []
+            for window, masks in obj_specs:
+                F = [jnp.zeros((), f.dtype) for _ in range(dim)]
+                for i, link in masks.items():
+                    o = int(g.opposite[i])
+                    vec = g.basis[i]
+                    sh = tuple(int(vec[dim - 1 - ax]) for ax in range(dim))
+                    f_out = f[i][window]
+                    f_in = window_shifted(f[o], window,
+                                          tuple(-s for s in sh))
+                    contrib = jnp.sum(jnp.where(link, f_out + f_in, 0.0))
+                    for a in range(dim):
+                        c = int(vec[a])
+                        if c:
+                            F[a] = F[a] + c * contrib
+                out.append(jnp.stack(F))
+            return jnp.stack(out)
+
+        self._force_obj_fn = jax.jit(force_all)
+
+    def update_force_objects(self):
+        """(reference subdomain_runner.py:1512-1526)"""
+        if getattr(self, '_force_obj_fn', None) is None:
+            return
+        forces = np.asarray(self._force_obj_fn(self.f))
+        for fo, F in zip(self.sim.force_objects, forces):
+            fo._force = F
+
     # -- output & checkpoint -------------------------------------------------
 
     def _fields_to_host(self):
@@ -163,6 +235,7 @@ class SubdomainRunner:
         self._init_geometry()
         self._init_fields()
         self._init_state()
+        self._init_force_objects()
         if self.config.restore_from:
             self.restore_checkpoint(
                 sio.resolve_checkpoint(self.config.restore_from))
