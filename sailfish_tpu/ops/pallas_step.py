@@ -100,8 +100,10 @@ def window_shifted(plane, window, shift):
 
 # -- the kernel --------------------------------------------------------------
 
-def _collide_planes(builder, fs):
-    """BGK collision on a list of Q (Y, X) VMEM planes -> list of Q."""
+def _moments(builder, fs):
+    """Macroscopic moments from Q (Y, X) VMEM planes: returns
+    (rho, u list, usq, uF) with the Guo half-force velocity shift applied
+    (reference relaxation_common.mako fluid_output_velocity)."""
     g = builder.grid
     dtype = fs[0].dtype
     rho = fs[0]
@@ -112,49 +114,62 @@ def _collide_planes(builder, fs):
     u = [m * inv_rho for m in mom]
     has_force = (builder.force_dev is not None
                  and builder.force_model == 'guo')
+    uF = None
     if has_force:
         fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
         u = [ua + jnp.asarray(0.5 * fvec[a], dtype) * inv_rho
              for a, ua in enumerate(u)]
+        uF = u[0] * jnp.asarray(fvec[0], dtype)
+        for a in range(1, g.dim):
+            uF = uF + u[a] * jnp.asarray(fvec[a], dtype)
     usq = u[0] * u[0]
     for a in range(1, g.dim):
         usq = usq + u[a] * u[a]
-    tau_inv = jnp.asarray(builder.tau_inv, dtype)
-    out = []
+    return rho, u, usq, uF
+
+
+def _collide_one(builder, fi, mom, i):
+    """BGK relaxation (+ Guo forcing) of a single direction given the
+    precomputed moments."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    dtype = fi.dtype
     w = g.weights
-    for i in range(g.Q):
-        cu = eq.signed_sum(g.basis[i], u)
-        poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
-        if builder.incompressible:
-            feq = jnp.asarray(w[i], dtype) * (rho + poly)
-        else:
-            feq = jnp.asarray(w[i], dtype) * (rho + rho * poly)
-        fpost = fs[i] + tau_inv * (feq - fs[i])
-        if has_force:
-            fvec = np.asarray(builder.body_force,
-                              dtype=np.float64).reshape(-1)
-            cF = float(np.dot(g.basis[i], fvec))
-            uF = u[0] * jnp.asarray(fvec[0], dtype)
-            for a in range(1, g.dim):
-                uF = uF + u[a] * jnp.asarray(fvec[a], dtype)
-            pref = (1.0 - 0.5 * builder.tau_inv) * w[i]
-            fpost = fpost + jnp.asarray(pref, dtype) * (
-                3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
-        out.append(fpost)
-    return out
+    cu = eq.signed_sum(g.basis[i], u)
+    poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
+    if builder.incompressible:
+        feq = jnp.asarray(w[i], dtype) * (rho + poly)
+    else:
+        feq = jnp.asarray(w[i], dtype) * (rho + rho * poly)
+    fpost = fi + jnp.asarray(builder.tau_inv, dtype) * (feq - fi)
+    if uF is not None:
+        fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
+        cF = float(np.dot(g.basis[i], fvec))
+        pref = (1.0 - 0.5 * builder.tau_inv) * w[i]
+        fpost = fpost + jnp.asarray(pref, dtype) * (
+            3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+    return fpost
 
 
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False):
-    """Fused step kernel. Signature of the returned callable:
-    fused(fpad[, mask_pad][, patch_vals]) -> out_padded, with ghost planes
-    of the output already refreshed."""
+    """Fused step kernel, software-pipelined across the z grid: gathers
+    for plane z+1 are prefetched into the other buffer slot while plane z
+    computes (double buffering; pallas_guide.md 'Double Buffering'), the
+    collision runs pairwise in place (halving VMEM), and the output write
+    is asynchronous, drained before its slot is reused.
+
+    Signature of the returned callable:
+    fused(fpad[, mask_pad][, patch_vals]) -> out_padded, with the periodic
+    z ghost planes of the output already written."""
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
     basis = g.basis  # (Q, 3) as (cx, cy, cz)
     patch_rows = tuple(int(r) for r in patch_rows)
     opp = [int(o) for o in g.opposite]
+    # bounce-back pairs for in-place processing
+    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
 
     def kernel(*refs):
         idx = 0
@@ -166,94 +181,154 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if patch_rows:
             patch_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx]; idx += 1
-        fs_buf = refs[idx]; idx += 1
-        out_buf = refs[idx]; idx += 1
+        fs_buf = refs[idx]; idx += 1       # (2, Q, Y, X)
         mask_buf = None
         if has_mask:
-            mask_buf = refs[idx]; idx += 1
-        in_sems = refs[idx]; idx += 1
-        out_sem = refs[idx]; idx += 1
-        patch_sem = None
-        if patch_rows:
-            patch_sem = refs[idx]; idx += 1
+            mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
+        in_sems = refs[idx]; idx += 1       # DMA (2, Q+1)
+        out_sems = refs[idx]; idx += 1      # DMA (2,)
+        ghost_sem = refs[idx]; idx += 1     # DMA ()
 
         z0 = pl.program_id(0)
+        slot = jax.lax.rem(z0, 2)
+        nslot = jax.lax.rem(z0 + 1, 2)
 
         is_patch = None
         for r in patch_rows:
             cond = z0 == r
             is_patch = cond if is_patch is None else (is_patch | cond)
 
-        def ghost_copies(src_ref, sem):
-            """Edge programs also write the periodic z ghost planes."""
+        def start_gathers(plane_z, s):
+            """Start the Q+1 input DMAs for plane ``plane_z`` into slot
+            ``s`` (dynamic indices)."""
+            for i in range(Q):
+                cz = int(basis[i][2])
+                c = pltpu.make_async_copy(
+                    f_hbm.at[i, plane_z + 1 - cz],
+                    fs_buf.at[s, i], in_sems.at[s, i])
+                c.start()
+            if has_mask:
+                c = pltpu.make_async_copy(
+                    mask_hbm.at[plane_z + 1], mask_buf.at[s, 0],
+                    in_sems.at[s, Q])
+                c.start()
+
+        def wait_gathers(s):
+            for i in range(Q):
+                pltpu.make_async_copy(f_hbm.at[0, 0], fs_buf.at[s, i],
+                                      in_sems.at[s, i]).wait()
+            if has_mask:
+                pltpu.make_async_copy(mask_hbm.at[0], mask_buf.at[s, 0],
+                                      in_sems.at[s, Q]).wait()
+
+        def wait_out(s):
+            pltpu.make_async_copy(fs_buf.at[s], out_hbm.at[:, 0],
+                                  out_sems.at[s]).wait()
+
+        def ghost_copies(src_ref):
+            """Edge programs also write the periodic z ghost planes
+            (synchronous; only 2 of Z programs)."""
             @pl.when(z0 == 0)
             def _():
                 c = pltpu.make_async_copy(src_ref, out_hbm.at[:, Z + 1],
-                                          sem)
+                                          ghost_sem)
                 c.start()
                 c.wait()
 
             @pl.when(z0 == Z - 1)
             def _():
-                c = pltpu.make_async_copy(src_ref, out_hbm.at[:, 0], sem)
+                c = pltpu.make_async_copy(src_ref, out_hbm.at[:, 0],
+                                          ghost_sem)
                 c.start()
                 c.wait()
+
+        # -- pipeline bookkeeping ------------------------------------------
+        # Writes are drained ("waited") exactly once, by one of:
+        #   * the prefetch at the NEXT program reusing the slot;
+        #   * the writing program itself for rows that must synchronize
+        #     anyway (edge rows for ghost copies, patch rows);
+        #   * the Z-1 epilogue for the otherwise-undrained Z-2 write.
+        drains_own = (z0 == 0) | (z0 == Z - 1)
+        if patch_rows:
+            drains_own = drains_own | is_patch
+        prev_drained_own = (z0 - 1 == 0) | (z0 - 1 == Z - 1)
+        for r in patch_rows:
+            prev_drained_own = prev_drained_own | (z0 - 1 == r)
+
+        @pl.when(z0 == 0)
+        def _():
+            start_gathers(z0, slot)
+
+        # Prefetch the next plane. Its slot's previous output write (from
+        # program z0-1) must drain first, unless z0-1 drained it itself.
+        @pl.when(z0 + 1 < Z)
+        def _():
+            @pl.when((z0 >= 1) & jnp.logical_not(prev_drained_own))
+            def _():
+                wait_out(nslot)
+            start_gathers(z0 + 1, nslot)
 
         def normal_body():
-            copies = []
-            for i in range(Q):
-                cz = int(basis[i][2])
-                src = f_hbm.at[i, z0 + 1 - cz]
-                c = pltpu.make_async_copy(src, fs_buf.at[i],
-                                          in_sems.at[i])
-                c.start()
-                copies.append(c)
-            if has_mask:
-                mc = pltpu.make_async_copy(mask_hbm.at[z0 + 1],
-                                           mask_buf.at[0], in_sems.at[Q])
-                mc.start()
-                copies.append(mc)
-            for c in copies:
-                c.wait()
-
-            fs = []
+            wait_gathers(slot)
+            # roll each plane in place (y/x periodic shifts of the pull)
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
-                plane = fs_buf[i]
-                if cy:
-                    plane = pltpu.roll(plane, cy % Y, axis=0)
-                if cx:
-                    plane = pltpu.roll(plane, cx % X, axis=1)
-                fs.append(plane)
+                if cy or cx:
+                    plane = fs_buf[slot, i]
+                    if cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    fs_buf[slot, i] = plane
 
-            out = _collide_planes(builder, fs)
+            # moments (read all planes before any in-place overwrite)
+            fsl = [fs_buf[slot, i] for i in range(Q)]
+            mom_u = _moments(builder, fsl)
             if has_mask:
-                m = mask_buf[0]
+                m = mask_buf[slot, 0]
                 is_dry = m == 1
                 is_keep = m == 2
-                for i in range(Q):
-                    v = jnp.where(is_dry, fs[opp[i]], out[i])
-                    v = jnp.where(is_keep, fs[i], v)
-                    out[i] = v
-            for i in range(Q):
-                out_buf[i] = out[i]
 
-            oc = pltpu.make_async_copy(out_buf, out_hbm.at[:, z0 + 1],
-                                       out_sem)
+            # pairwise collide+store in place: out_i depends only on
+            # fs_i (+ moments), the mask reflection on fs_opp -- both read
+            # before either is overwritten within a pair
+            for i, o in pairs:
+                fi = fs_buf[slot, i]
+                vi = _collide_one(builder, fi, mom_u, i)
+                if o == i:
+                    if has_mask:
+                        vi = jnp.where(is_dry | is_keep, fi, vi)
+                    fs_buf[slot, i] = vi
+                    continue
+                fo = fs_buf[slot, o]
+                vo = _collide_one(builder, fo, mom_u, o)
+                if has_mask:
+                    vi = jnp.where(is_dry, fo, jnp.where(is_keep, fi, vi))
+                    vo = jnp.where(is_dry, fi, jnp.where(is_keep, fo, vo))
+                fs_buf[slot, i] = vi
+                fs_buf[slot, o] = vo
+
+            oc = pltpu.make_async_copy(fs_buf.at[slot],
+                                       out_hbm.at[:, z0 + 1],
+                                       out_sems.at[slot])
             oc.start()
-            oc.wait()
-            ghost_copies(out_buf, out_sem)
+            # edge rows synchronize and duplicate the ghost planes
+            @pl.when((z0 == 0) | (z0 == Z - 1))
+            def _():
+                wait_out(slot)
+                ghost_copies(fs_buf.at[slot])
 
         def patch_body():
+            wait_gathers(slot)   # keep the pipeline balanced
             for j, r in enumerate(patch_rows):
                 @pl.when(z0 == r)
                 def _(j=j):
                     c = pltpu.make_async_copy(patch_hbm.at[:, j],
                                               out_hbm.at[:, z0 + 1],
-                                              patch_sem)
+                                              out_sems.at[slot])
                     c.start()
                     c.wait()
-                    ghost_copies(patch_hbm.at[:, j], patch_sem)
+                    ghost_copies(patch_hbm.at[:, j])
 
         if patch_rows:
             @pl.when(is_patch)
@@ -266,20 +341,25 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         else:
             normal_body()
 
+        # epilogue: the Z-2 write has no successor prefetch to drain it
+        if Z > 2 and (Z - 2) not in patch_rows:
+            @pl.when(z0 == Z - 1)
+            def _():
+                wait_out(nslot)
+
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     scratch = [
-        pltpu.VMEM((Q, Y, X), dtype),
-        pltpu.VMEM((Q, Y, X), dtype),
+        pltpu.VMEM((2, Q, Y, X), dtype),
     ]
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        scratch.append(pltpu.VMEM((1, Y, X), jnp.int32))
+        scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if patch_rows:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-    scratch.append(pltpu.SemaphoreType.DMA((Q + 1,)))
+        in_specs.insert(1 + (1 if has_mask else 0),
+                        pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     scratch.append(pltpu.SemaphoreType.DMA(()))
-    if patch_rows:
-        scratch.append(pltpu.SemaphoreType.DMA(()))
 
     fused = pl.pallas_call(
         kernel,
@@ -288,6 +368,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, Z + 2, Y, X), dtype),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
     return fused

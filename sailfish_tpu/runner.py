@@ -79,8 +79,14 @@ class SubdomainRunner:
         if self.engine == 'pallas':
             from sailfish_tpu.ops.pallas_step import PallasStep3D
             interp = jax.default_backend() == 'cpu'
-            pstep = PallasStep3D(self.builder, self._domain_shape(),
-                                 interpret=interp)
+            try:
+                pstep = PallasStep3D(self.builder, self._domain_shape(),
+                                     interpret=interp)
+            except NotImplementedError:
+                if getattr(self.config, 'engine', 'auto') == 'pallas':
+                    raise
+                self.engine = 'xla'
+        if self.engine == 'pallas':
             self._pallas = pstep
             run_steps = jax.jit(pstep.run_steps, donate_argnums=0)
         else:
