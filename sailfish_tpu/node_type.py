@@ -328,11 +328,16 @@ def get_link_tag_node_type_ids():
 
 
 class DynamicValue:
-    """Marker for sympy-free time/space-dependent BC parameters.
+    """Time/space-dependent BC parameter.
 
-    The reference uses sympy expressions (node_type.py:471); here a
-    DynamicValue wraps a python callable ``fn(t, hx, hy[, hz]) -> value``
-    evaluated on device inside the step (traced, so it must be jnp math).
+    The reference wraps sympy expressions in S.time / S.gx symbols
+    (node_type.py:471-570); here a DynamicValue wraps python callables
+    evaluated on-device inside the traced step:
+      * ``fn(t)`` for pure time dependence, or
+      * ``fn(t, hx, hy[, hz])`` for space(+time) dependence,
+    where ``t`` is the iteration number (a traced scalar) and hx/hy/hz
+    are the global coordinate arrays. Plain numbers are also accepted
+    per component.
     """
 
     def __init__(self, *exprs):
@@ -340,6 +345,51 @@ class DynamicValue:
 
     def __iter__(self):
         return iter(self.exprs)
+
+    @staticmethod
+    def arity(expr):
+        """Number of required (non-default) positional parameters."""
+        if not callable(expr):
+            return 0
+        import inspect
+        try:
+            params = inspect.signature(expr).parameters.values()
+        except (TypeError, ValueError):
+            return 1
+        return sum(1 for p in params
+                   if p.default is inspect.Parameter.empty and
+                   p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
+
+    @staticmethod
+    def evaluate(expr, t, coords):
+        if not callable(expr):
+            return expr
+        nargs = DynamicValue.arity(expr)
+        if nargs <= 1:
+            return expr(t)
+        return expr(t, *coords[:nargs - 1])
+
+
+class LinearlyInterpolatedTimeSeries(DynamicValue):
+    """Periodic time series sampled at a fixed step, linearly interpolated
+    (reference node_type.py:572-626)."""
+
+    def __init__(self, data, step_size=1):
+        data = np.asarray(data, dtype=np.float64)
+        self.data = data
+        self.step_size = step_size
+
+        def fn(t, _data=data, _step=float(step_size)):
+            import jax.numpy as jnp
+            arr = jnp.asarray(_data)
+            pos = t / _step
+            n = arr.shape[0]
+            i0 = jnp.floor(pos).astype(jnp.int32) % n
+            i1 = (i0 + 1) % n
+            frac = pos - jnp.floor(pos)
+            return arr[i0] * (1.0 - frac) + arr[i1] * frac
+
+        super().__init__(fn)
 
 
 def multifield(values, where=None):

@@ -103,12 +103,13 @@ class MultigridStepBuilder:
                 for c, f in zip(self.components, state)]
 
     def build(self):
-        def step(state):
+        def step(state, it=0):
             fss = self._streamed_all(state)
             rhos = [eq.density(self.grid, fs) for fs in fss]
             u = self.common_velocity(fss, rhos)
             # macroscopic BC overrides apply to the fluid component
-            rho0, u = self.b0._solve_macro_bc(fss[0], rhos[0], u)
+            rho0, u = self.b0._solve_macro_bc(fss[0], rhos[0], u,
+                                              self.b0.bc_params(it))
             rhos = [rho0] + rhos[1:]
             fss = [c._pre_collision_bc(fs, rho, u)
                    for c, fs, rho in zip(self.components, fss, rhos)]
@@ -122,11 +123,12 @@ class MultigridStepBuilder:
 
         return step
 
-    def macro_fields(self, state):
+    def macro_fields(self, state, it=0):
         fss = self._streamed_all(state)
         rhos = [eq.density(self.grid, fs) for fs in fss]
         u = self.common_velocity(fss, rhos)
-        rho0, u = self.b0._solve_macro_bc(fss[0], rhos[0], u)
+        rho0, u = self.b0._solve_macro_bc(fss[0], rhos[0], u,
+                                          self.b0.bc_params(it))
         return ([rho0] + rhos[1:], u)
 
 

@@ -433,7 +433,7 @@ class PallasStep3D:
             self.patch_subs.append(
                 (box, self.builder.for_window(box, flatten=True)))
 
-    def _compute_patches(self, f):
+    def _compute_patches(self, f, it=0):
         """Exact XLA recompute of the patched planes -> (Q, P, Y, X)."""
         g = self.builder.grid
 
@@ -454,7 +454,8 @@ class PallasStep3D:
 
             fs_box = sub.fix_missing(fs_box, f_box, sampler)
             rho, u = eq.macroscopic(g, fs_box)
-            rho, u = sub._solve_macro_bc(fs_box, rho, u)
+            rho, u = sub._solve_macro_bc(fs_box, rho, u,
+                                         sub.bc_params(it))
             fs2 = sub._pre_collision_bc(fs_box, rho, u)
             fpost = sub._collide(fs2, rho, u)
             if sub.has_dry:
@@ -463,17 +464,17 @@ class PallasStep3D:
             planes.append(fpost.reshape(g.Q, self.shape[1], self.shape[2]))
         return jnp.stack(planes, axis=1)
 
-    def step_padded(self, fpad):
+    def step_padded(self, fpad, it=0):
         args = [fpad]
         if self.has_mask:
             args.append(self.mask_pad)
         if self.patch_rows:
-            args.append(self._compute_patches(from_padded(fpad)))
+            args.append(self._compute_patches(from_padded(fpad), it))
         return self.kernel(*args)
 
-    def run_steps(self, f, n):
+    def run_steps(self, f, n, it0=0):
         """(Q, Z, Y, X) unpadded in/out; jit-friendly."""
         fpad = to_padded(f)
-        fpad = jax.lax.fori_loop(0, n, lambda i, fp: self.step_padded(fp),
-                                 fpad)
+        fpad = jax.lax.fori_loop(
+            0, n, lambda i, fp: self.step_padded(fp, it0 + i), fpad)
         return from_padded(fpad)

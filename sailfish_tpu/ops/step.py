@@ -143,6 +143,21 @@ class StepBuilder:
         self.dev = dev
         self.bc_masks_dev = [
             (tid, k, jnp.asarray(sel)) for tid, k, sel in self.bc_instances]
+        self.dynamic_dev = [(jnp.asarray(mask), name, exprs)
+                            for mask, name, exprs in m.dynamic]
+        # Coordinate arrays for space-dependent DynamicValues are built
+        # eagerly (outside any trace -- caching trace-time constants leaks
+        # tracers) and only when some expression actually needs them.
+        self._coords_cache = ()
+        if any(nt.DynamicValue.arity(e) > 1
+               for _, _, exprs in m.dynamic for e in exprs):
+            shape = m.type_map.shape
+            dim = len(shape)
+            grids = np.meshgrid(*[np.arange(n) for n in shape],
+                                indexing='ij')
+            self._coords_cache = tuple(
+                jnp.asarray(grids[dim - 1 - a], dtype=jnp.int32)
+                for a in range(dim))
 
         if self.body_force is not None:
             bf = np.asarray(self.body_force, dtype=np.float64)
@@ -213,6 +228,8 @@ class StepBuilder:
         m.param_rho = self.maps.param_rho[box]
         m.param_vel = self.maps.param_vel[(slice(None),) + box]
         m.param_scalar = self.maps.param_scalar[box]
+        m.dynamic = [(mask[box], name, exprs)
+                     for mask, name, exprs in self.maps.dynamic]
         if flatten:
             m.type_map = m.type_map.reshape(-1)
             m.orientation = m.orientation.reshape(-1)
@@ -220,6 +237,8 @@ class StepBuilder:
             m.param_rho = m.param_rho.reshape(-1)
             m.param_vel = m.param_vel.reshape(self.grid.dim, -1)
             m.param_scalar = m.param_scalar.reshape(-1)
+            m.dynamic = [(mask.reshape(-1), name, exprs)
+                         for mask, name, exprs in m.dynamic]
         sub.maps = m
         sub.body_force = self.body_force
         sub._prepare_static()
@@ -264,10 +283,34 @@ class StepBuilder:
                 fs = jnp.stack(upd)
         return fs
 
-    def _solve_macro_bc(self, fs, rho, u):
+    def bc_params(self, it):
+        """Effective (rho_bc, vel_bc) device fields at iteration ``it``,
+        with DynamicValue overrides applied (reference DynamicValue /
+        time-series machinery, node_type.py:471-626)."""
+        rho_bc = self.dev.get('rho_bc')
+        vel_bc = self.dev.get('vel_bc')
+        if not self.dynamic_dev:
+            return rho_bc, vel_bc
+        t = jnp.asarray(it, dtype=self.dtype)
+        coords = self._coords_cache
+        for mask, name, exprs in self.dynamic_dev:
+            vals = [jnp.broadcast_to(
+                jnp.asarray(nt.DynamicValue.evaluate(e, t, coords),
+                            dtype=self.dtype), mask.shape)
+                for e in exprs]
+            if name == 'velocity':
+                vel_bc = jnp.where(mask[None], jnp.stack(vals), vel_bc)
+            elif name == 'density':
+                rho_bc = jnp.where(mask, vals[0], rho_bc)
+        return rho_bc, vel_bc
+
+    def _solve_macro_bc(self, fs, rho, u, params=None):
         """Apply per-BC macroscopic overrides (reference boundary.mako
         getMacro dispatch :466+; rho/velocity solves follow Zou & He)."""
         g = self.grid
+        if params is None:
+            params = (self.dev.get('rho_bc'), self.dev.get('vel_bc'))
+        rho_bc_eff, vel_bc_eff = params
         fl = [fs[i] for i in range(g.Q)]
         for tid, k, mask in self.bc_masks_dev:
             cls = nt.get_node_type(tid)
@@ -276,13 +319,13 @@ class StepBuilder:
             s0 = signed_sum((cn == 0).astype(int), fl)
             sin = signed_sum((cn < 0).astype(int), fl)
             if 'velocity' in cls.param_names:
-                u_bc = self.dev['vel_bc']
+                u_bc = vel_bc_eff
                 un = signed_sum(n, [u_bc[a] for a in range(g.dim)])
                 rho_s = (s0 + 2.0 * sin) / (1.0 - un)
                 rho = jnp.where(mask, rho_s, rho)
                 u = jnp.where(mask[None], u_bc, u)
             elif 'density' in cls.param_names:
-                rho_bc = self.dev['rho_bc']
+                rho_bc = rho_bc_eff
                 un = 1.0 - (s0 + 2.0 * sin) / rho_bc
                 uvec = jnp.stack([un * int(n[a]) for a in range(g.dim)])
                 rho = jnp.where(mask, rho_bc, rho)
@@ -410,12 +453,12 @@ class StepBuilder:
         reference kernel sees after getDist+fixMissing)."""
         return self.fix_missing(self.gather(f), f)
 
-    def macro_fields(self, f):
+    def macro_fields(self, f, it=0):
         """rho, u for output, with BC overrides applied so boundary values
         are meaningful."""
         fs = self.streamed(f)
         rho, u = eq.macroscopic(self.grid, fs)
-        rho, u = self._solve_macro_bc(fs, rho, u)
+        rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
         if self.force_dev is not None:
             u = u + 0.5 * self.force_dev / rho[None]
         return rho, u
@@ -425,10 +468,10 @@ class StepBuilder:
         State = post-collision distributions."""
         wet = self.dev['wet']
 
-        def step(f):
+        def step(f, it=0):
             fs = self.fix_missing(self.gather(f), f)
             rho, u = eq.macroscopic(self.grid, fs)
-            rho, u = self._solve_macro_bc(fs, rho, u)
+            rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
             fs2 = self._pre_collision_bc(fs, rho, u)
             fpost = self._collide(fs2, rho, u)
             if self.has_dry:

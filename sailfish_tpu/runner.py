@@ -88,13 +88,15 @@ class SubdomainRunner:
                 self.engine = 'xla'
         if self.engine == 'pallas':
             self._pallas = pstep
-            run_steps = jax.jit(pstep.run_steps, donate_argnums=0)
+            run_steps = jax.jit(pstep.run_steps, donate_argnums=0,
+                                static_argnums=())
         else:
             step = self.builder.build()
 
             @functools.partial(jax.jit, donate_argnums=0)
-            def run_steps(f, n):
-                return jax.lax.fori_loop(0, n, lambda i, fc: step(fc), f)
+            def run_steps(f, n, it0=0):
+                return jax.lax.fori_loop(
+                    0, n, lambda i, fc: step(fc, it0 + i), f)
 
         self._run_steps = run_steps
         self._macro = jax.jit(self.builder.macro_fields)
@@ -206,7 +208,7 @@ class SubdomainRunner:
     # -- output & checkpoint -------------------------------------------------
 
     def _fields_to_host(self):
-        self.sim.update_host_fields(self._macro(self.f))
+        self.sim.update_host_fields(self._macro(self.f, self.sim.iteration))
 
     def _output_fields(self):
         self._fields_to_host()
@@ -273,7 +275,7 @@ class SubdomainRunner:
                 chunk = min(chunk, to_cp)
             chunk = max(1, min(chunk, remaining))
             t0 = time.time()
-            self.f = self._run_steps(self.f, chunk)
+            self.f = self._run_steps(self.f, chunk, sim.iteration)
             self._block_until_ready()
             t1 = time.time()
             sim.iteration += chunk

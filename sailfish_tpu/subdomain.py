@@ -119,6 +119,8 @@ class NodeMaps:
         self.param_rho = np.ones(shape, dtype=np.float64)
         self.param_vel = np.zeros((dim,) + shape, dtype=np.float64)
         self.param_scalar = np.zeros(shape, dtype=np.float64)
+        #: list of (mask, param_name, exprs) for DynamicValue params
+        self.dynamic = []
         self.dim = dim
 
     @property
@@ -211,8 +213,11 @@ class Subdomain:
             return
         for name, val in params.items():
             if isinstance(val, nt.DynamicValue):
-                raise NotImplementedError(
-                    'DynamicValue parameters are not supported yet')
+                mask = np.zeros(self.shape, dtype=bool)
+                mask[where] = True
+                m.dynamic.append((mask, name, tuple(val.exprs)))
+                self.config.time_dependence = True
+                continue
             if name == 'density':
                 self._fill(m.param_rho, where, val)
             elif name == 'velocity':

@@ -1,0 +1,93 @@
+"""Time-dependent BC parameters (DynamicValue / time series; counterpart
+of reference node_type.py:471-626 sympy machinery)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sailfish_tpu.controller import LBSimulationController
+from sailfish_tpu.models.single import LBFluidSim
+from sailfish_tpu.node_type import DynamicValue, \
+    LinearlyInterpolatedTimeSeries, NTEquilibriumVelocity, NTFullBBWall
+from sailfish_tpu.subdomain import Subdomain2D
+
+
+def _pulsed_cavity(value_source, iters):
+    N = 32
+
+    class Cav(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            wall = (hx == 0) | (hx == self.gx - 1) | (hy == 0)
+            self.set_node((hy == self.gy - 1) & ~wall,
+                          NTEquilibriumVelocity(value_source))
+            self.set_node(wall, NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+
+    class Sim(LBFluidSim):
+        subdomain = Cav
+
+    ctrl = LBSimulationController(Sim, default_config=dict(
+        lat_nx=N, lat_ny=N, visc=0.1, max_iters=iters, every=iters // 4,
+        quiet=True))
+    runner_lid = []
+
+    orig = Sim.after_step
+
+    def record(self, runner):
+        runner._fields_to_host()
+        runner_lid.append(float(runner.sim.vx[-1, N // 2]))
+    Sim.after_step = record
+
+    ctrl.run(ignore_cmdline=True)
+    Sim.after_step = orig
+    return np.array(runner_lid)
+
+
+def test_dynamic_velocity_oscillates():
+    om = 2 * np.pi / 200.0
+    lid = _pulsed_cavity(DynamicValue(
+        lambda t: 0.05 * jnp.sin(om * t), 0.0), 200)
+    assert np.all(np.isfinite(lid))
+    # lid velocity follows the prescribed oscillation: sign changes occur
+    assert lid.max() > 0.01 and lid.min() < -0.01, lid
+
+
+def test_time_series_param():
+    series = LinearlyInterpolatedTimeSeries([0.0, 0.05, 0.0, -0.05],
+                                            step_size=25)
+    lid = _pulsed_cavity(DynamicValue(series.exprs[0], 0.0), 100)
+    assert np.all(np.isfinite(lid))
+    assert lid.max() > 0.01
+
+
+def test_space_dependent_dynamic():
+    """fn(t, hx, hy): parabolic lid profile."""
+    N = 32
+
+    class Cav(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            wall = (hx == 0) | (hx == self.gx - 1) | (hy == 0)
+            prof = DynamicValue(
+                lambda t, hx, hy: 0.1 * (hx / N) * (1.0 - hx / N) * 4.0,
+                0.0)
+            self.set_node((hy == self.gy - 1) & ~wall,
+                          NTEquilibriumVelocity(prof))
+            self.set_node(wall, NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+
+    class Sim(LBFluidSim):
+        subdomain = Cav
+
+    ctrl = LBSimulationController(Sim, default_config=dict(
+        lat_nx=N, lat_ny=N, visc=0.1, max_iters=100, every=100,
+        quiet=True))
+    ctrl.run(ignore_cmdline=True)
+    ctrl._runner._fields_to_host()
+    vx = ctrl._runner.sim.vx
+    # parabolic profile visible at the lid: center faster than edges
+    assert vx[-1, N // 2] > vx[-1, 3] > 0
+    assert vx[-1, N // 2] == pytest.approx(0.1, rel=0.1)
