@@ -83,6 +83,9 @@ class LBSimulationController:
         group.add_argument('--mesh', type=str, default='',
                            help='device mesh shape, e.g. "4" or "2x2"; '
                                 'empty = single device')
+        group.add_argument('--vis_engine', type=str, default='mpl',
+                           help='visualization engine for '
+                                '--mode=visualization')
         group.add_argument('--engine', type=str, default='auto',
                            choices=['auto', 'xla', 'pallas'],
                            help='compute engine for the hot loop')
@@ -145,6 +148,8 @@ class LBSimulationController:
         if config.precision == 'double':
             jax.config.update('jax_enable_x64', True)
         util.enable_compile_cache()
+        if config.seed:
+            np.random.seed(config.seed)
         util.reset_logger()
         log = util.get_logger(config)
 
@@ -166,6 +171,10 @@ class LBSimulationController:
         runner = SubdomainRunner(sim, geo, output=output)
         if output is not None:
             self._register_output_fields(sim, output)
+        if config.mode == 'visualization':
+            from sailfish_tpu.vis import engine_by_name
+            engine_cls = engine_by_name(config.vis_engine)
+            runner._vis = engine_cls(config, lambda: sim.host_fields())
         self._runner = runner
         timing = runner.run()
         if config.mode == 'benchmark' and timing is not None:

@@ -68,9 +68,14 @@ class LBSim:
         self.need_sync_flag = False
         self.force_objects = []
         self._mixin_after_step = []
+        self._mixin_before_main_loop = []
         for klass in type(self).mro():
-            if issubclass(klass, LBMixIn) and 'after_step' in vars(klass):
+            if not issubclass(klass, LBMixIn) or issubclass(klass, LBSim):
+                continue
+            if 'after_step' in vars(klass):
                 self._mixin_after_step.append(klass.after_step)
+            if 'before_main_loop' in vars(klass):
+                self._mixin_before_main_loop.append(klass.before_main_loop)
 
     def need_output(self):
         """True when fields should be synced & written this iteration

@@ -23,6 +23,7 @@ from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import io as sio
 from sailfish_tpu import util
 from sailfish_tpu.parallel import mesh as pmesh
+from sailfish_tpu.profile import TimeProfile
 
 
 class SubdomainRunner:
@@ -35,7 +36,7 @@ class SubdomainRunner:
         self.geo = geo
         self._output = output
         self._quit_event = quit_event or util.SimpleEvent()
-        self._profile = util.TimingStats()
+        self.profile = TimeProfile(self)
         self._timing_infos = []
 
     # -- initialization ------------------------------------------------------
@@ -248,6 +249,8 @@ class SubdomainRunner:
             self.restore_checkpoint(
                 sio.resolve_checkpoint(self.config.restore_from))
         self.sim.before_main_loop(self)
+        for hook in self.sim._mixin_before_main_loop:
+            hook(self.sim, self)
         return self.main()
 
     def _block_until_ready(self):
@@ -278,6 +281,7 @@ class SubdomainRunner:
             self.f = self._run_steps(self.f, chunk, sim.iteration)
             self._block_until_ready()
             t1 = time.time()
+            self.profile.record(TimeProfile.COMP, t1 - t0)
             sim.iteration += chunk
             mlups = total_nodes * chunk / (t1 - t0) / 1e6
             mlups_history.append(mlups)
@@ -291,7 +295,13 @@ class SubdomainRunner:
                 log.info('iteration:%d speed:%.2f MLUPS',
                          sim.iteration, mlups)
             if sim.need_output():
-                self._output_fields()
+                with self.profile.phase(TimeProfile.SYNC):
+                    self._fields_to_host()
+                with self.profile.phase(TimeProfile.OUTPUT):
+                    if self._output is not None:
+                        self._output.save(sim.iteration)
+                if getattr(self, '_vis', None) is not None:
+                    self._vis.update(sim.iteration)
                 if cfg.check_invalid_results_host:
                     if not np.all(np.isfinite(self.sim.rho)):
                         log.error('invalid results (NaN/Inf) detected; '
@@ -301,8 +311,11 @@ class SubdomainRunner:
             for hook in sim._mixin_after_step:
                 hook(sim, self)
             if sim.need_checkpoint():
-                self.save_checkpoint()
+                with self.profile.phase(TimeProfile.CHECKPOINT):
+                    self.save_checkpoint()
 
+        if cfg.mode == 'benchmark':
+            self.profile.summary(total_nodes, sim.iteration, log)
         if cfg.final_checkpoint and cfg.checkpoint_file:
             self.save_checkpoint()
         if cfg.output and cfg.every <= 0:

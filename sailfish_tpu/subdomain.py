@@ -323,6 +323,18 @@ class Subdomain:
         self._detect_orientation()
         self._detect_link_tags()
 
+    def select_subdomain(self, array, *coords):
+        """Slice a global array down to this subdomain's extent
+        (reference subdomain.py select_subdomain). The TPU build keeps the
+        whole domain in one logical subdomain, so this slices by the spec
+        location/size (identity for the default geometry)."""
+        sl = []
+        for a in range(self.dim):
+            lo = self.spec.location[self.dim - 1 - a]
+            size = self.shape[a]
+            sl.append(slice(lo, lo + size))
+        return array[tuple(sl)]
+
     # -- user overrides ------------------------------------------------------
 
     def boundary_conditions(self, *args):

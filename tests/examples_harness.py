@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Golden-file harness over the example suite.
+
+Counterpart of the reference's tests/goldens.sh / make_goldens.sh /
+run_examples.sh (:1-20): every example runs a fixed short number of
+iterations with a fixed seed; outputs are stored as goldens
+(``--make``) or compared against them (default). Smoke mode (``--smoke``)
+just checks that every example runs and produces finite fields.
+
+Not collected by pytest (no test_ prefix); run explicitly:
+    python tests/examples_harness.py --smoke
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, 'tests', 'goldens')
+
+# example -> extra flags (kept small so everything runs in seconds)
+EXAMPLES = {
+    'ldc_2d.py': ['--lat_nx=32', '--lat_ny=32'],
+    'ldc_3d.py': ['--lat_nx=16', '--lat_ny=16', '--lat_nz=16'],
+    'poiseuille.py': ['--lat_nx=32', '--lat_ny=32'],
+    'poiseuille_3d.py': ['--lat_nx=16', '--lat_ny=16', '--lat_nz=16'],
+    'cylinder.py': ['--lat_nx=64', '--lat_ny=32'],
+    'taylor_green_2d.py': ['--lat_nx=32', '--lat_ny=32'],
+    'sphere_3d.py': ['--lat_nx=32', '--lat_ny=16', '--lat_nz=16'],
+    'sc_phase_separation.py': ['--lat_nx=32', '--lat_ny=32'],
+    'external_geometry.py': [],
+    'womersley.py': ['--lat_nx=32', '--lat_ny=12', '--lat_nz=12'],
+    'binary_fluid/sc_separation_2d.py': ['--lat_nx=32', '--lat_ny=32'],
+    'binary_fluid/fe_separation_2d.py': ['--lat_nx=32', '--lat_ny=32'],
+}
+
+ITERS = 20
+
+
+def run_example(name, flags, out_base):
+    cmd = [sys.executable, os.path.join(REPO, 'examples', name),
+           '--platform=cpu', f'--max_iters={ITERS}', f'--every={ITERS}',
+           '--seed=1234', '--quiet', f'--output={out_base}'] + flags
+    env = dict(os.environ)
+    env['PYTHONHASHSEED'] = '0'
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=os.path.join(REPO, 'examples'))
+    if r.returncode != 0:
+        raise RuntimeError(f'{name} failed:\n{r.stdout}\n{r.stderr}')
+    fname = f'{out_base}.0.{ITERS:07d}.npz'
+    if not os.path.exists(fname):
+        raise RuntimeError(f'{name}: no output file {fname}')
+    return fname
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--make', action='store_true',
+                   help='store outputs as goldens')
+    p.add_argument('--smoke', action='store_true',
+                   help='only check examples run and are finite')
+    p.add_argument('--only', type=str, default='')
+    args = p.parse_args()
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    failures = []
+    for name, flags in EXAMPLES.items():
+        if args.only and args.only not in name:
+            continue
+        tag = name.replace('/', '_').replace('.py', '')
+        try:
+            with tempfile.TemporaryDirectory() as tmp:
+                np.random.seed(1234)
+                out = run_example(name, flags, os.path.join(tmp, tag))
+                data = dict(np.load(out))
+                finite = all(np.all(np.isfinite(v)) for v in data.values())
+                if not finite:
+                    raise RuntimeError('non-finite output')
+                golden = os.path.join(GOLDEN_DIR, tag + '.npz')
+                if args.make:
+                    np.savez(golden, **data)
+                    status = 'golden written'
+                elif args.smoke or not os.path.exists(golden):
+                    status = 'ok (smoke)'
+                else:
+                    ref = np.load(golden)
+                    for k in ref.keys():
+                        np.testing.assert_allclose(
+                            data[k], ref[k], rtol=1e-5, atol=1e-7,
+                            err_msg=f'{name}:{k}')
+                    status = 'matches golden'
+            print(f'{name:<40s} {status}')
+        except Exception as e:
+            print(f'{name:<40s} FAIL: {e}')
+            failures.append(name)
+    if failures:
+        print('FAILURES:', failures)
+        return 1
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
