@@ -165,6 +165,68 @@ class LBFreeSurface(LBFluidSim):
                 'gravity': self.config.gravity}
 
 
+class Particle:
+    """IBM particle tethered to a reference position by a spring
+    (reference lb_single.py:406-411)."""
+
+    def __init__(self, position, mass=1.0, stiffness=1.0,
+                 ref_position=None):
+        self.position = tuple(position)
+        self.mass = mass
+        self.ref_position = tuple(ref_position if ref_position is not None
+                                  else position)
+        self.stiffness = stiffness
+
+
+class LBIBMFluidSim(LBFluidSim, LBForcedSim):
+    """Single-phase fluid with immersed-boundary particles
+    (reference lb_single.py:350-405)."""
+
+    @classmethod
+    def fields(cls):
+        return LBFluidSim.fields() + [VectorField('force')]
+
+    def __init__(self, config):
+        super().__init__(config)
+        self._particles = []
+
+    @property
+    def num_particles(self):
+        return len(self._particles)
+
+    def add_particle(self, particle):
+        assert isinstance(particle, Particle)
+        self._particles.append(particle)
+
+    def make_step_builder(self, maps, dtype):
+        from sailfish_tpu.ops.ibm import IBMStepBuilder
+        cfg = self.config
+        bf = self.body_force(0)
+        assert self._particles, 'add_particle() before running'
+        pos = np.array([p.position for p in self._particles]).T
+        ref = np.array([p.ref_position for p in self._particles]).T
+        stiff = np.array([p.stiffness for p in self._particles])
+        self._initial_positions = pos
+        return IBMStepBuilder(
+            self.grid, maps,
+            ref_positions=ref, stiffness=stiff,
+            model='bgk', visc=cfg.visc,
+            incompressible=cfg.incompressible,
+            body_force=bf, dtype=dtype)
+
+    def make_initial_state(self, builder, dtype):
+        import jax.numpy as jnp
+        f = super().make_initial_state(builder, dtype)
+        return (f, jnp.asarray(self._initial_positions, dtype=dtype))
+
+    def update_host_fields(self, macro):
+        super().update_host_fields(macro)
+
+    def particle_positions(self, runner):
+        """(dim, Np) numpy particle positions from the device state."""
+        return np.asarray(runner.f[1])
+
+
 class LBSingleFluidShanChen(LBFluidSim, LBForcedSim):
     """Single-component Shan-Chen pseudopotential multiphase model
     (reference lb_single.py:239-320; the reference's NNSubdomainRunner

@@ -272,15 +272,82 @@ class StepBuilder:
                        if unknown[i] else fs[i] for i in range(g.Q)]
                 fs = jnp.stack(upd)
             elif cls is nt.NTCopy:
-                neigh = sampler(n)
-                fs = jnp.where(mask[None], neigh, fs)
+                # copy the POST-STREAM distributions of the neighbor along
+                # the inward normal: fs_i(x+n) == f_i(x + n - c_i)
+                upd = [jnp.where(mask,
+                                 sampler(np.asarray(n) - g.basis[i])[i],
+                                 fs[i]) for i in range(g.Q)]
+                fs = jnp.stack(upd)
             elif cls is nt.NTYuOutflow:
-                n1 = sampler(n)
-                n2 = sampler(2 * np.asarray(n))
-                extrap = 2.0 * n1 - n2
-                upd = [jnp.where(mask, extrap[i], fs[i])
+                # 2nd-order extrapolation of POST-STREAM values:
+                # f_i(x) = 2 fs_i(x+n) - fs_i(x+2n)  (Yu, Mei & Shyy 2005;
+                # reference node_type.py:336-352)
+                upd = []
+                for i in range(g.Q):
+                    if not unknown[i]:
+                        upd.append(fs[i])
+                        continue
+                    v1 = sampler(np.asarray(n) - g.basis[i])[i]
+                    v2 = sampler(2 * np.asarray(n) - g.basis[i])[i]
+                    upd.append(jnp.where(mask, 2.0 * v1 - v2, fs[i]))
+                fs = jnp.stack(upd)
+            elif cls is nt.NTNeumann:
+                # f_i(t+1, x) = f_opp^c(t, x + c_i) + 6 w_i phi . c_i with
+                # phi = u(x + 2n) + 2 * gradient (Junk & Yang 2008;
+                # reference node_type.py:353-384). The node acts as the
+                # ghost layer; u comes from the fluid node two cells in.
+                f2n = sampler(2 * np.asarray(n))
+                rho2, u2 = eq.macroscopic(g, f2n)
+                grad = jnp.asarray(self.maps.param_scalar,
+                                   dtype=self.dtype)
+                phi = [u2[a] + 2.0 * grad * int(n[a])
+                       for a in range(g.dim)]
+                upd = []
+                for i in range(g.Q):
+                    if not unknown[i]:
+                        upd.append(fs[i])
+                        continue
+                    o = int(g.opposite[i])
+                    neigh_opp = sampler(g.basis[i])[o]
+                    cphi = sum(float(g.basis[i][a]) * phi[a]
+                               for a in range(g.dim))
+                    val = neigh_opp + 6.0 * float(g.weights[i]) * cphi
+                    upd.append(jnp.where(mask, val, fs[i]))
+                fs = jnp.stack(upd)
+            elif cls is nt.NTGradFreeflow:
+                # Grad's approximation for the unknown distributions from
+                # the node's own previous state (rho, u, Pi^neq)
+                # (reference node_type.py:286-295, boundary.mako Grad
+                # reconstruction; the reference stores rho/u in scratch
+                # space -- here the post-collision state f plays that
+                # role).
+                rho_p, u_p = eq.macroscopic(g, f)
+                feq_p = self.feq(rho_p, u_p)
+                pi_p = eq.second_moment_noneq(g, f, feq_p)
+                fgrad = eq.regularized_f(
+                    g, rho_p, u_p, pi_p,
+                    incompressible=self.incompressible)
+                upd = [jnp.where(mask, fgrad[i], fs[i])
                        if unknown[i] else fs[i] for i in range(g.Q)]
                 fs = jnp.stack(upd)
+            elif cls is nt.NTLaminarize:
+                # Blend toward the mean over the plane perpendicular to
+                # the orientation (reference node_type.py:385-399).
+                alpha = jnp.asarray(self.maps.param_scalar,
+                                    dtype=self.dtype)
+                naxis = (k - 1) // 2
+                arr_axis = fs.ndim - 1 - naxis  # spatial axis of normal
+                perp_axes = tuple(a for a in range(1, fs.ndim)
+                                  if a != arr_axis)
+                mask_f = mask.astype(fs.dtype)
+                num = jnp.sum(fs * mask_f[None], axis=perp_axes,
+                              keepdims=True)
+                den = jnp.sum(mask_f,
+                              axis=tuple(a - 1 for a in perp_axes),
+                              keepdims=True)[None]
+                mean = num / jnp.maximum(den, 1.0)
+                blended = (1.0 - alpha) * fs + alpha * mean
+                fs = jnp.where(mask[None], blended, fs)
         return fs
 
     def bc_params(self, it):
