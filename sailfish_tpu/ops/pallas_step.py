@@ -159,9 +159,15 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     collision runs pairwise in place (halving VMEM), and the output write
     is asynchronous, drained before its slot is reused.
 
-    Signature of the returned callable:
-    fused(fpad[, mask_pad][, patch_vals]) -> out_padded, with the periodic
-    z ghost planes of the output already written."""
+    State is UNPADDED (Q, Z, Y, X); the z-neighbor planes beyond the local
+    extent come in as separate ghost inputs (Q, Y, X). On one device the
+    caller passes periodic slices of the state itself; under a z-sharded
+    mesh the caller passes ppermute'd neighbor faces -- the same kernel
+    serves both (the TPU-native replacement for the reference's
+    collect/distribute halo kernels, kernel_utils.mako:477-950).
+
+    Signature: fused(f, ghost_lo, ghost_hi[, mask][, patch_vals]) -> out.
+    """
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
@@ -174,6 +180,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     def kernel(*refs):
         idx = 0
         f_hbm = refs[idx]; idx += 1
+        glo_hbm = refs[idx]; idx += 1
+        ghi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         if has_mask:
@@ -187,7 +195,6 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
         in_sems = refs[idx]; idx += 1       # DMA (2, Q+1)
         out_sems = refs[idx]; idx += 1      # DMA (2,)
-        ghost_sem = refs[idx]; idx += 1     # DMA ()
 
         z0 = pl.program_id(0)
         slot = jax.lax.rem(z0, 2)
@@ -200,18 +207,42 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
 
         def start_gathers(plane_z, s):
             """Start the Q+1 input DMAs for plane ``plane_z`` into slot
-            ``s`` (dynamic indices)."""
+            ``s``. Pull source for direction i is plane_z - c_z; sources
+            beyond the local extent read the ghost inputs."""
             for i in range(Q):
                 cz = int(basis[i][2])
-                c = pltpu.make_async_copy(
-                    f_hbm.at[i, plane_z + 1 - cz],
-                    fs_buf.at[s, i], in_sems.at[s, i])
-                c.start()
+                if cz == 0:
+                    pltpu.make_async_copy(
+                        f_hbm.at[i, plane_z], fs_buf.at[s, i],
+                        in_sems.at[s, i]).start()
+                elif cz == 1:
+                    @pl.when(plane_z == 0)
+                    def _(i=i, s=s):
+                        pltpu.make_async_copy(
+                            glo_hbm.at[i], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+
+                    @pl.when(plane_z > 0)
+                    def _(i=i, s=s, plane_z=plane_z):
+                        pltpu.make_async_copy(
+                            f_hbm.at[i, plane_z - 1], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+                else:
+                    @pl.when(plane_z == Z - 1)
+                    def _(i=i, s=s):
+                        pltpu.make_async_copy(
+                            ghi_hbm.at[i], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+
+                    @pl.when(plane_z < Z - 1)
+                    def _(i=i, s=s, plane_z=plane_z):
+                        pltpu.make_async_copy(
+                            f_hbm.at[i, plane_z + 1], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
             if has_mask:
-                c = pltpu.make_async_copy(
-                    mask_hbm.at[plane_z + 1], mask_buf.at[s, 0],
-                    in_sems.at[s, Q])
-                c.start()
+                pltpu.make_async_copy(
+                    mask_hbm.at[plane_z], mask_buf.at[s, 0],
+                    in_sems.at[s, Q]).start()
 
         def wait_gathers(s):
             for i in range(Q):
@@ -225,45 +256,27 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             pltpu.make_async_copy(fs_buf.at[s], out_hbm.at[:, 0],
                                   out_sems.at[s]).wait()
 
-        def ghost_copies(src_ref):
-            """Edge programs also write the periodic z ghost planes
-            (synchronous; only 2 of Z programs)."""
-            @pl.when(z0 == 0)
-            def _():
-                c = pltpu.make_async_copy(src_ref, out_hbm.at[:, Z + 1],
-                                          ghost_sem)
-                c.start()
-                c.wait()
-
-            @pl.when(z0 == Z - 1)
-            def _():
-                c = pltpu.make_async_copy(src_ref, out_hbm.at[:, 0],
-                                          ghost_sem)
-                c.start()
-                c.wait()
-
         # -- pipeline bookkeeping ------------------------------------------
-        # Writes are drained ("waited") exactly once, by one of:
-        #   * the prefetch at the NEXT program reusing the slot;
-        #   * the writing program itself for rows that must synchronize
-        #     anyway (edge rows for ghost copies, patch rows);
-        #   * the Z-1 epilogue for the otherwise-undrained Z-2 write.
-        drains_own = (z0 == 0) | (z0 == Z - 1)
-        if patch_rows:
-            drains_own = drains_own | is_patch
-        prev_drained_own = (z0 - 1 == 0) | (z0 - 1 == Z - 1)
+        # Each row's output write is drained exactly once: by the
+        # successor's prefetch reusing the slot, by the row itself for
+        # patch rows, or by the Z-1 epilogue for the last two rows.
+        prev_drained_own = None
         for r in patch_rows:
-            prev_drained_own = prev_drained_own | (z0 - 1 == r)
+            cond = z0 - 1 == r
+            prev_drained_own = cond if prev_drained_own is None else \
+                (prev_drained_own | cond)
 
         @pl.when(z0 == 0)
         def _():
             start_gathers(z0, slot)
 
-        # Prefetch the next plane. Its slot's previous output write (from
-        # program z0-1) must drain first, unless z0-1 drained it itself.
         @pl.when(z0 + 1 < Z)
         def _():
-            @pl.when((z0 >= 1) & jnp.logical_not(prev_drained_own))
+            do_wait = z0 >= 1
+            if prev_drained_own is not None:
+                do_wait = do_wait & jnp.logical_not(prev_drained_own)
+
+            @pl.when(do_wait)
             def _():
                 wait_out(nslot)
             start_gathers(z0 + 1, nslot)
@@ -308,15 +321,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 fs_buf[slot, i] = vi
                 fs_buf[slot, o] = vo
 
-            oc = pltpu.make_async_copy(fs_buf.at[slot],
-                                       out_hbm.at[:, z0 + 1],
-                                       out_sems.at[slot])
-            oc.start()
-            # edge rows synchronize and duplicate the ghost planes
-            @pl.when((z0 == 0) | (z0 == Z - 1))
-            def _():
-                wait_out(slot)
-                ghost_copies(fs_buf.at[slot])
+            pltpu.make_async_copy(fs_buf.at[slot], out_hbm.at[:, z0],
+                                  out_sems.at[slot]).start()
 
         def patch_body():
             wait_gathers(slot)   # keep the pipeline balanced
@@ -324,11 +330,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 @pl.when(z0 == r)
                 def _(j=j):
                     c = pltpu.make_async_copy(patch_hbm.at[:, j],
-                                              out_hbm.at[:, z0 + 1],
+                                              out_hbm.at[:, z0],
                                               out_sems.at[slot])
                     c.start()
                     c.wait()
-                    ghost_copies(patch_hbm.at[:, j])
 
         if patch_rows:
             @pl.when(is_patch)
@@ -341,13 +346,16 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         else:
             normal_body()
 
-        # epilogue: the Z-2 write has no successor prefetch to drain it
-        if Z > 2 and (Z - 2) not in patch_rows:
-            @pl.when(z0 == Z - 1)
-            def _():
+        # epilogue: drain the last two rows' writes (no successor
+        # prefetch exists for them)
+        @pl.when(z0 == Z - 1)
+        def _():
+            if (Z - 1) not in patch_rows:
+                wait_out(slot)
+            if Z >= 2 and (Z - 2) not in patch_rows:
                 wait_out(nslot)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     scratch = [
         pltpu.VMEM((2, Q, Y, X), dtype),
     ]
@@ -355,18 +363,16 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if patch_rows:
-        in_specs.insert(1 + (1 if has_mask else 0),
-                        pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
-    scratch.append(pltpu.SemaphoreType.DMA(()))
 
     fused = pl.pallas_call(
         kernel,
         grid=(Z,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((Q, Z + 2, Y, X), dtype),
+        out_shape=jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -374,36 +380,17 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     return fused
 
 
-# -- padded-state helpers ----------------------------------------------------
-
-def to_padded(f):
-    """(Q, Z, Y, X) -> (Q, Z+2, Y, X) with periodic z ghost planes."""
-    fpad = jnp.pad(f, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    return refresh_ghosts(fpad)
-
-
-def from_padded(fpad):
-    return fpad[:, 1:-1]
-
-
-def refresh_ghosts(fpad):
-    """Periodic ghost planes in z (matches jnp.roll wrap semantics;
-    non-periodic domain edges are the BC nodes' responsibility, same
-    contract as the ghost layer in the reference)."""
-    fpad = fpad.at[:, 0].set(fpad[:, -2])
-    fpad = fpad.at[:, -1].set(fpad[:, 1])
-    return fpad
-
-
 # -- full fused step ---------------------------------------------------------
 
 class PallasStep3D:
-    """Drop-in replacement for StepBuilder.build() on one device (3D)."""
+    """Drop-in replacement for StepBuilder.build() (3D, single device or
+    one shard of a z-sharded mesh)."""
 
     # refuse the fused path when too much of the domain needs plane patches
     MAX_PATCH_FRACTION = 0.25
 
-    def __init__(self, builder, domain_shape, interpret=False):
+    def __init__(self, builder, domain_shape, interpret=False,
+                 require_no_patches=False):
         self.builder = builder
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
@@ -412,13 +399,14 @@ class PallasStep3D:
             raise NotImplementedError(
                 f'{len(patch_rows)}/{Zs} z-planes need complex-BC patches; '
                 'use the XLA engine for this scene')
+        if require_no_patches and patch_rows:
+            raise NotImplementedError(
+                'the sharded fused kernel currently requires all boundary '
+                'handling to be in-kernel (walls/obstacles only); planes '
+                f'{patch_rows} need complex-BC patches')
         self.patch_rows = patch_rows
         self.has_mask = bool((mask_np != 0).any())
-        self.mask_pad = None
-        if self.has_mask:
-            mp = np.zeros((Zs + 2, Ys, Xs), dtype=np.int32)
-            mp[1:-1] = mask_np
-            self.mask_pad = jnp.asarray(mp)
+        self.mask = jnp.asarray(mask_np) if self.has_mask else None
         self.kernel = make_kernel_3d(builder, Zs, Ys, Xs,
                                      patch_rows=patch_rows,
                                      has_mask=self.has_mask,
@@ -464,17 +452,26 @@ class PallasStep3D:
             planes.append(fpost.reshape(g.Q, self.shape[1], self.shape[2]))
         return jnp.stack(planes, axis=1)
 
-    def step_padded(self, fpad, it=0):
-        args = [fpad]
+    def step(self, f, it=0, ghost_lo=None, ghost_hi=None):
+        """One fused step on unpadded state (Q, Z, Y, X). Ghost planes
+        default to the periodic wrap of ``f`` itself; a sharded caller
+        passes ppermute'd neighbor faces instead."""
+        if ghost_lo is None:
+            ghost_lo = f[:, -1]
+        if ghost_hi is None:
+            ghost_hi = f[:, 0]
+        args = [f, ghost_lo, ghost_hi]
         if self.has_mask:
-            args.append(self.mask_pad)
+            args.append(self.mask)
         if self.patch_rows:
-            args.append(self._compute_patches(from_padded(fpad), it))
+            args.append(self._compute_patches(f, it))
         return self.kernel(*args)
+
+    # backwards-compatible name used by profiling scripts
+    def step_padded(self, f, it=0):
+        return self.step(f, it)
 
     def run_steps(self, f, n, it0=0):
         """(Q, Z, Y, X) unpadded in/out; jit-friendly."""
-        fpad = to_padded(f)
-        fpad = jax.lax.fori_loop(
-            0, n, lambda i, fp: self.step_padded(fp, it0 + i), fpad)
-        return from_padded(fpad)
+        return jax.lax.fori_loop(
+            0, n, lambda i, fc: self.step(fc, it0 + i), f)

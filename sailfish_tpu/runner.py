@@ -78,11 +78,19 @@ class SubdomainRunner:
             self.builder.shard_constants(self.mesh)
         self.engine = self._select_engine(dtype)
         if self.engine == 'pallas':
-            from sailfish_tpu.ops.pallas_step import PallasStep3D
             interp = jax.default_backend() == 'cpu'
             try:
-                pstep = PallasStep3D(self.builder, self._domain_shape(),
-                                     interpret=interp)
+                if self.mesh is not None:
+                    from sailfish_tpu.parallel.halo import \
+                        ShardedPallasStep3D
+                    pstep = ShardedPallasStep3D(
+                        self.builder, self._domain_shape(), self.mesh,
+                        interpret=interp)
+                else:
+                    from sailfish_tpu.ops.pallas_step import PallasStep3D
+                    pstep = PallasStep3D(self.builder,
+                                         self._domain_shape(),
+                                         interpret=interp)
             except NotImplementedError:
                 if getattr(self.config, 'engine', 'auto') == 'pallas':
                     raise
@@ -112,9 +120,11 @@ class SubdomainRunner:
         choice = getattr(cfg, 'engine', 'auto')
         b = self.builder
         from sailfish_tpu.ops.step import StepBuilder
+        mesh_ok = self.mesh is None or \
+            list(self.mesh.axis_names) == ['z']
         eligible = (
             type(b) is StepBuilder
-            and self.sim.dim == 3 and self.mesh is None
+            and self.sim.dim == 3 and mesh_ok
             and dtype == jnp.float32 and b.model == 'bgk'
             and b.smagorinsky == 0.0 and b.sc_coupling == 0.0
             and b.equilibrium == 'bgk'
