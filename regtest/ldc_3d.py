@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""3D lid-driven cavity regression (counterpart of reference
+regtest/ldc_3d.py): symmetry and physical-sanity checks of the 3D
+cavity flow at moderate Re (literature profile data for 3D cavities is
+not shipped with the reference; symmetry + vortex structure are the
+verifiable invariants)."""
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, 'examples')
+
+
+def run(n=48, re=100, iters=None):
+    from ldc_3d import LDCBlock, LDCSim
+
+    from sailfish_tpu.controller import LBSimulationController
+
+    visc = (n - 2) * LDCBlock.max_v / re
+    iters = iters or int(6 * n * n / visc / 100)
+    ctrl = LBSimulationController(LDCSim, default_config=dict(
+        lat_nx=n, lat_ny=n, lat_nz=n, visc=visc, grid='D3Q19',
+        max_iters=iters, every=iters, quiet=True))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    r._fields_to_host()
+    sim = r.sim
+    ok = True
+
+    if not np.all(np.isfinite(sim.vx)):
+        print('FAIL: non-finite fields')
+        return False
+    # mirror symmetry about the y midplane (lid drives +x at top z)
+    vx = sim.vx
+    sym_err = np.max(np.abs(vx[:, 1:-1, :] - vx[:, -2:0:-1, :])) / \
+        np.max(np.abs(vx))
+    print(f'y-mirror symmetry error: {sym_err:.2e}')
+    ok &= sym_err < 1e-3
+    # primary vortex: back-flow below the lid
+    mid = vx[:, n // 2, n // 2]
+    print(f'lid-adjacent vx: {mid[-2]:.4f}, mid-depth vx: '
+          f'{mid[n // 2]:.4f}')
+    ok &= mid[-2] > 0 and mid[n // 2] < 0
+    # mass conservation
+    drift = abs(sim.rho.mean() - 1.0)
+    print(f'mean density drift: {drift:.2e}')
+    ok &= drift < 1e-3
+    return ok
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--n', type=int, default=48)
+    p.add_argument('--re', type=int, default=100)
+    p.add_argument('--iters', type=int, default=None)
+    args = p.parse_args()
+    sys.exit(0 if run(args.n, args.re, args.iters) else 1)

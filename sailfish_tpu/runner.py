@@ -266,10 +266,31 @@ class SubdomainRunner:
     def _block_until_ready(self):
         jax.block_until_ready(self.f)
 
+    def _install_sighup_checkpoint(self):
+        """SIGHUP forces an on-demand checkpoint (reference
+        subdomain_runner.py:1528-1535; used with PBS preemption,
+        utils/pbs_checkpoint.sh)."""
+        import signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return
+        if not self.config.checkpoint_file:
+            return
+
+        def handler(signum, frame):
+            self._checkpoint_requested = True
+
+        try:
+            signal.signal(signal.SIGHUP, handler)
+        except (ValueError, OSError):
+            pass
+
     def main(self):
         cfg = self.config
         sim = self.sim
         log = util.get_logger(cfg)
+        self._checkpoint_requested = False
+        self._install_sighup_checkpoint()
         total_nodes = int(np.prod(self._domain_shape()))
         bench_t0 = None
         bench_iters0 = 0
@@ -320,7 +341,8 @@ class SubdomainRunner:
             sim.after_step(self)
             for hook in sim._mixin_after_step:
                 hook(sim, self)
-            if sim.need_checkpoint():
+            if sim.need_checkpoint() or self._checkpoint_requested:
+                self._checkpoint_requested = False
                 with self.profile.phase(TimeProfile.CHECKPOINT):
                     self.save_checkpoint()
 
