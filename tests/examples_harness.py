@@ -36,6 +36,10 @@ EXAMPLES = {
     'womersley.py': ['--lat_nx=32', '--lat_ny=12', '--lat_nz=12'],
     'binary_fluid/sc_separation_2d.py': ['--lat_nx=32', '--lat_ny=32'],
     'binary_fluid/fe_separation_2d.py': ['--lat_nx=32', '--lat_ny=32'],
+    'duct_flow.py': ['--lat_nx=16', '--lat_ny=16', '--lat_nz=8'],
+    'sc_drop.py': ['--lat_nx=48', '--lat_ny=48'],
+    'four_rolls_mill.py': ['--lat_nx=32', '--lat_ny=32'],
+    'ibm_cylinder.py': ['--lat_nx=48', '--lat_ny=24'],
 }
 
 ITERS = 20
