@@ -1,0 +1,333 @@
+"""Fused stream+collide Pallas TPU kernel (2D, D2Q9-class lattices).
+
+Same architecture as the 3D kernel (ops/pallas_step.py) adapted to 2D
+tiling rules: the (Y, X) array's last two dims are both (sublane, lane)
+tiled, so DMA offsets of +-1 row are not allowed. Instead the grid runs
+over aligned y-blocks with a FOUR-SLOT rotating cache: the grid is
+sequential, so each program DMAs only the (k+2)-nd block while computing
+block k from the cached blocks (prev, cur, next); y-shifted rows
+are assembled with static sublane concats across block boundaries, and
+x-shifts are in-VMEM periodic rolls. HBM traffic stays at the LBM
+speed-of-light ~2*Q*4 B/node/step.
+
+Boundary handling mirrors 3D: int32 mask (0 collide / 1 reflect / 2
+keep) in-kernel; y-blocks containing complex BCs are recomputed by the
+XLA machinery and overlaid as block DMAs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sailfish_tpu import equilibrium as eq
+from sailfish_tpu import node_type as nt
+from sailfish_tpu.ops.pallas_step import classify_nodes, window_shifted, \
+    _moments, _collide_one
+
+
+def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
+                   interpret=False):
+    """fused(f, mask?, patch_vals?) -> out, f of shape (Q, Y, X).
+
+    ``patch_blocks``: y-block indices overlaid from the XLA prologue.
+    """
+    g = builder.grid
+    Q = g.Q
+    dtype = builder.dtype
+    basis = g.basis  # (Q, 2) as (cx, cy)
+    opp = [int(o) for o in g.opposite]
+    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
+    assert Y % by == 0
+    NB = Y // by
+    patch_blocks = tuple(int(b) for b in patch_blocks)
+
+    if NB < 4:
+        raise NotImplementedError(
+            f'2D fused kernel needs >= 4 y-blocks (Y={Y}, by={by})')
+
+    def kernel(*refs):
+        idx = 0
+        f_hbm = refs[idx]; idx += 1
+        mask_hbm = None
+        patch_hbm = None
+        if has_mask:
+            mask_hbm = refs[idx]; idx += 1
+        if patch_blocks:
+            patch_hbm = refs[idx]; idx += 1
+        out_hbm = refs[idx]; idx += 1
+        blk_buf = refs[idx]; idx += 1     # (4, Q, by, X) rotating cache
+        out_buf = refs[idx]; idx += 1     # (2, Q, by, X)
+        mask_buf = None
+        if has_mask:
+            mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
+        in_sems = refs[idx]; idx += 1      # DMA (4, Q+1)
+        out_sems = refs[idx]; idx += 1     # DMA (2,)
+
+        k = pl.program_id(0)
+
+        def start_block(b, slot):
+            """DMA block (b mod NB) into cache slot ``slot``; b may be -1
+            (the wrap-below block) or NB (the wrap-above block)."""
+            bm = jax.lax.rem(b + NB, NB)
+            for i in range(Q):
+                pltpu.make_async_copy(
+                    f_hbm.at[i, pl.ds(bm * by, by)],
+                    blk_buf.at[slot, i], in_sems.at[slot, i]).start()
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[pl.ds(bm * by, by)],
+                    mask_buf.at[slot, 0], in_sems.at[slot, Q]).start()
+
+        def wait_block(slot):
+            for i in range(Q):
+                pltpu.make_async_copy(f_hbm.at[0, pl.ds(0, by)],
+                                      blk_buf.at[slot, i],
+                                      in_sems.at[slot, i]).wait()
+            if has_mask:
+                pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
+                                      mask_buf.at[slot, 0],
+                                      in_sems.at[slot, Q]).wait()
+
+        def wait_out(oslot):
+            pltpu.make_async_copy(out_buf.at[oslot],
+                                  out_hbm.at[:, pl.ds(0, by)],
+                                  out_sems.at[oslot]).wait()
+
+        # slot(b) = (b + 4) % 4 in program-relative block coordinates;
+        # program k consumes blocks k-1, k, k+1 and prefetches k+2 into
+        # slot (k+2) % 4 = (k-2) % 4, whose block was consumed at k-1.
+        s_prev = jax.lax.rem(k - 1 + 4 * NB, 4)
+        s_cur = jax.lax.rem(k, 4)
+        s_next = jax.lax.rem(k + 1, 4)
+        s_pref = jax.lax.rem(k + 2, 4)
+        oslot = jax.lax.rem(k, 2)
+
+        # warmup: program 0 loads blocks -1 (=NB-1), 0, 1
+        @pl.when(k == 0)
+        def _():
+            start_block(-1, jnp.int32(3))
+            start_block(0, jnp.int32(0))
+            start_block(1, jnp.int32(1))
+            wait_block(jnp.int32(3))
+            wait_block(jnp.int32(0))
+
+        # steady prefetch of block k+2 (b == NB means the wrap block 0)
+        @pl.when(k + 2 <= NB)
+        def _():
+            start_block(k + 2, s_pref)
+
+        # block k+1 was started by program k-1 (or warmup)
+        wait_block(s_next)
+
+        def row_shifted(i, cy):
+            """(by, X) rows of dist i shifted so the pull source is
+            y - cy, assembled from the cached blocks."""
+            cur = blk_buf[s_cur, i]
+            if cy == 0:
+                return cur
+            if cy == 1:
+                prev = blk_buf[s_prev, i]
+                return jnp.concatenate([prev[by - 1:by], cur[:by - 1]],
+                                       axis=0)
+            nxt = blk_buf[s_next, i]
+            return jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
+
+        # drain this out slot's previous write (program k-2)
+        drains = k >= 2
+        if patch_blocks:
+            prev2_patch = None
+            for b in patch_blocks:
+                cond = k - 2 == b
+                prev2_patch = cond if prev2_patch is None else \
+                    (prev2_patch | cond)
+            drains = drains & jnp.logical_not(prev2_patch)
+
+        @pl.when(drains)
+        def _():
+            wait_out(oslot)
+
+        def normal_body():
+            fs = []
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                plane = row_shifted(i, cy)
+                if cx:
+                    plane = pltpu.roll(plane, cx % X, axis=1)
+                fs.append(plane)
+            mom_u = _moments(builder, fs)
+            if has_mask:
+                m = mask_buf[s_cur, 0]
+                is_dry = m == 1
+                is_keep = m == 2
+            for i, o in pairs:
+                vi = _collide_one(builder, fs[i], mom_u, i)
+                if o == i:
+                    if has_mask:
+                        vi = jnp.where(is_dry | is_keep, fs[i], vi)
+                    out_buf[oslot, i] = vi
+                    continue
+                vo = _collide_one(builder, fs[o], mom_u, o)
+                if has_mask:
+                    vi2 = jnp.where(is_dry, fs[o],
+                                    jnp.where(is_keep, fs[i], vi))
+                    vo = jnp.where(is_dry, fs[i],
+                                   jnp.where(is_keep, fs[o], vo))
+                    vi = vi2
+                out_buf[oslot, i] = vi
+                out_buf[oslot, o] = vo
+            pltpu.make_async_copy(out_buf.at[oslot],
+                                  out_hbm.at[:, pl.ds(k * by, by)],
+                                  out_sems.at[oslot]).start()
+
+        def patch_body():
+            for j, b in enumerate(patch_blocks):
+                @pl.when(k == b)
+                def _(j=j):
+                    c = pltpu.make_async_copy(
+                        patch_hbm.at[:, j],
+                        out_hbm.at[:, pl.ds(k * by, by)],
+                        out_sems.at[oslot])
+                    c.start()
+                    c.wait()
+
+        is_patch = None
+        for b in patch_blocks:
+            cond = k == b
+            is_patch = cond if is_patch is None else (is_patch | cond)
+
+        if patch_blocks:
+            @pl.when(is_patch)
+            def _():
+                patch_body()
+
+            @pl.when(jnp.logical_not(is_patch))
+            def _():
+                normal_body()
+        else:
+            normal_body()
+
+        # epilogue: drain the last two writes
+        @pl.when(k == NB - 1)
+        def _():
+            if (NB - 1) not in patch_blocks:
+                wait_out(oslot)
+            if (NB - 2) not in patch_blocks:
+                wait_out(jax.lax.rem(k + 1, 2))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    scratch = [
+        pltpu.VMEM((4, Q, by, X), dtype),
+        pltpu.VMEM((2, Q, by, X), dtype),
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    if patch_blocks:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch.append(pltpu.SemaphoreType.DMA((4, Q + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, Y, X), dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    return fused
+
+
+class PallasStep2D:
+    """Drop-in replacement for StepBuilder.build() (2D, single device)."""
+
+    MAX_PATCH_FRACTION = 0.3
+
+    def __init__(self, builder, domain_shape, by=None, interpret=False):
+        self.builder = builder
+        Ys, Xs = domain_shape
+        self.shape = domain_shape
+        if by is None:
+            # VMEM budget: 4 cache slots + 2 out slots of (Q, by, X) fp32
+            # plus compute temporaries; keep the explicit buffers under
+            # ~9 MB of the ~16 MB VMEM.
+            budget = 9 * 2 ** 20
+            per_row = 6 * builder.grid.Q * Xs * 4
+            by = 32
+            while by > 8 and by * per_row > budget:
+                by //= 2
+            while Ys % by and by >= 8:
+                by //= 2
+            if by < 8 or Ys % by:
+                raise NotImplementedError(
+                    f'Y={Ys} not divisible by a usable block size')
+        self.by = by
+        mask_np, patch_rows = classify_nodes(builder.maps)
+        patch_blocks = sorted({r // by for r in patch_rows})
+        if len(patch_blocks) > self.MAX_PATCH_FRACTION * (Ys // by):
+            raise NotImplementedError(
+                f'{len(patch_blocks)}/{Ys // by} y-blocks need complex-BC '
+                'patches; use the XLA engine for this scene')
+        self.patch_blocks = patch_blocks
+        self.has_mask = bool((mask_np != 0).any())
+        self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.kernel = make_kernel_2d(builder, Ys, Xs, by=by,
+                                     patch_blocks=patch_blocks,
+                                     has_mask=self.has_mask,
+                                     interpret=interpret)
+        self._make_patch_builders()
+
+    def _make_patch_builders(self):
+        self.patch_subs = []
+        for b in self.patch_blocks:
+            box = (slice(b * self.by, (b + 1) * self.by),
+                   slice(0, self.shape[1]))
+            self.patch_subs.append(
+                (box, self.builder.for_window(box, flatten=True)))
+
+    def _compute_patches(self, f, it=0):
+        g = self.builder.grid
+
+        def axes_shift(vec):
+            return (int(vec[1]), int(vec[0]))
+
+        blocks = []
+        for box, sub in self.patch_subs:
+            f_box = f[(slice(None),) + box].reshape(g.Q, -1)
+            fs_box = jnp.stack([
+                window_shifted(f[i], box, axes_shift(g.basis[i]))
+                .reshape(-1) for i in range(g.Q)])
+
+            def sampler(vec, _f=f, _box=box):
+                sh = axes_shift(-np.asarray(vec))
+                return jnp.stack([window_shifted(_f[i], _box, sh)
+                                  .reshape(-1) for i in range(g.Q)])
+
+            fs_box = sub.fix_missing(fs_box, f_box, sampler)
+            rho, u = eq.macroscopic(g, fs_box)
+            rho, u = sub._solve_macro_bc(fs_box, rho, u, sub.bc_params(it))
+            fs2 = sub._pre_collision_bc(fs_box, rho, u)
+            fpost = sub._collide(fs2, rho, u)
+            if sub.has_dry:
+                fpost = jnp.where(sub.dev['wet'][None], fpost, fs2)
+            fpost = sub._post_collision(fs2, fpost)
+            blocks.append(fpost.reshape(g.Q, self.by, self.shape[1]))
+        return jnp.stack(blocks, axis=1)
+
+    def step(self, f, it=0):
+        args = [f]
+        if self.has_mask:
+            args.append(self.mask)
+        if self.patch_blocks:
+            args.append(self._compute_patches(f, it))
+        return self.kernel(*args)
+
+    def run_steps(self, f, n, it0=0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, fc: self.step(fc, it0 + i), f)

@@ -86,9 +86,14 @@ class SubdomainRunner:
                     pstep = ShardedPallasStep3D(
                         self.builder, self._domain_shape(), self.mesh,
                         interpret=interp)
-                else:
+                elif self.sim.dim == 3:
                     from sailfish_tpu.ops.pallas_step import PallasStep3D
                     pstep = PallasStep3D(self.builder,
+                                         self._domain_shape(),
+                                         interpret=interp)
+                else:
+                    from sailfish_tpu.ops.pallas_step2d import PallasStep2D
+                    pstep = PallasStep2D(self.builder,
                                          self._domain_shape(),
                                          interpret=interp)
             except NotImplementedError:
@@ -112,8 +117,8 @@ class SubdomainRunner:
 
     def _select_engine(self, dtype):
         """'pallas' = fused TPU kernel + XLA boundary patches; 'xla' =
-        fully traced step. The pallas bulk path currently covers 3D BGK
-        with uniform Guo forcing on a single device in fp32; everything
+        fully traced step. The pallas bulk path covers 2D/3D BGK with
+        uniform Guo forcing (3D also z-sharded meshes) in fp32; everything
         else uses the XLA engine (which is always the reference
         implementation for equivalence tests)."""
         cfg = self.config
@@ -121,10 +126,11 @@ class SubdomainRunner:
         b = self.builder
         from sailfish_tpu.ops.step import StepBuilder
         mesh_ok = self.mesh is None or \
-            list(self.mesh.axis_names) == ['z']
+            (self.sim.dim == 3 and list(self.mesh.axis_names) == ['z'])
         eligible = (
             type(b) is StepBuilder
-            and self.sim.dim == 3 and mesh_ok
+            and self.sim.dim in (2, 3) and mesh_ok
+            and (self.sim.dim == 3 or self.mesh is None)
             and dtype == jnp.float32 and b.model == 'bgk'
             and b.smagorinsky == 0.0 and b.sc_coupling == 0.0
             and b.equilibrium == 'bgk'
@@ -136,7 +142,8 @@ class SubdomainRunner:
             if not eligible:
                 raise ValueError('pallas engine requested but this '
                                  'configuration is not yet supported '
-                                 '(needs 3D BGK fp32 single-device)')
+                                 '(needs BGK fp32; 2D single-device or '
+                                 '3D with an optional z mesh)')
             return 'pallas'
         # auto: use the fused kernel on real accelerators only (on CPU it
         # would run in the slow interpreter).
