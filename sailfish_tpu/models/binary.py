@@ -131,8 +131,9 @@ class LBBinaryFluidShanChen(LBBinaryFluidBase, LBForcedSim):
         from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
         cfg = self.config
         tau = lattice.relaxation_time(cfg.visc)
-        body_force = self.body_force(0)
         couplings = {(0, 0): cfg.G11, (0, 1): cfg.G12, (1, 1): cfg.G22}
         return ShanChenMultiStepBuilder(
             self.grid, maps, [tau, tau], couplings,
-            potential=cfg.sc_potential, body_force=body_force, dtype=dtype)
+            potential=cfg.sc_potential,
+            body_forces=[self.body_force(0), self.body_force(1)],
+            dtype=dtype)

@@ -145,6 +145,42 @@ class LBEntropicFluidSim(LBFluidSim):
         return [ScalarField('rho'), VectorField('v'),
                 ScalarField('alpha', init=2.0)]
 
+    def init_fields(self, shape):
+        super().init_fields(shape)
+        self.alpha = np.full(shape, 2.0, dtype=np.float64)
+
+    def host_fields(self):
+        out = super().host_fields()
+        out['alpha'] = self.alpha
+        return out
+
+    def update_host_fields(self, macro):
+        super().update_host_fields(macro)
+        runner = getattr(self, '_runner', None)
+        if runner is not None:
+            self.alpha[...] = np.asarray(self._alpha_fn(runner.f),
+                                         dtype=np.float64)
+
+    def before_main_loop(self, runner):
+        """Build the jitted alpha diagnostic (the entropic relaxation
+        parameter of the CURRENT state; reference stores it per node as
+        alpha_out, entropic.mako:176-183)."""
+        import jax
+
+        from sailfish_tpu.ops import entropic
+        self._runner = runner
+        b = runner.builder
+
+        @jax.jit
+        def alpha_of(f):
+            fs = b.streamed(f)
+            import sailfish_tpu.equilibrium as eqm
+            rho, u = eqm.macroscopic(b.grid, fs)
+            feq = entropic.elbm_equilibrium(b.grid, rho, u)
+            return entropic.entropic_alpha(b.grid, fs, feq - fs)
+
+        self._alpha_fn = alpha_of
+
 
 class LBFreeSurface(LBFluidSim):
     """Shallow-water ("free surface") LB model

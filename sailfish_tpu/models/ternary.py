@@ -101,5 +101,6 @@ class LBTernaryFluidShanChen(LBTernaryFluidBase, LBForcedSim):
                      (1, 1): cfg.G22, (1, 2): cfg.G23, (2, 2): cfg.G33}
         return ShanChenMultiStepBuilder(
             self.grid, maps, [tau] * 3, couplings,
-            potential=cfg.sc_potential, body_force=self.body_force(0),
+            potential=cfg.sc_potential,
+            body_forces=[self.body_force(k) for k in range(3)],
             dtype=dtype)

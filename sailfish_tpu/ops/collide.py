@@ -62,22 +62,28 @@ def smagorinsky_tau_inv(grid, f, feq, rho, tau, cs_smag):
     return 1.0 / (tau + tau_t)
 
 
-def guo_force_terms(grid, u, force, tau_inv):
+def guo_force_terms(grid, u, accel, tau_inv, rho=None):
     """Guo (2002) forcing population increment.
 
-    F_i = w_i (1 - 1/(2 tau)) [ 3 (c_i - u) + 9 (c_i . u) c_i ] . F
-    (reference: sym_force.py:121-160). force: (dim, *S) or (dim,) vector.
-    Returns (Q, *S) increment to add post-collision.
+    S_i = w_i (1 - 1/(2 tau)) rho [ 3 (c_i - u) + 9 (c_i . u) c_i ] . a
+    with ``accel`` an ACCELERATION (the reference's body-force values are
+    accelerations; its generated code includes the density factor --
+    sym_force.py:150-161 "the device code always computes accelerations").
+    accel: (dim, *S) or broadcastable. Returns (Q, *S) post-collision
+    increment.
     """
     dtype = u.dtype
     w = grid.weights
     cu = eq.dot_cu(grid, u)                    # (Q, *S)
-    cF = eq.dot_cu(grid, force)                # (Q, *S) via same +/- sums
-    uF = jnp.sum(u * force, axis=0)            # (*S)
+    cF = eq.dot_cu(grid, accel)                # (Q, *S) via same +/- sums
+    uF = jnp.sum(u * accel, axis=0)            # (*S)
     shape = (grid.Q,) + (1,) * (cu.ndim - 1)
     wq = jnp.asarray(w, dtype=dtype).reshape(shape)
     pref = 1.0 - 0.5 * tau_inv
-    return pref * wq * (3.0 * (cF - uF[None]) + 9.0 * cu * cF)
+    out = pref * wq * (3.0 * (cF - uF[None]) + 9.0 * cu * cF)
+    if rho is not None:
+        out = out * rho[None]
+    return out
 
 
 SHAN_CHEN_POTENTIALS = {
@@ -106,11 +112,12 @@ def shan_chen_force(grid, rho_self, rho_other, coupling, potential='linear'):
     return jnp.stack([-coupling * psi_self * a for a in acc])
 
 
-def edm_shift(grid, rho, u, force, *, incompressible=False):
-    """Exact-difference-method forcing: feq(rho, u + F/rho) - feq(rho, u)
-    (Kupershtokh; reference sym_force.edm_shift_velocity, sym_force.py:184).
+def edm_shift(grid, rho, u, accel, *, incompressible=False):
+    """Exact-difference-method forcing: feq(rho, u + a) - feq(rho, u)
+    (Kupershtokh; reference sym_force.edm_shift_velocity, sym_force.py:184
+    -- the shift is the acceleration).
     """
-    du = force / rho[None]
+    du = accel + 0.0 * rho[None]
     return (eq.bgk_equilibrium(grid, rho, u + du,
                                incompressible=incompressible)
             - eq.bgk_equilibrium(grid, rho, u, incompressible=incompressible))

@@ -94,24 +94,25 @@ class IBMStepBuilder(StepBuilder):
             f, pos = state
             force = spread_forces(pos, self.ref_pos, self.stiffness,
                                   shape, self.dtype)
-            if self.force_dev is not None:
-                force = force + self.force_dev
             fs = self.fix_missing(self.gather(f), f)
             rho, u = eq.macroscopic(self.grid, fs)
             rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
             fs2 = self._pre_collision_bc(fs, rho, u)
-            # Guo forcing with the spatially varying IBM force field
-            u_eq = u + 0.5 * force / rho[None]
+            # IBM spring forces are FORCE densities: accel = F / rho
+            accel = force / rho[None]
+            if self.force_dev is not None:
+                accel = accel + self.force_dev
+            u_eq = u + 0.5 * accel
             feq = self.feq(rho, u_eq)
             fpost = fs2 + self.tau_inv * (feq - fs2)
             from sailfish_tpu.ops import collide as co
-            fpost = fpost + co.guo_force_terms(self.grid, u_eq, force,
-                                               self.tau_inv)
+            fpost = fpost + co.guo_force_terms(self.grid, u_eq, accel,
+                                               self.tau_inv, rho)
             if self.has_dry:
                 fpost = jnp.where(wet[None], fpost, fs2)
             fpost = self._post_collision(fs2, fpost)
             # particle update from the post-collision velocity field
-            u_new = u + 0.5 * force / rho[None]
+            u_new = u + 0.5 * accel
             vel = interpolate_velocity(u_new, pos)
             return (fpost, pos + vel)
 

@@ -72,17 +72,21 @@ class MultigridStepBuilder:
     handling, shared node maps, coupled collision implemented by
     subclasses via ``collide_all``."""
 
-    def __init__(self, grid, maps, taus, *, body_force=None, dtype=None):
+    def __init__(self, grid, maps, taus, *, body_force=None,
+                 body_forces=None, dtype=None):
         self.grid = grid
         self.maps = maps
         self.taus = [float(t) for t in taus]
         self.dtype = dtype
-        self.body_force = body_force
+        if body_forces is None:
+            body_forces = [body_force] + [None] * (len(self.taus) - 1)
+        self.body_forces = body_forces
+        self.body_force = body_forces[0]
         self.components = []
         for k, tau in enumerate(self.taus):
             self.components.append(StepBuilder(
                 grid, maps, model='bgk', tau=tau,
-                body_force=body_force if k == 0 else None,
+                body_force=body_forces[k],
                 dtype=dtype))
         # convenience: all components share masks
         self.b0 = self.components[0]
@@ -140,11 +144,11 @@ class ShanChenMultiStepBuilder(MultigridStepBuilder):
     with pseudopotential cross-forces F_k."""
 
     def __init__(self, grid, maps, taus, couplings, *, potential='linear',
-                 body_force=None, dtype=None):
+                 body_force=None, body_forces=None, dtype=None):
         """couplings: dict {(j, k): G_jk} (symmetric; includes (k, k) for
         self-interaction, cf. reference force_couplings)."""
         super().__init__(grid, maps, taus, body_force=body_force,
-                         dtype=dtype)
+                         body_forces=body_forces, dtype=dtype)
         self.couplings = dict(couplings)
         self.potential = potential
 
@@ -261,7 +265,7 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
         if self.body_force is not None:
             bf = np.asarray(self.body_force, dtype=np.float64).reshape(
                 (self.grid.dim,) + (1,) * rhos[0].ndim)
-            u = u + 0.5 * jnp.asarray(bf, u.dtype) / rhos[0][None]
+            u = u + 0.5 * jnp.asarray(bf, u.dtype)
         return u
 
     def _phi_with_wetting(self, phi):
@@ -331,6 +335,6 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
             fvec = jnp.asarray(bf, u.dtype).reshape(
                 (g.dim,) + (1,) * rho.ndim)
             fpost0 = fpost0 + co.guo_force_terms(
-                g, u, fvec, 1.0 / self.tau_a)
+                g, u, fvec, 1.0 / self.tau_a, rho)
         fpost1 = fss[1] + (geq - fss[1]) / self.tau_phi
         return [fpost0, fpost1]

@@ -117,7 +117,8 @@ def _moments(builder, fs):
     uF = None
     if has_force:
         fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
-        u = [ua + jnp.asarray(0.5 * fvec[a], dtype) * inv_rho
+        # body-force values are accelerations: u* = u + a/2
+        u = [ua + jnp.asarray(0.5 * fvec[a], dtype)
              for a, ua in enumerate(u)]
         uF = u[0] * jnp.asarray(fvec[0], dtype)
         for a in range(1, g.dim):
@@ -146,7 +147,7 @@ def _collide_one(builder, fi, mom, i):
         fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
         cF = float(np.dot(g.basis[i], fvec))
         pref = (1.0 - 0.5 * builder.tau_inv) * w[i]
-        fpost = fpost + jnp.asarray(pref, dtype) * (
+        fpost = fpost + jnp.asarray(pref, dtype) * rho * (
             3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
     return fpost
 

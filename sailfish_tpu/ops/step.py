@@ -471,9 +471,9 @@ class StepBuilder:
                                    self.sc_potential)
             u_eq = u_eq + self.tau * F / rho[None]
         if self.force_dev is not None and self.force_model == 'guo':
-            # Velocity shift: u* = u + F/(2 rho) enters the equilibrium
-            # (reference sym_force.py:121-160).
-            u_eq = u_eq + 0.5 * self.force_dev / rho[None]
+            # Velocity shift: u* = u + a/2 enters the equilibrium (body
+            # forces are ACCELERATIONS; reference sym_force.py:121-161).
+            u_eq = u_eq + 0.5 * self.force_dev
         if self.model in ('mrt', 'trt'):
             fpost = co.mrt_collide(g, fs, rho, u_eq, self.mrt_rates,
                                    incompressible=self.incompressible)
@@ -487,7 +487,7 @@ class StepBuilder:
         if self.force_dev is not None:
             if self.force_model == 'guo':
                 fpost = fpost + co.guo_force_terms(
-                    g, u_eq, self.force_dev, self.tau_inv)
+                    g, u_eq, self.force_dev, self.tau_inv, rho)
             else:
                 fpost = fpost + co.edm_shift(
                     g, rho, u, self.force_dev,
@@ -527,7 +527,7 @@ class StepBuilder:
         rho, u = eq.macroscopic(self.grid, fs)
         rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
         if self.force_dev is not None:
-            u = u + 0.5 * self.force_dev / rho[None]
+            u = u + 0.5 * self.force_dev
         return rho, u
 
     def build(self):

@@ -46,7 +46,7 @@ class KineticEnergyEnstrophyMixIn(FlowStatsMixIn):
             # the reference's finite-difference vorticity kernel
             # (data_processing.mako).
             def d(field, axis_comp):
-                ax = u.ndim - 1 - axis_comp
+                ax = field.ndim - 1 - axis_comp
                 return (jnp.roll(field, -1, axis=ax)
                         - jnp.roll(field, 1, axis=ax)) * 0.5
             if dim == 2:

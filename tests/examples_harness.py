@@ -40,6 +40,10 @@ EXAMPLES = {
     'sc_drop.py': ['--lat_nx=48', '--lat_ny=48'],
     'four_rolls_mill.py': ['--lat_nx=32', '--lat_ny=32'],
     'ibm_cylinder.py': ['--lat_nx=48', '--lat_ny=24'],
+    'ldc_2d_entropic.py': ['--lat_nx=32', '--lat_ny=32'],
+    'binary_fluid/sc_rayleigh_taylor_2d.py': ['--lat_nx=32',
+                                              '--lat_ny=32'],
+    'binary_fluid/fe_poiseuille_2d.py': ['--lat_nx=32', '--lat_ny=32'],
 }
 
 ITERS = 20
