@@ -262,6 +262,10 @@ class SubdomainRunner:
         self._init_fields()
         self._init_state()
         self._init_force_objects()
+        if self._output is not None:
+            # node-type map in every output: post-processing tools (wss,
+            # masking) need to distinguish wall/BC nodes from fluid
+            self._output.register_field(self.maps.type_map, 'node_type')
         if self.config.restore_from:
             self.restore_checkpoint(
                 sio.resolve_checkpoint(self.config.restore_from))
