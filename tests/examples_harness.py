@@ -44,6 +44,9 @@ EXAMPLES = {
     'binary_fluid/sc_rayleigh_taylor_2d.py': ['--lat_nx=32',
                                               '--lat_ny=32'],
     'binary_fluid/fe_poiseuille_2d.py': ['--lat_nx=32', '--lat_ny=32'],
+    'binary_fluid/sc_separation_3d.py': ['--lat_nx=16', '--lat_ny=16',
+                                         '--lat_nz=16'],
+    'square_cylinder_2d.py': ['--lat_nx=64', '--lat_ny=32'],
 }
 
 ITERS = 20
