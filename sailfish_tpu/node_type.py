@@ -3,8 +3,8 @@
 API-compatible counterpart of the reference's ``sailfish/node_type.py``
 (classes NTFullBBWall, NTEquilibriumVelocity, ... node_type.py:18-420).
 Each class is a *declaration* consumed by the geometry encoder; the actual
-BC math lives in ``sailfish_tpu/ops/boundary.py`` as traced JAX transforms
-selected per node via packed node-code arrays (no string codegen).
+BC math lives in ``sailfish_tpu/ops/step.py`` as traced JAX transforms
+selected per node via dense node-type masks (no string codegen).
 
 Params may be scalars/tuples (uniform over the selected nodes) or numpy
 arrays / ``multifield`` records (per-node values).
@@ -410,7 +410,7 @@ def multifield(values, where=None):
             arr = np.zeros(shape, dtype=np.float64)
             arr[:] = old
             new_values[i] = arr
-    rec = np.core.records.fromarrays(new_values)
+    rec = np.rec.fromarrays(new_values)
     if where is not None:
         return rec[where]
     return rec.flatten()

@@ -111,6 +111,7 @@ class IBMStepBuilder(StepBuilder):
             if self.has_dry:
                 fpost = jnp.where(wet[None], fpost, fs2)
             fpost = self._post_collision(fs2, fpost)
+            fpost = self._apply_tms(fpost, rho, u)
             # particle update from the post-collision velocity field
             u_new = u + 0.5 * accel
             vel = interpolate_velocity(u_new, pos)

@@ -74,6 +74,12 @@ class MultigridStepBuilder:
 
     def __init__(self, grid, maps, taus, *, body_force=None,
                  body_forces=None, dtype=None):
+        import sailfish_tpu.node_type as nt
+        for bad in (nt.NTGuoDensity, nt.NTWallTMS):
+            if bad.id in maps.present_types:
+                raise NotImplementedError(
+                    f'{bad.__name__} is not supported in multi-component '
+                    'models yet (single-fluid StepBuilder only)')
         self.grid = grid
         self.maps = maps
         self.taus = [float(t) for t in taus]
@@ -334,7 +340,9 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
             bf = np.asarray(self.body_force, dtype=np.float64).reshape(-1)
             fvec = jnp.asarray(bf, u.dtype).reshape(
                 (g.dim,) + (1,) * rho.ndim)
+            # the discrete-force correction must use the LOCAL
+            # phi-interpolated tau, matching the collision above
             fpost0 = fpost0 + co.guo_force_terms(
-                g, u, fvec, 1.0 / self.tau_a, rho)
+                g, u, fvec, 1.0 / tau0, rho)
         fpost1 = fss[1] + (geq - fss[1]) / self.tau_phi
         return [fpost0, fpost1]

@@ -441,15 +441,7 @@ class PallasStep3D:
                 return jnp.stack([window_shifted(_f[i], _box, sh)
                                   .reshape(-1) for i in range(g.Q)])
 
-            fs_box = sub.fix_missing(fs_box, f_box, sampler)
-            rho, u = eq.macroscopic(g, fs_box)
-            rho, u = sub._solve_macro_bc(fs_box, rho, u,
-                                         sub.bc_params(it))
-            fs2 = sub._pre_collision_bc(fs_box, rho, u)
-            fpost = sub._collide(fs2, rho, u)
-            if sub.has_dry:
-                fpost = jnp.where(sub.dev['wet'][None], fpost, fs2)
-            fpost = sub._post_collision(fs2, fpost)
+            fpost = sub.phases(fs_box, f_box, it, sampler)
             planes.append(fpost.reshape(g.Q, self.shape[1], self.shape[2]))
         return jnp.stack(planes, axis=1)
 

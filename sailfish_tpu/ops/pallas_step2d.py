@@ -309,14 +309,7 @@ class PallasStep2D:
                 return jnp.stack([window_shifted(_f[i], _box, sh)
                                   .reshape(-1) for i in range(g.Q)])
 
-            fs_box = sub.fix_missing(fs_box, f_box, sampler)
-            rho, u = eq.macroscopic(g, fs_box)
-            rho, u = sub._solve_macro_bc(fs_box, rho, u, sub.bc_params(it))
-            fs2 = sub._pre_collision_bc(fs_box, rho, u)
-            fpost = sub._collide(fs2, rho, u)
-            if sub.has_dry:
-                fpost = jnp.where(sub.dev['wet'][None], fpost, fs2)
-            fpost = sub._post_collision(fs2, fpost)
+            fpost = sub.phases(fs_box, f_box, it, sampler)
             blocks.append(fpost.reshape(g.Q, self.by, self.shape[1]))
         return jnp.stack(blocks, axis=1)
 

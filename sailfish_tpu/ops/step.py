@@ -48,6 +48,28 @@ def sample(arr, vec):
     return pull(arr, [-int(c) for c in vec])
 
 
+def global_coord_arrays(shape):
+    """Global coordinate arrays ordered (hx, hy[, hz]) for a spatial shape
+    in numpy axis order (.., z, y, x)."""
+    dim = len(shape)
+    grids = np.meshgrid(*[np.arange(n) for n in shape], indexing='ij')
+    return tuple(grids[dim - 1 - a] for a in range(dim))
+
+
+#: Node types with a BC implementation in this engine. A present type
+#: outside this set raises at build time -- users porting reference
+#: scripts must fail loudly instead of silently getting wrong physics.
+_IMPLEMENTED_TYPES = (
+    nt._NTFluid, nt._NTGhost, nt._NTUnused, nt._NTPropagationOnly,
+    nt.NTHalfBBWall, nt.NTFullBBWall, nt.NTWallTMS, nt.NTSlip,
+    nt.NTEquilibriumDensity, nt.NTRegularizedDensity, nt.NTGuoDensity,
+    nt.NTZouHeDensity, nt.NTEquilibriumVelocity, nt.NTZouHeVelocity,
+    nt.NTRegularizedVelocity, nt.NTGradFreeflow, nt.NTDoNothing,
+    nt.NTCopy, nt.NTYuOutflow, nt.NTNeumann, nt.NTLaminarize,
+    nt.NTExtendedCopy,
+)
+
+
 class StepBuilder:
     """Builds the single-device step function for a single-fluid model.
 
@@ -89,6 +111,13 @@ class StepBuilder:
         tm = m.type_map
         self.present = m.present_types
 
+        implemented = {c.id for c in _IMPLEMENTED_TYPES}
+        for tid in self.present:
+            if tid not in implemented:
+                raise NotImplementedError(
+                    f'node type {nt.get_node_type(tid).__name__} has no '
+                    'BC implementation in the step engine')
+
         def mask_of(tids):
             return np.isin(tm, list(tids))
 
@@ -118,6 +147,8 @@ class StepBuilder:
                     if nt.get_node_type(t).link_tags]
         if half_ids:
             self.halfbb_np = mask_of(half_ids)
+        self.tms_np = (tm == nt.NTWallTMS.id
+                       if nt.NTWallTMS.id in self.present else None)
         self.slip_np = None
         if nt.NTSlip.id in self.present:
             self.slip_np = tm == nt.NTSlip.id
@@ -132,6 +163,8 @@ class StepBuilder:
             tags = m.link_tags
             dev['tags'] = jnp.asarray(
                 np.stack([(tags >> i) & 1 for i in range(g.Q)]).astype(bool))
+        if self.tms_np is not None:
+            dev['tms'] = jnp.asarray(self.tms_np)
         if self.slip_np is not None:
             dev['slip_orient'] = jnp.asarray(m.orientation
                                              * self.slip_np.astype(np.int32))
@@ -148,16 +181,27 @@ class StepBuilder:
         # Coordinate arrays for space-dependent DynamicValues are built
         # eagerly (outside any trace -- caching trace-time constants leaks
         # tracers) and only when some expression actually needs them.
+        # Window sub-builders preset _coords_np with GLOBAL coordinates
+        # sliced to their box; rebuilding from the window shape would hand
+        # user callbacks window-local indices.
         self._coords_cache = ()
         if any(nt.DynamicValue.arity(e) > 1
                for _, _, exprs in m.dynamic for e in exprs):
-            shape = m.type_map.shape
-            dim = len(shape)
-            grids = np.meshgrid(*[np.arange(n) for n in shape],
-                                indexing='ij')
+            coords_np = getattr(self, '_coords_np', None)
+            if coords_np is None:
+                coords_np = global_coord_arrays(m.type_map.shape)
             self._coords_cache = tuple(
-                jnp.asarray(grids[dim - 1 - a], dtype=jnp.int32)
-                for a in range(dim))
+                jnp.asarray(c, dtype=jnp.int32) for c in coords_np)
+
+        # NTExtendedCopy: static gather maps (reference boundary.mako
+        # :525-566, sym.rotate_pos/rotate_dist). For each missing dist d at
+        # a node x, read f_{d'}(T x - c_{d'}) where d' is d's direction
+        # rotated by the 4x4 affine transformation T. Whole-domain builders
+        # only (the engine selector keeps such scenes on the XLA path).
+        self.ext_gathers = []
+        if getattr(m, 'extended', None) and \
+                not getattr(self, '_is_window', False):
+            self._build_extended_copy_gathers()
 
         if self.body_force is not None:
             bf = np.asarray(self.body_force, dtype=np.float64)
@@ -169,6 +213,64 @@ class StepBuilder:
 
         if self.model in ('mrt', 'trt'):
             self.mrt_rates = g.mrt_relaxation_rates(self.tau)
+
+    def _build_extended_copy_gathers(self):
+        """Precompute (dist, src_dist, dst_flat, src_flat) index arrays for
+        every NTExtendedCopy instance. All geometry is static, so the BC
+        reduces to a handful of boundary-sized gathers at trace time."""
+        g = self.grid
+        m = self.maps
+        shape = m.type_map.shape
+        dim = g.dim
+        coords = global_coord_arrays(shape)   # (hx, hy[, hz]) full arrays
+
+        def rotate_dist(i, R3):
+            c = np.zeros(3)
+            c[:dim] = g.basis[i][:dim]
+            t = np.rint(R3 @ c).astype(int)
+            for j in range(g.Q):
+                cj = np.zeros(3, dtype=int)
+                cj[:dim] = g.basis[j][:dim]
+                if np.array_equal(cj, t):
+                    return j
+            raise ValueError(
+                'NTExtendedCopy transformation does not map lattice vector '
+                f'{g.basis[i]} onto the lattice')
+
+        for mask, T in m.extended:
+            T = np.asarray(T, dtype=np.float64)
+            R3 = T[:3, :3]
+            sel_all = mask & (m.type_map == nt.NTExtendedCopy.id)
+            for k in np.unique(m.orientation[sel_all]):
+                if k == 0:
+                    continue
+                sel = sel_all & (m.orientation == int(k))
+                if not sel.any():
+                    continue
+                n = g.orientation_vectors[int(k) - 1]
+                unknown = g.unknown_mask(n)
+                idx = np.nonzero(sel)
+                dst_flat = np.ravel_multi_index(idx, shape)
+                # source positions: T @ (x, y, z, 1)
+                pos = np.zeros((4, dst_flat.size))
+                for a in range(dim):
+                    pos[a] = coords[a][idx]
+                pos[3] = 1.0
+                src_xyz = np.rint(T @ pos)[:dim].astype(np.int64)
+                for d in range(g.Q):
+                    if not unknown[d]:
+                        continue
+                    d2 = rotate_dist(d, R3)
+                    # read f_{d2} at (T x) - c_{d2}, periodic wrap
+                    src = [
+                        (src_xyz[a] - int(g.basis[d2][a]))
+                        % shape[len(shape) - 1 - a]
+                        for a in range(dim)]
+                    src_idx = np.ravel_multi_index(
+                        tuple(reversed(src)), shape)
+                    self.ext_gathers.append(
+                        (d, d2, jnp.asarray(dst_flat),
+                         jnp.asarray(src_idx)))
 
     def shard_constants(self, mesh):
         """Re-place the closed-over node-data constants with shardings
@@ -219,8 +321,10 @@ class StepBuilder:
         sub.__dict__.update({k: v for k, v in self.__dict__.items()
                              if k not in ('maps', 'dev', 'bc_masks_dev',
                                           'wet_np', 'fullbb_np', 'halfbb_np',
-                                          'slip_np', 'bc_instances',
-                                          'force_dev')})
+                                          'slip_np', 'tms_np',
+                                          'bc_instances', 'force_dev',
+                                          'ext_gathers', '_coords_cache',
+                                          '_coords_np')})
         m = copy(self.maps)
         m.type_map = self.maps.type_map[box]
         m.orientation = self.maps.orientation[box]
@@ -230,6 +334,13 @@ class StepBuilder:
         m.param_scalar = self.maps.param_scalar[box]
         m.dynamic = [(mask[box], name, exprs)
                      for mask, name, exprs in self.maps.dynamic]
+        m.extended = [(mask[box], T)
+                      for mask, T in getattr(self.maps, 'extended', [])]
+        # GLOBAL coordinates of the window's nodes (a sub-builder must hand
+        # user DynamicValue callbacks the same hx/hy/hz it would see in the
+        # whole-domain step, not window-local indices).
+        coords = [c[box] for c in global_coord_arrays(
+            self.maps.type_map.shape)]
         if flatten:
             m.type_map = m.type_map.reshape(-1)
             m.orientation = m.orientation.reshape(-1)
@@ -239,8 +350,12 @@ class StepBuilder:
             m.param_scalar = m.param_scalar.reshape(-1)
             m.dynamic = [(mask.reshape(-1), name, exprs)
                          for mask, name, exprs in m.dynamic]
+            m.extended = [(mask.reshape(-1), T) for mask, T in m.extended]
+            coords = [c.reshape(-1) for c in coords]
         sub.maps = m
         sub.body_force = self.body_force
+        sub._is_window = True
+        sub._coords_np = tuple(coords)
         sub._prepare_static()
         return sub
 
@@ -263,6 +378,29 @@ class StepBuilder:
                 o = int(g.opposite[i])
                 fixed.append(jnp.where(tags[i], f[o], fs[i]))
             fs = jnp.stack(fixed)
+        self._tms_tg = None
+        if self.tms_np is not None:
+            # Tamm-Mott-Smith wall (Chikatamarla & Karlin 2013; reference
+            # boundary.mako:631-647): target macros from the bounce-filled
+            # distributions, then the tagged (missing) links are replaced
+            # with the equilibrium at the target values. The matching
+            # +feq(tg)-feq(inst) shift happens post-collision
+            # (_apply_tms).
+            tms = self.dev['tms']
+            tg_rho, tg_u = eq.macroscopic(g, fs)
+            feq_tg = self.feq(tg_rho, tg_u)
+            tags = self.dev['tags']
+            fs = jnp.where(tms[None] & tags, feq_tg, fs)
+            self._tms_tg = (tg_rho, tg_u)
+        if self.ext_gathers:
+            # NTExtendedCopy: statically-indexed gathers from the rotated
+            # source positions (small boundary-sized scatters; XLA engine
+            # only).
+            flat = fs.reshape(g.Q, -1)
+            f_flat = f.reshape(g.Q, -1)
+            for d, d2, dst, src in self.ext_gathers:
+                flat = flat.at[d, dst].set(f_flat[d2, src])
+            fs = flat.reshape(fs.shape)
         for tid, k, mask in self.bc_masks_dev:
             cls = nt.get_node_type(tid)
             n = g.orientation_vectors[k - 1]
@@ -273,10 +411,12 @@ class StepBuilder:
                 fs = jnp.stack(upd)
             elif cls is nt.NTCopy:
                 # copy the POST-STREAM distributions of the neighbor along
-                # the inward normal: fs_i(x+n) == f_i(x + n - c_i)
+                # the inward normal, missing directions only (reference
+                # boundary.mako:575-585): fs_i(x+n) == f_i(x + n - c_i)
                 upd = [jnp.where(mask,
                                  sampler(np.asarray(n) - g.basis[i])[i],
-                                 fs[i]) for i in range(g.Q)]
+                                 fs[i])
+                       if unknown[i] else fs[i] for i in range(g.Q)]
                 fs = jnp.stack(upd)
             elif cls is nt.NTYuOutflow:
                 # 2nd-order extrapolation of POST-STREAM values:
@@ -381,6 +521,13 @@ class StepBuilder:
         fl = [fs[i] for i in range(g.Q)]
         for tid, k, mask in self.bc_masks_dev:
             cls = nt.get_node_type(tid)
+            if cls is nt.NTGuoDensity:
+                # No macroscopic solve: the whole BC is a post-collision
+                # overlay from the neighbor along the normal
+                # (_guo_density_overlay). Pin rho for output sanity only.
+                if rho_bc_eff is not None:
+                    rho = jnp.where(mask, rho_bc_eff, rho)
+                continue
             n = g.orientation_vectors[k - 1]
             cn = g.basis @ n                       # (Q,) in {-1,0,1}
             s0 = signed_sum((cn == 0).astype(int), fl)
@@ -513,6 +660,61 @@ class StepBuilder:
                 fpost = jnp.where((so == int(k))[None], fslip, fpost)
         return fpost
 
+    def _apply_tms(self, fpost, rho, u):
+        """Post-collision part of the TMS wall: shift the whole node by
+        feq(target) - feq(instantaneous) (reference boundary.mako:696-718).
+        The bounce-fill of tagged links at the next step supplies the
+        'write opposites back' part of the reference scheme."""
+        if getattr(self, '_tms_tg', None) is None:
+            return fpost
+        tg_rho, tg_u = self._tms_tg
+        corr = self.feq(tg_rho, tg_u) - self.feq(rho, u)
+        return jnp.where(self.dev['tms'][None], fpost + corr, fpost)
+
+    def _guo_density_overlay(self, fs, fpost, params, sampler=None):
+        """Guo's extrapolation density BC (reference relaxation.mako
+        :134-175): the boundary node O with inward normal n takes
+        f_post(O) = feq(rho_bc, u_B) + (1 - 1/tau) f^neq(B) where B = O+n
+        is the fluid neighbor and f^neq is measured on the post-stream
+        distributions at B."""
+        insts = [(tid, k, mask) for tid, k, mask in self.bc_masks_dev
+                 if nt.get_node_type(tid) is nt.NTGuoDensity]
+        if not insts:
+            return fpost
+        g = self.grid
+        rho_bc_eff = params[0]
+        for tid, k, mask in insts:
+            n = np.asarray(g.orientation_vectors[k - 1])
+            if sampler is None:
+                fsB = sample(fs, n)  # fs_i(x+n), shared periodic shift
+            else:
+                fsB = jnp.stack([sampler(n - g.basis[i])[i]
+                                 for i in range(g.Q)])
+            rhoB, uB = eq.macroscopic(g, fsB)
+            feqB = self.feq(rhoB, uB)
+            val = self.feq(rho_bc_eff, uB) + \
+                (1.0 - self.tau_inv) * (fsB - feqB)
+            fpost = jnp.where(mask[None], val, fpost)
+        return fpost
+
+    def phases(self, fs, f, it=0, sampler=None):
+        """The canonical post-gather phase sequence (shared by the XLA
+        step and the Pallas boundary-patch path): fix missing -> macro ->
+        BC solves -> pre-collision BC -> collide -> dry/post handling ->
+        TMS/Guo overlays."""
+        fs = self.fix_missing(fs, f, sampler)
+        rho, u = eq.macroscopic(self.grid, fs)
+        params = self.bc_params(it)
+        rho, u = self._solve_macro_bc(fs, rho, u, params)
+        fs2 = self._pre_collision_bc(fs, rho, u)
+        fpost = self._collide(fs2, rho, u)
+        if self.has_dry:
+            fpost = jnp.where(self.dev['wet'][None], fpost, fs2)
+        fpost = self._post_collision(fs2, fpost)
+        fpost = self._apply_tms(fpost, rho, u)
+        fpost = self._guo_density_overlay(fs, fpost, params, sampler)
+        return fpost
+
     # -- public --------------------------------------------------------------
 
     def streamed(self, f):
@@ -533,17 +735,8 @@ class StepBuilder:
     def build(self):
         """Returns step(f) -> f_next (un-jitted; caller jits/shards).
         State = post-collision distributions."""
-        wet = self.dev['wet']
 
         def step(f, it=0):
-            fs = self.fix_missing(self.gather(f), f)
-            rho, u = eq.macroscopic(self.grid, fs)
-            rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
-            fs2 = self._pre_collision_bc(fs, rho, u)
-            fpost = self._collide(fs2, rho, u)
-            if self.has_dry:
-                fpost = jnp.where(wet[None], fpost, fs2)
-            fpost = self._post_collision(fs2, fpost)
-            return fpost
+            return self.phases(self.gather(f), f, it)
 
         return step

@@ -124,12 +124,16 @@ class SubdomainRunner:
         cfg = self.config
         choice = getattr(cfg, 'engine', 'auto')
         b = self.builder
+        import sailfish_tpu.node_type as snt
         from sailfish_tpu.ops.step import StepBuilder
         mesh_ok = self.mesh is None or \
             (self.sim.dim == 3 and list(self.mesh.axis_names) == ['z'])
         eligible = (
             type(b) is StepBuilder
             and self.sim.dim in (2, 3) and mesh_ok
+            # the ExtendedCopy gather needs the full global state; the
+            # Pallas patch path hands sub-builders window-local arrays
+            and snt.NTExtendedCopy.id not in b.maps.present_types
             and (self.sim.dim == 3 or self.mesh is None)
             and dtype == jnp.float32 and b.model == 'bgk'
             and b.smagorinsky == 0.0 and b.sc_coupling == 0.0
@@ -314,6 +318,10 @@ class SubdomainRunner:
             # how many steps until the next host interaction
             remaining = cfg.max_iters - sim.iteration
             chunk = cfg.every if cfg.every > 0 else remaining
+            if cfg.every > 0:
+                # stay aligned to output boundaries even when a checkpoint
+                # chunk desynchronized the iteration count
+                chunk = min(chunk, cfg.every - sim.iteration % cfg.every)
             if cfg.checkpoint_every > 0:
                 to_cp = cfg.checkpoint_every - (
                     sim.iteration % cfg.checkpoint_every)

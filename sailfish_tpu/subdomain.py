@@ -121,6 +121,8 @@ class NodeMaps:
         self.param_scalar = np.zeros(shape, dtype=np.float64)
         #: list of (mask, param_name, exprs) for DynamicValue params
         self.dynamic = []
+        #: list of (mask, 4x4 transformation) for NTExtendedCopy instances
+        self.extended = []
         self.dim = dim
 
     @property
@@ -233,7 +235,9 @@ class Subdomain:
             elif name in ('alpha', 'gradient'):
                 self._fill(m.param_scalar, where, val)
             elif name == 'transformation':
-                raise NotImplementedError('NTExtendedCopy not supported yet')
+                mask = np.zeros(self.shape, dtype=bool)
+                mask[where] = True
+                m.extended.append((mask, np.asarray(val, dtype=np.float64)))
             else:
                 raise ValueError(f'unknown BC parameter {name!r}')
 

@@ -142,3 +142,99 @@ def test_zouhe_velocity_bc():
     # treatment differs between the two BC families
     err = np.abs(vz[1:-6] - vr[1:-6]).max() / np.abs(vr).max()
     assert err < 0.05, err
+
+
+def test_tms_wall_channel():
+    """Tamm-Mott-Smith wall in a laminar forced channel: stable, carries
+    flow, and stays close to the half-way bounce-back solution (the TMS
+    target equals the BB state in fully-developed laminar flow)."""
+    tms = _channel(nt.NTWallTMS, iters=3000)
+    bb = _channel(nt.NTHalfBBWall, iters=3000)
+    assert np.all(np.isfinite(tms.vx))
+    prof_t = tms.vx[:, 16]
+    prof_b = bb.vx[:, 16]
+    assert prof_t[1:-1].mean() > 0.01
+    err = np.abs(prof_t[2:-2] - prof_b[2:-2]).max() / prof_b.max()
+    assert err < 0.1, err
+
+
+def test_guo_density_channel():
+    """Pressure-driven channel with Guo density BCs at both ends behaves
+    like the equilibrium-density version (flow from high to low rho)."""
+    N = 32
+
+    def channel(density_bc):
+        class Chan(Subdomain2D):
+            def boundary_conditions(self, hx, hy):
+                wall = (hy == 0) | (hy == self.gy - 1)
+                self.set_node(wall, nt.NTFullBBWall)
+                self.set_node((hx == 0) & ~wall, density_bc(1.02))
+                self.set_node((hx == self.gx - 1) & ~wall,
+                              density_bc(0.98))
+
+            def initial_conditions(self, sim, hx, hy):
+                sim.rho[:] = 1.0
+
+        class Sim(LBFluidSim):
+            subdomain = Chan
+
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=N, lat_ny=N, visc=0.1, max_iters=1500, every=1500,
+            quiet=True))
+        ctrl.run(ignore_cmdline=True)
+        ctrl._runner._fields_to_host()
+        return ctrl._runner.sim
+
+    guo = channel(nt.NTGuoDensity)
+    equ = channel(nt.NTEquilibriumDensity)
+    assert np.all(np.isfinite(guo.vx))
+    mid_g = guo.vx[N // 2, 4:-4].mean()
+    mid_e = equ.vx[N // 2, 4:-4].mean()
+    assert mid_g > 0.005, mid_g
+    assert abs(mid_g - mid_e) / mid_e < 0.15, (mid_g, mid_e)
+    # prescribed density is held at the boundary columns
+    assert abs(guo.rho[N // 2, 0] - 1.02) < 5e-3
+
+
+def test_extended_copy_translation_equals_copy():
+    """NTExtendedCopy with a pure translation by the inward normal is by
+    construction the same operation as NTCopy."""
+    N = 32
+
+    def channel(use_extended):
+        T = np.eye(4)
+        T[0, 3] = -1.0   # read from x - 1: the neighbor along the inward
+        #                  normal of the +x-edge outflow column
+
+        class Chan(Subdomain2D):
+            def boundary_conditions(self, hx, hy):
+                wall = (hy == 0) | (hy == self.gy - 1)
+                self.set_node(wall, nt.NTFullBBWall)
+                not_wall = ~wall
+                self.set_node((hx == 0) & not_wall,
+                              nt.NTEquilibriumVelocity((0.02, 0.0)))
+                if use_extended:
+                    self.set_node((hx == self.gx - 1) & not_wall,
+                                  nt.NTExtendedCopy(transformation=T))
+                else:
+                    self.set_node((hx == self.gx - 1) & not_wall,
+                                  nt.NTCopy())
+
+            def initial_conditions(self, sim, hx, hy):
+                sim.rho[:] = 1.0
+
+        class Sim(LBFluidSim):
+            subdomain = Chan
+
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=N, lat_ny=N, visc=0.1, max_iters=400, every=400,
+            quiet=True))
+        ctrl.run(ignore_cmdline=True)
+        ctrl._runner._fields_to_host()
+        return ctrl._runner.sim
+
+    ext = channel(True)
+    cpy = channel(False)
+    assert np.all(np.isfinite(ext.vx))
+    assert np.max(np.abs(ext.vx - cpy.vx)) < 1e-6
+    assert np.max(np.abs(ext.rho - cpy.rho)) < 1e-6

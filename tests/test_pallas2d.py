@@ -47,3 +47,41 @@ def test_pallas2d_small_domain_falls_back():
         engine='pallas'))
     with pytest.raises(NotImplementedError):
         ctrl.run(ignore_cmdline=True)
+
+def test_pallas2d_space_dependent_dynamic_matches_xla():
+    """Space-dependent DynamicValue BCs must receive GLOBAL coordinates in
+    the fused engine's boundary patches (window sub-builders previously
+    rebuilt window-local index grids, producing NaN lids)."""
+    import jax.numpy as jnp
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import DynamicValue, \
+        NTEquilibriumVelocity, NTFullBBWall
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    N = 128
+
+    class Cav(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            wall = (hx == 0) | (hx == self.gx - 1) | (hy == 0)
+            prof = DynamicValue(
+                lambda t, hx, hy: 0.1 * (hx / N) * (1.0 - hx / N) * 4.0,
+                0.0)
+            self.set_node((hy == self.gy - 1) & ~wall,
+                          NTEquilibriumVelocity(prof))
+            self.set_node(wall, NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+
+    class Sim(LBFluidSim):
+        subdomain = Cav
+
+    cfg = dict(lat_nx=N, lat_ny=N, max_iters=25, every=25, visc=0.05)
+    _, rho_a, vx_a = _run(Sim, 'xla', **cfg)
+    engine, rho_b, vx_b = _run(Sim, 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.all(np.isfinite(vx_b))
+    assert np.max(np.abs(rho_a - rho_b)) < 1e-5
+    assert np.max(np.abs(vx_a - vx_b)) < 1e-6
+    # the lid actually carries the parabolic profile
+    assert vx_b[-1, N // 2] > vx_b[-1, 3] > 0
