@@ -153,7 +153,7 @@ def _collide_one(builder, fi, mom, i):
 
 
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
-                   interpret=False):
+                   interpret=False, dyn_patches=False, max_patches=0):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for plane z+1 are prefetched into the other buffer slot while plane z
     computes (double buffering; pallas_guide.md 'Double Buffering'), the
@@ -168,12 +168,22 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     collect/distribute halo kernels, kernel_utils.mako:477-950).
 
     Signature: fused(f, ghost_lo, ghost_hi[, mask][, patch_vals]) -> out.
+
+    With ``dyn_patches=True`` the patch planes are selected at RUN time
+    instead of trace time: the kernel takes an int32 (Z,) SMEM map
+    (``row -> patch slot or -1``) plus a (Q, max_patches, Y, X) plane
+    array. One traced program then serves every shard of a z-sharded
+    mesh, whichever global planes carry complex BCs (the multi-chip
+    counterpart of the reference running arbitrary scenes on any
+    decomposition, subdomain_connection.py:415-449). Signature becomes
+    fused(f, ghost_lo, ghost_hi[, mask], patch_map, patch_vals) -> out.
     """
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
     basis = g.basis  # (Q, 3) as (cx, cy, cz)
     patch_rows = tuple(int(r) for r in patch_rows)
+    assert not (patch_rows and dyn_patches)
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
@@ -185,9 +195,13 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         ghi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
+        pmap_ref = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
         if patch_rows:
+            patch_hbm = refs[idx]; idx += 1
+        if dyn_patches:
+            pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx]; idx += 1
         fs_buf = refs[idx]; idx += 1       # (2, Q, Y, X)
@@ -205,6 +219,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         for r in patch_rows:
             cond = z0 == r
             is_patch = cond if is_patch is None else (is_patch | cond)
+        if dyn_patches:
+            is_patch = pmap_ref[z0] >= 0
 
         def start_gathers(plane_z, s):
             """Start the Q+1 input DMAs for plane ``plane_z`` into slot
@@ -266,6 +282,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             cond = z0 - 1 == r
             prev_drained_own = cond if prev_drained_own is None else \
                 (prev_drained_own | cond)
+        if dyn_patches:
+            prev_drained_own = (z0 >= 1) & \
+                (pmap_ref[jnp.maximum(z0 - 1, 0)] >= 0)
 
         @pl.when(z0 == 0)
         def _():
@@ -327,6 +346,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
 
         def patch_body():
             wait_gathers(slot)   # keep the pipeline balanced
+            if dyn_patches:
+                j = jnp.maximum(pmap_ref[z0], 0)
+                c = pltpu.make_async_copy(patch_hbm.at[:, j],
+                                          out_hbm.at[:, z0],
+                                          out_sems.at[slot])
+                c.start()
+                c.wait()
+                return
             for j, r in enumerate(patch_rows):
                 @pl.when(z0 == r)
                 def _(j=j):
@@ -336,7 +363,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     c.start()
                     c.wait()
 
-        if patch_rows:
+        if patch_rows or dyn_patches:
             @pl.when(is_patch)
             def _():
                 patch_body()
@@ -349,12 +376,23 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
 
         # epilogue: drain the last two rows' writes (no successor
         # prefetch exists for them)
-        @pl.when(z0 == Z - 1)
-        def _():
-            if (Z - 1) not in patch_rows:
-                wait_out(slot)
-            if Z >= 2 and (Z - 2) not in patch_rows:
-                wait_out(nslot)
+        if dyn_patches:
+            @pl.when(z0 == Z - 1)
+            def _():
+                @pl.when(pmap_ref[Z - 1] < 0)
+                def _():
+                    wait_out(slot)
+                if Z >= 2:
+                    @pl.when(pmap_ref[Z - 2] < 0)
+                    def _():
+                        wait_out(nslot)
+        else:
+            @pl.when(z0 == Z - 1)
+            def _():
+                if (Z - 1) not in patch_rows:
+                    wait_out(slot)
+                if Z >= 2 and (Z - 2) not in patch_rows:
+                    wait_out(nslot)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     scratch = [
@@ -364,6 +402,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if patch_rows:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    if dyn_patches:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
@@ -381,6 +422,20 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     return fused
 
 
+def check_plane_tiling(Y, X, interpret=False):
+    """Mosaic DMAs slice whole (Y, X) planes out of (sublane, lane)-tiled
+    (8, 128) buffers; partial-tile plane shapes are rejected by the
+    compiler ("slice shape must be aligned to tiling"). Refuse early so
+    the auto engine falls back to XLA instead of failing a remote
+    compile. Interpret mode (CPU tests) has no tiling."""
+    if interpret:
+        return
+    if X % 128 != 0 or Y % 8 != 0:
+        raise NotImplementedError(
+            f'the fused 3D kernel needs X % 128 == 0 and Y % 8 == 0 '
+            f'(got Y={Y}, X={X}); use the XLA engine for this domain')
+
+
 # -- full fused step ---------------------------------------------------------
 
 class PallasStep3D:
@@ -395,6 +450,7 @@ class PallasStep3D:
         self.builder = builder
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
+        check_plane_tiling(Ys, Xs, interpret)
         mask_np, patch_rows = classify_nodes(builder.maps)
         if len(patch_rows) > self.MAX_PATCH_FRACTION * Zs:
             raise NotImplementedError(

@@ -9,18 +9,29 @@ with those faces as ghost-plane inputs. The ring wraps, matching the
 global jnp.roll periodicity (non-periodic physics comes from BC nodes,
 exactly as on one device).
 
-Currently covers scenes whose boundary handling is fully in-kernel
-(fluid + bounce-back walls/obstacles + body force); scenes with
-complex-BC planes fall back to the GSPMD XLA engine under sharding.
+Complex-BC z-planes (velocity/density/outflow/half-way walls...) are
+supported through the kernel's DYNAMIC patch mode: their post-collision
+values are recomputed exactly by the XLA StepBuilder machinery on global
+thin slabs (GSPMD inserts whatever neighbor exchange the samplers need),
+packed into a per-shard padded plane array, and overlaid in-kernel via a
+run-time row->slot map. One traced program serves every shard, whichever
+global planes carry complex BCs -- the counterpart of the reference
+running arbitrary scenes on any decomposition
+(subdomain_connection.py:415-449).
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from sailfish_tpu.ops.pallas_step import PallasStep3D
+from sailfish_tpu.ops.pallas_step import (
+    PallasStep3D, check_plane_tiling, classify_nodes, make_kernel_3d,
+    window_shifted)
 
 
 class ShardedPallasStep3D:
@@ -31,54 +42,126 @@ class ShardedPallasStep3D:
             raise NotImplementedError(
                 'the sharded fused kernel shards the z axis only; got '
                 f'mesh axes {mesh.axis_names}')
+        self.builder = builder
         self.mesh = mesh
         self.nshards = mesh.shape['z']
         Z, Y, X = domain_shape
         assert Z % self.nshards == 0
-        self.local_shape = (Z // self.nshards, Y, X)
-        # Build the per-shard kernel on LOCAL node maps. All shards run
-        # the same traced program, so the node data must be passed as a
-        # sharded argument rather than baked in; the builder's maps are
-        # global -- the kernel itself only consumes the mask input.
-        self.pstep = PallasStep3D(builder, self.local_shape,
-                                  interpret=interpret,
-                                  require_no_patches=True)
-        # mask built from GLOBAL maps: reshard as ('z', ...) input
+        Z_loc = Z // self.nshards
+        check_plane_tiling(Y, X, interpret)
+        self.shape = domain_shape
+        self.local_shape = (Z_loc, Y, X)
+
+        mask_np, patch_rows = classify_nodes(builder.maps)
+        if len(patch_rows) > PallasStep3D.MAX_PATCH_FRACTION * Z:
+            raise NotImplementedError(
+                f'{len(patch_rows)}/{Z} z-planes need complex-BC patches; '
+                'use the XLA engine for this scene')
+        self.patch_rows = patch_rows
+        self.has_patches = bool(patch_rows)
+        self.has_mask = bool((mask_np != 0).any())
         self.mask_global = None
-        if self.pstep.has_mask:
-            from sailfish_tpu.ops.pallas_step import classify_nodes
-            import jax.numpy as jnp
-            mask_np, _ = classify_nodes(builder.maps)
+        if self.has_mask:
             self.mask_global = jax.device_put(
                 jnp.asarray(mask_np),
                 NamedSharding(mesh, P('z', None, None)))
 
+        self.P = 0
+        if self.has_patches:
+            per_shard = [[] for _ in range(self.nshards)]
+            for r in patch_rows:
+                per_shard[r // Z_loc].append(r % Z_loc)
+            self.P = max(1, max(len(v) for v in per_shard))
+            pmap = -np.ones((self.nshards, Z_loc), np.int32)
+            self._slot_of_row = {}
+            for s, rows in enumerate(per_shard):
+                for j, rl in enumerate(rows):
+                    pmap[s, rl] = j
+                    self._slot_of_row[s * Z_loc + rl] = (s, j)
+            self.pmap_global = jax.device_put(
+                jnp.asarray(pmap), NamedSharding(mesh, P('z', None)))
+            # exact-BC sub-builders over GLOBAL one-plane boxes
+            self.patch_subs = []
+            for r in patch_rows:
+                box = (slice(r, r + 1), slice(0, Y), slice(0, X))
+                self.patch_subs.append(
+                    (r, box, builder.for_window(box, flatten=True)))
+
+        self.kernel = make_kernel_3d(
+            builder, Z_loc, Y, X, has_mask=self.has_mask,
+            interpret=interpret, dyn_patches=self.has_patches,
+            max_patches=self.P)
+
         up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
         down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
+        g = builder.grid
 
-        def local_step(f_local, mask_local):
+        def local_step(f_local, *rest):
             # faces travel around the ring: my top plane becomes the
             # lower ghost of the shard above me, and vice versa
             ghost_lo = jax.lax.ppermute(f_local[:, -1], 'z', up)
             ghost_hi = jax.lax.ppermute(f_local[:, 0], 'z', down)
             args = [f_local, ghost_lo, ghost_hi]
-            if self.pstep.has_mask:
-                args.append(mask_local)
-            return self.pstep.kernel(*args)
+            k = 0
+            if self.has_mask:
+                args.append(rest[k]); k += 1
+            if self.has_patches:
+                args.append(rest[k].reshape(-1)); k += 1
+                args.append(rest[k].reshape(g.Q, self.P, Y, X)); k += 1
+            return self.kernel(*args)
 
-        in_specs = (P(None, 'z', None, None), P('z', None, None))
+        in_specs = [P(None, 'z', None, None)]
+        if self.has_mask:
+            in_specs.append(P('z', None, None))
+        if self.has_patches:
+            in_specs.append(P('z', None))
+            in_specs.append(P(None, 'z', None, None, None))
         self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=in_specs,
+            local_step, mesh=mesh, in_specs=tuple(in_specs),
             out_specs=P(None, 'z', None, None), check_rep=False)
 
+    def _compute_patches_padded(self, f, it=0):
+        """Exact XLA recompute of every patched GLOBAL plane, packed as
+        (Q, nshards, P, Y, X) so each shard receives its own slots."""
+        g = self.builder.grid
+        _, Y, X = self.local_shape
+
+        def axes_shift(vec):
+            return (int(vec[2]), int(vec[1]), int(vec[0]))
+
+        planes = {}
+        for r, box, sub in self.patch_subs:
+            f_box = f[(slice(None),) + box].reshape(g.Q, -1)
+            fs_box = jnp.stack([
+                window_shifted(f[i], box, axes_shift(g.basis[i]))
+                .reshape(-1) for i in range(g.Q)])
+
+            def sampler(vec, _f=f, _box=box):
+                sh = axes_shift(-np.asarray(vec))
+                return jnp.stack([window_shifted(_f[i], _box, sh)
+                                  .reshape(-1) for i in range(g.Q)])
+
+            fpost = sub.phases(fs_box, f_box, it, sampler)
+            planes[self._slot_of_row[r]] = fpost.reshape(g.Q, Y, X)
+
+        zero = jnp.zeros((g.Q, Y, X), f.dtype)
+        cols = []
+        for s in range(self.nshards):
+            slots = [planes.get((s, j), zero) for j in range(self.P)]
+            cols.append(jnp.stack(slots, axis=1))     # (Q, P, Y, X)
+        out = jnp.stack(cols, axis=1)                 # (Q, S, P, Y, X)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(None, 'z', None, None, None)))
+
+    def step(self, f, it=0):
+        args = [f]
+        if self.has_mask:
+            args.append(self.mask_global)
+        if self.has_patches:
+            args.append(self.pmap_global)
+            args.append(self._compute_patches_padded(f, it))
+        return self._sharded_step(*args)
+
     def run_steps(self, f, n, it0=0):
-        mask = self.mask_global
-        if mask is None:
-            import jax.numpy as jnp
-            mask = jnp.zeros(
-                (f.shape[1], f.shape[2], f.shape[3]), jnp.int32)
-
-        def body(i, fc):
-            return self._sharded_step(fc, mask)
-
-        return jax.lax.fori_loop(0, n, body, f)
+        return jax.lax.fori_loop(
+            0, n, lambda i, fc: self.step(fc, it0 + i), f)

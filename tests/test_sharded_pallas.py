@@ -31,16 +31,46 @@ def test_sharded_pallas_matches_xla():
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
 
 
-def test_sharded_pallas_rejects_complex_bc():
-    """Under sharding, scenes with complex-BC planes are refused by the
-    fused kernel (explicit request errors; auto falls back to XLA)."""
-    import pytest
-
+def test_sharded_pallas_complex_bc_ldc():
+    """The headline scene itself (LDC: lid plane = complex-BC patch) runs
+    z-sharded on the fused kernel via dynamic patch planes and matches the
+    XLA engine bitwise-ish."""
     from ldc_3d import LDCSim
     from sailfish_tpu.controller import LBSimulationController
 
-    ctrl = LBSimulationController(LDCSim, default_config=dict(
-        lat_nx=16, lat_ny=16, lat_nz=16, max_iters=10, every=10,
-        quiet=True, mesh='4', engine='pallas'))
-    with pytest.raises(NotImplementedError):
+    def run(mesh, engine):
+        ctrl = LBSimulationController(LDCSim, default_config=dict(
+            lat_nx=16, lat_ny=16, lat_nz=16, max_iters=12, every=12,
+            quiet=True, mesh=mesh, engine=engine))
         ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    _, vx_ref, rho_ref = run('', 'xla')
+    engine, vx, rho = run('4', 'pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-5
+    assert np.max(np.abs(rho - rho_ref)) < 1e-5
+
+
+def test_sharded_pallas_patch_on_shard_boundary():
+    """Complex-BC planes falling on the first/last local row of a shard
+    exercise the patch/ghost interaction: duct flow with velocity inlet
+    planes along the SHARDED axis direction would patch every plane, so
+    instead shard a cavity whose lid plane is the very last global row."""
+    from ldc_3d import LDCSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(mesh, engine):
+        ctrl = LBSimulationController(LDCSim, default_config=dict(
+            lat_nx=16, lat_ny=16, lat_nz=16, max_iters=12, every=12,
+            quiet=True, mesh=mesh, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return np.array(r.sim.vx)
+
+    vx_ref = run('', 'xla')
+    vx2 = run('2', 'pallas')
+    assert np.max(np.abs(vx2 - vx_ref)) < 1e-5
