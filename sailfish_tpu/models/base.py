@@ -62,6 +62,16 @@ class LBSim:
     def fields(cls):
         return []
 
+    #: Host-side ``after_step`` cadence contract. The runner executes many
+    #: iterations per jitted chunk (cfg.every); hooks therefore fire once
+    #: per CHUNK, not per iteration (unlike the reference's per-step call,
+    #: subdomain_runner.py:1738-1743). A sim that genuinely needs
+    #: every-k-iterations host hooks sets after_step_interval = k and the
+    #: runner caps chunks to k-boundaries (logging the perf impact).
+    #: Per-iteration *sampling* should instead use add_device_hook(),
+    #: which runs inside the jitted loop at zero host-sync cost.
+    after_step_interval = None
+
     def __init__(self, config):
         self.config = config
         self.iteration = 0
@@ -69,6 +79,7 @@ class LBSim:
         self.force_objects = []
         self._mixin_after_step = []
         self._mixin_before_main_loop = []
+        self._device_hooks = []
         for klass in type(self).mro():
             if not issubclass(klass, LBMixIn) or issubclass(klass, LBSim):
                 continue
@@ -76,6 +87,17 @@ class LBSim:
                 self._mixin_after_step.append(klass.after_step)
             if 'before_main_loop' in vars(klass):
                 self._mixin_before_main_loop.append(klass.before_main_loop)
+
+    def add_device_hook(self, init_state, fn):
+        """Register a per-iteration DEVICE hook: ``fn(f, state, it) ->
+        state`` is traced into the jitted main loop and runs after every
+        single step, with ``state`` a device pytree initialized to
+        ``init_state``. This is the TPU-native replacement for
+        per-iteration after_step sampling (e.g. Reynolds statistics): no
+        host sync, no chunking distortion. Current states are available
+        as runner.device_hook_state (tuple, one entry per hook)."""
+        self._device_hooks.append((init_state, fn))
+        return len(self._device_hooks) - 1
 
     def need_output(self):
         """True when fields should be synced & written this iteration

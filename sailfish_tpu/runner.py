@@ -102,18 +102,52 @@ class SubdomainRunner:
                 self.engine = 'xla'
         if self.engine == 'pallas':
             self._pallas = pstep
-            run_steps = jax.jit(pstep.run_steps, donate_argnums=0,
-                                static_argnums=())
+            self._step_fn = pstep.step
         else:
-            step = self.builder.build()
+            self._pallas = None
+            self._step_fn = self.builder.build()
+        self.device_hook_state = ()
+        self._make_run_steps()
+        self._macro = jax.jit(self.builder.macro_fields)
 
+    def _make_run_steps(self):
+        """(Re)build the jitted multi-step loop, weaving in any device
+        hooks registered via sim.add_device_hook (per-iteration sampling
+        inside the loop; the TPU replacement for the reference's per-step
+        after_step calls, subdomain_runner.py:1738-1743)."""
+        step = self._step_fn
+        hooks = getattr(self.sim, '_device_hooks', [])
+        if not hooks:
             @functools.partial(jax.jit, donate_argnums=0)
             def run_steps(f, n, it0=0):
                 return jax.lax.fori_loop(
                     0, n, lambda i, fc: step(fc, it0 + i), f)
 
+            self._run_steps = run_steps
+            return
+
+        fns = tuple(fn for _, fn in hooks)
+        self.device_hook_state = tuple(
+            jax.tree.map(jnp.asarray, init) for init, _ in hooks)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run_steps_hooked(f, states, n, it0=0):
+            def body(i, val):
+                fc, sts = val
+                f2 = step(fc, it0 + i)
+                # hooks see the iteration count AFTER the step, matching
+                # sim.iteration at after_step time in the reference
+                sts = tuple(fn(f2, s, it0 + i + 1)
+                            for fn, s in zip(fns, sts))
+                return f2, sts
+            return jax.lax.fori_loop(0, n, body, (f, states))
+
+        def run_steps(f, n, it0=0):
+            f, self.device_hook_state = run_steps_hooked(
+                f, self.device_hook_state, n, it0)
+            return f
+
         self._run_steps = run_steps
-        self._macro = jax.jit(self.builder.macro_fields)
 
     def _select_engine(self, dtype):
         """'pallas' = fused TPU kernel + XLA boundary patches; 'xla' =
@@ -276,6 +310,10 @@ class SubdomainRunner:
         self.sim.before_main_loop(self)
         for hook in self.sim._mixin_before_main_loop:
             hook(self.sim, self)
+        if getattr(self.sim, '_device_hooks', []):
+            # hooks are typically registered in before_main_loop; weave
+            # them into the jitted loop now
+            self._make_run_steps()
         return self.main()
 
     def _block_until_ready(self):
@@ -305,6 +343,7 @@ class SubdomainRunner:
         sim = self.sim
         log = util.get_logger(cfg)
         self._checkpoint_requested = False
+        self._interval_warned = False
         self._install_sighup_checkpoint()
         total_nodes = int(np.prod(self._domain_shape()))
         bench_t0 = None
@@ -322,6 +361,18 @@ class SubdomainRunner:
                 # stay aligned to output boundaries even when a checkpoint
                 # chunk desynchronized the iteration count
                 chunk = min(chunk, cfg.every - sim.iteration % cfg.every)
+            interval = getattr(sim, 'after_step_interval', None)
+            if interval:
+                # explicit host-hook cadence contract (see
+                # LBSim.after_step_interval)
+                if not self._interval_warned and \
+                        cfg.every > 0 and interval < cfg.every:
+                    log.warning(
+                        'after_step_interval=%d caps step chunks below '
+                        'every=%d; prefer add_device_hook for '
+                        'per-iteration sampling', interval, cfg.every)
+                    self._interval_warned = True
+                chunk = min(chunk, interval - sim.iteration % interval)
             if cfg.checkpoint_every > 0:
                 to_cp = cfg.checkpoint_every - (
                     sim.iteration % cfg.checkpoint_every)

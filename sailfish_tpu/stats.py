@@ -77,19 +77,28 @@ class KineticEnergyEnstrophyMixIn(FlowStatsMixIn):
 class ReynoldsStatsMixIn(FlowStatsMixIn):
     """First four moments of flow quantities and pair correlations,
     averaged over the homogeneous axes (reference stats.py:56-200,
-    reynolds_statistics.mako). ``prepare_reynolds_stats`` sets up the jitted
-    reducers; ``collect_reynolds_stats`` accumulates a sample."""
+    reynolds_statistics.mako).
+
+    Two accumulation modes:
+      * DEVICE (default when ``every`` is given): a per-iteration device
+        hook accumulates inside the jitted main loop, so sampling cadence
+        is independent of the host chunk size (cfg.every) -- the TPU
+        equivalent of the reference's on-GPU ring buffer.
+      * host: call ``collect_reynolds_stats(runner)`` from after_step
+        (the reference's explicit API), accumulating on the host.
+    ``reynolds_stats()`` returns whichever accumulator has samples.
+    """
 
     stat_axis = 'y'
 
-    def prepare_reynolds_stats(self, runner, axis=None):
+    def prepare_reynolds_stats(self, runner, axis=None, every=None,
+                               from_iter=0):
         dim = self.dim
         axis = axis or self.stat_axis
         # profile along `axis`: average over the other spatial axes
         comp = {'x': 0, 'y': 1, 'z': 2}[axis]
         keep_ax = (dim - 1) - comp  # array axis kept
 
-        @jax.jit
         def stats(f):
             rho, u = runner.builder.macro_fields(f)
             reduce_axes = tuple(a for a in range(dim) if a != keep_ax)
@@ -110,12 +119,33 @@ class ReynoldsStatsMixIn(FlowStatsMixIn):
                 for b in names[i + 1:]:
                     out[a + b] = jnp.mean(
                         fields[a].astype(jnp.float64)
-                        * fields[b].astype(jnp.float64), axis=reduce_axes)[None]
+                        * fields[b].astype(jnp.float64),
+                        axis=reduce_axes)[None]
             return out
 
-        self._reynolds_fn = stats
+        self._reynolds_fn = jax.jit(stats)
         self._reynolds_acc = None
         self._reynolds_samples = 0
+        self._reynolds_runner = runner
+        self._reynolds_hook_id = None
+        if every is not None:
+            shapes = jax.eval_shape(stats, runner.f)
+            acc0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            init = (jnp.zeros((), jnp.int32), acc0)
+
+            def hook(f, state, it):
+                pred = (it >= from_iter) & (jnp.mod(it, every) == 0)
+
+                def do(st):
+                    cnt, acc = st
+                    s = stats(f)
+                    return (cnt + 1,
+                            jax.tree.map(lambda a, b: a + b, acc, s))
+
+                return jax.lax.cond(pred, do, lambda st: st, state)
+
+            self._reynolds_hook_id = self.add_device_hook(init, hook)
 
     def collect_reynolds_stats(self, runner):
         sample = jax.tree.map(np.asarray, self._reynolds_fn(runner.f))
@@ -128,8 +158,16 @@ class ReynoldsStatsMixIn(FlowStatsMixIn):
         return sample
 
     def reynolds_stats(self):
-        """Accumulated mean profiles."""
-        if not self._reynolds_samples:
-            return None
-        return {k: v / self._reynolds_samples
-                for k, v in self._reynolds_acc.items()}
+        """Accumulated mean profiles (host samples if any, else the
+        device accumulator)."""
+        if self._reynolds_samples:
+            return {k: v / self._reynolds_samples
+                    for k, v in self._reynolds_acc.items()}
+        if self._reynolds_hook_id is not None:
+            cnt, acc = self._reynolds_runner.device_hook_state[
+                self._reynolds_hook_id]
+            cnt = int(cnt)
+            if cnt == 0:
+                return None
+            return {k: np.asarray(v) / cnt for k, v in acc.items()}
+        return None

@@ -47,6 +47,11 @@ EXAMPLES = {
     'binary_fluid/sc_separation_3d.py': ['--lat_nx=16', '--lat_ny=16',
                                          '--lat_nz=16'],
     'square_cylinder_2d.py': ['--lat_nx=64', '--lat_ny=32'],
+    'turbulence/channel_flow.py': ['--H=8', '--Re_tau=60', '--wall=tms',
+                                   '--stats_every=5'],
+    'turbulence/kida_vortex.py': ['--lat_nx=16', '--lat_ny=16',
+                                  '--lat_nz=16', '--visc=0.01',
+                                  '--stats_every=5'],
 }
 
 ITERS = 20

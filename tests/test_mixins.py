@@ -57,3 +57,55 @@ def test_entropic_alpha_output():
     # smooth resolved flow: alpha close to 2 everywhere
     assert abs(alpha.mean() - 2.0) < 0.05
     assert 'alpha' in r.sim.host_fields()
+
+
+def test_reynolds_device_accumulation_chunk_independent():
+    """Device-hook Reynolds sampling must be independent of the host
+    chunk size: every=1 chunks and one big chunk give identical sums
+    (the per-iteration hook contract; reference runs after_step per
+    iteration, subdomain_runner.py:1738-1743)."""
+    from sailfish_tpu.stats import ReynoldsStatsMixIn
+
+    def run(every_cfg):
+        class Sim(LBFluidSim, ReynoldsStatsMixIn):
+            subdomain = _TGV
+
+            def before_main_loop(self, runner):
+                self.prepare_reynolds_stats(runner, axis='y', every=7,
+                                            from_iter=10)
+
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=32, lat_ny=32, visc=0.02, max_iters=60,
+            every=every_cfg, quiet=True, periodic_x=True,
+            periodic_y=True))
+        ctrl.run(ignore_cmdline=True)
+        return ctrl._runner.sim.reynolds_stats()
+
+    s_big = run(60)    # one jitted chunk
+    s_small = run(1)   # sixty host round-trips
+    assert s_big is not None and s_small is not None
+    for k in s_big:
+        np.testing.assert_allclose(s_big[k], s_small[k], rtol=1e-6,
+                                   atol=1e-12, err_msg=k)
+    # sampling happened at 14,21,...,56 -> 7 samples; the second moment
+    # of u is nontrivial (its x-mean vanishes for the TGV by symmetry)
+    assert np.any(s_big['u'][1] > 1e-8)
+
+
+def test_after_step_interval_contract():
+    """A sim declaring after_step_interval=k gets its host hook called on
+    every k-boundary even when cfg.every is larger."""
+    calls = []
+
+    class Sim(LBFluidSim):
+        subdomain = _TGV
+        after_step_interval = 5
+
+        def after_step(self, runner):
+            calls.append(self.iteration)
+
+    ctrl = LBSimulationController(Sim, default_config=dict(
+        lat_nx=32, lat_ny=32, visc=0.02, max_iters=20, every=20,
+        quiet=True, periodic_x=True, periodic_y=True))
+    ctrl.run(ignore_cmdline=True)
+    assert calls == [5, 10, 15, 20], calls
