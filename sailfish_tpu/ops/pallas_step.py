@@ -422,6 +422,40 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     return fused
 
 
+#: z-rows of context a patch plane's BC machinery may sample
+#: (worst case: NTYuOutflow reads 2n - c_i -> |dz| <= 3)
+PATCH_HALO = 3
+
+
+def compute_patch_plane(g, sub, f, r, Z, Y, X, it=0):
+    """Run the window sub-builder's full phase sequence for global z-row
+    ``r`` and return the (Q, Y, X) post-collision plane.
+
+    All reads go through a compact (Q, 2*PATCH_HALO+1, Y, X) slab sliced
+    out of ``f`` with whole-array plane slices. Slicing per-distribution
+    3D views (f[i]) instead makes XLA materialize each 3D view -- ~GBs of
+    spurious HBM traffic per step at 256^3."""
+    rows = [((r + o) % Z) for o in range(-PATCH_HALO, PATCH_HALO + 1)]
+    slab = jnp.concatenate([f[:, q:q + 1] for q in rows], axis=1)
+    box = (slice(PATCH_HALO, PATCH_HALO + 1), slice(0, Y), slice(0, X))
+
+    def axes_shift(vec):
+        return (int(vec[2]), int(vec[1]), int(vec[0]))
+
+    f_box = slab[(slice(None),) + box].reshape(g.Q, -1)
+    fs_box = jnp.stack([
+        window_shifted(slab[i], box, axes_shift(g.basis[i]))
+        .reshape(-1) for i in range(g.Q)])
+
+    def sampler(vec, _slab=slab, _box=box):
+        sh = axes_shift(-np.asarray(vec))
+        return jnp.stack([window_shifted(_slab[i], _box, sh)
+                          .reshape(-1) for i in range(g.Q)])
+
+    fpost = sub.phases(fs_box, f_box, it, sampler)
+    return fpost.reshape(g.Q, Y, X)
+
+
 def check_plane_tiling(Y, X, interpret=False):
     """Mosaic DMAs slice whole (Y, X) planes out of (sublane, lane)-tiled
     (8, 128) buffers; partial-tile plane shapes are rejected by the
@@ -480,25 +514,10 @@ class PallasStep3D:
 
     def _compute_patches(self, f, it=0):
         """Exact XLA recompute of the patched planes -> (Q, P, Y, X)."""
-        g = self.builder.grid
-
-        def axes_shift(vec):
-            return (int(vec[2]), int(vec[1]), int(vec[0]))
-
-        planes = []
-        for box, sub in self.patch_subs:
-            f_box = f[(slice(None),) + box].reshape(g.Q, -1)
-            fs_box = jnp.stack([
-                window_shifted(f[i], box, axes_shift(g.basis[i]))
-                .reshape(-1) for i in range(g.Q)])
-
-            def sampler(vec, _f=f, _box=box):
-                sh = axes_shift(-np.asarray(vec))
-                return jnp.stack([window_shifted(_f[i], _box, sh)
-                                  .reshape(-1) for i in range(g.Q)])
-
-            fpost = sub.phases(fs_box, f_box, it, sampler)
-            planes.append(fpost.reshape(g.Q, self.shape[1], self.shape[2]))
+        Z, Y, X = self.shape
+        planes = [
+            compute_patch_plane(self.builder.grid, sub, f, r, Z, Y, X, it)
+            for (box, sub), r in zip(self.patch_subs, self.patch_rows)]
         return jnp.stack(planes, axis=1)
 
     def step(self, f, it=0, ghost_lo=None, ghost_hi=None):

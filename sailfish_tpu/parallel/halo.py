@@ -30,8 +30,8 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sailfish_tpu.ops.pallas_step import (
-    PallasStep3D, check_plane_tiling, classify_nodes, make_kernel_3d,
-    window_shifted)
+    PallasStep3D, check_plane_tiling, classify_nodes,
+    compute_patch_plane, make_kernel_3d)
 
 
 class ShardedPallasStep3D:
@@ -124,25 +124,12 @@ class ShardedPallasStep3D:
         """Exact XLA recompute of every patched GLOBAL plane, packed as
         (Q, nshards, P, Y, X) so each shard receives its own slots."""
         g = self.builder.grid
-        _, Y, X = self.local_shape
-
-        def axes_shift(vec):
-            return (int(vec[2]), int(vec[1]), int(vec[0]))
+        Z, Y, X = self.shape
 
         planes = {}
         for r, box, sub in self.patch_subs:
-            f_box = f[(slice(None),) + box].reshape(g.Q, -1)
-            fs_box = jnp.stack([
-                window_shifted(f[i], box, axes_shift(g.basis[i]))
-                .reshape(-1) for i in range(g.Q)])
-
-            def sampler(vec, _f=f, _box=box):
-                sh = axes_shift(-np.asarray(vec))
-                return jnp.stack([window_shifted(_f[i], _box, sh)
-                                  .reshape(-1) for i in range(g.Q)])
-
-            fpost = sub.phases(fs_box, f_box, it, sampler)
-            planes[self._slot_of_row[r]] = fpost.reshape(g.Q, Y, X)
+            planes[self._slot_of_row[r]] = compute_patch_plane(
+                g, sub, f, r, Z, Y, X, it)
 
         zero = jnp.zeros((g.Q, Y, X), f.dtype)
         cols = []
