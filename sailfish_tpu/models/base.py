@@ -132,11 +132,53 @@ class LBSim:
         obj.id = len(self.force_objects)
         self.force_objects.append(obj)
 
+    def register_checkpoint_object(self, name, obj):
+        """Register an auxiliary object (e.g. TracerParticles) whose
+        ``checkpoint_state()/restore_checkpoint_state()`` join the sim
+        state saved in checkpoints. Objects are usually created in
+        before_main_loop -- AFTER a restore ran -- so a pending restored
+        state is applied here."""
+        if not hasattr(self, '_checkpoint_objects'):
+            self._checkpoint_objects = {}
+        self._checkpoint_objects[name] = obj
+        pending = getattr(self, '_pending_object_state', {})
+        if name in pending:
+            obj.restore_checkpoint_state(pending.pop(name))
+
     def get_state(self):
-        return {'iteration': self.iteration}
+        """Complete pickled sim state (reference pickles sim state into
+        the checkpoint, subdomain_runner.py:1414-1431): iteration plus
+        any mixin state (classes defining ``checkpoint_state``) and
+        registered auxiliary objects."""
+        state = {'iteration': self.iteration}
+        mixins = {}
+        for klass in type(self).mro():
+            if 'checkpoint_state' in vars(klass):
+                mixins[klass.__name__] = klass.checkpoint_state(self)
+        if mixins:
+            state['mixins'] = mixins
+        objs = getattr(self, '_checkpoint_objects', {})
+        if objs:
+            state['objects'] = {k: o.checkpoint_state()
+                                for k, o in objs.items()}
+        return state
 
     def set_state(self, state):
         self.iteration = int(state['iteration'])
+        mixins = state.get('mixins', {})
+        for klass in type(self).mro():
+            if 'restore_checkpoint_state' in vars(klass) and \
+                    klass.__name__ in mixins:
+                klass.restore_checkpoint_state(self,
+                                               mixins[klass.__name__])
+        self._pending_object_state = {}
+        objs = state.get('objects', {})
+        for name, ostate in objs.items():
+            obj = getattr(self, '_checkpoint_objects', {}).get(name)
+            if obj is not None:
+                obj.restore_checkpoint_state(ostate)
+            else:
+                self._pending_object_state[name] = ostate
 
 
 class ForceObject:

@@ -272,26 +272,45 @@ class SubdomainRunner:
             self._output.save(self.sim.iteration)
 
     def save_checkpoint(self):
-        """(reference subdomain_runner.py:1414-1431)"""
+        """Checkpoint = distributions + complete pickled sim state (mixin
+        accumulators, tracers, ...) + device-hook states (reference
+        subdomain_runner.py:1414-1431 pickles sim state the same way)."""
+        import pickle
         fname = sio.checkpoint_filename(
             self.config.checkpoint_file,
             sio.filename_iter_digits(self.config.max_iters), 0,
             self.sim.iteration)
         data = {'state': np.array([self.sim.iteration], dtype=np.int64)}
+        data['sim_state'] = np.frombuffer(
+            pickle.dumps(self.sim.get_state()), dtype=np.uint8)
         leaves = jax.tree.leaves(self.f)
         for i, leaf in enumerate(leaves):
             data[f'dist{i}a'] = np.asarray(leaf)
+        hook_leaves = jax.tree.leaves(self.device_hook_state)
+        for i, leaf in enumerate(hook_leaves):
+            data[f'hook{i}'] = np.asarray(leaf)
         np.savez(fname, **data)
 
     def restore_checkpoint(self, fname):
         """(reference subdomain_runner.py:1433-1448)"""
+        import pickle
         cpoint = np.load(fname, allow_pickle=True)
-        self.sim.iteration = int(cpoint['state'][0])
+        if 'sim_state' in cpoint:
+            self.sim.set_state(
+                pickle.loads(cpoint['sim_state'].tobytes()))
+        else:
+            self.sim.iteration = int(cpoint['state'][0])
         leaves, treedef = jax.tree.flatten(self.f)
         new_leaves = [jnp.asarray(cpoint[f'dist{i}a'],
                                   dtype=self.config.dtype)
                       for i in range(len(leaves))]
         self.f = jax.tree.unflatten(treedef, new_leaves)
+        # device-hook states are registered in before_main_loop (after
+        # restore); stash the leaves for overlay once hooks exist
+        self._pending_hook_leaves = [
+            cpoint[k] for k in sorted(
+                (k for k in cpoint.files if k.startswith('hook')),
+                key=lambda s: int(s[4:]))]
 
     # -- main loop -----------------------------------------------------------
 
@@ -314,6 +333,15 @@ class SubdomainRunner:
             # hooks are typically registered in before_main_loop; weave
             # them into the jitted loop now
             self._make_run_steps()
+            pending = getattr(self, '_pending_hook_leaves', None)
+            if pending:
+                leaves, treedef = jax.tree.flatten(self.device_hook_state)
+                assert len(pending) == len(leaves), \
+                    'checkpoint device-hook state does not match the ' \
+                    'registered hooks'
+                self.device_hook_state = jax.tree.unflatten(
+                    treedef, [jnp.asarray(p, dtype=l.dtype)
+                              for p, l in zip(pending, leaves)])
         return self.main()
 
     def _block_until_ready(self):

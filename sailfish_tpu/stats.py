@@ -124,8 +124,9 @@ class ReynoldsStatsMixIn(FlowStatsMixIn):
             return out
 
         self._reynolds_fn = jax.jit(stats)
-        self._reynolds_acc = None
-        self._reynolds_samples = 0
+        if not getattr(self, '_reynolds_restored', False):
+            self._reynolds_acc = None
+            self._reynolds_samples = 0
         self._reynolds_runner = runner
         self._reynolds_hook_id = None
         if every is not None:
@@ -146,6 +147,15 @@ class ReynoldsStatsMixIn(FlowStatsMixIn):
                 return jax.lax.cond(pred, do, lambda st: st, state)
 
             self._reynolds_hook_id = self.add_device_hook(init, hook)
+
+    def checkpoint_state(self):
+        return {'acc': getattr(self, '_reynolds_acc', None),
+                'samples': getattr(self, '_reynolds_samples', 0)}
+
+    def restore_checkpoint_state(self, state):
+        self._reynolds_acc = state['acc']
+        self._reynolds_samples = state['samples']
+        self._reynolds_restored = True
 
     def collect_reynolds_stats(self, runner):
         sample = jax.tree.map(np.asarray, self._reynolds_fn(runner.f))

@@ -57,3 +57,11 @@ class TracerParticles:
 
     def to_numpy(self):
         return np.asarray(self.positions)
+
+    # checkpoint protocol (sim.register_checkpoint_object)
+    def checkpoint_state(self):
+        return {'positions': self.to_numpy()}
+
+    def restore_checkpoint_state(self, state):
+        self.positions = jnp.asarray(state['positions'],
+                                     dtype=jnp.float32)

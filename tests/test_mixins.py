@@ -109,3 +109,59 @@ def test_after_step_interval_contract():
         quiet=True, periodic_x=True, periodic_y=True))
     ctrl.run(ignore_cmdline=True)
     assert calls == [5, 10, 15, 20], calls
+
+
+def test_checkpoint_restores_mixin_and_tracer_state(tmp_path):
+    """Checkpoint carries the COMPLETE sim state: device-hook Reynolds
+    accumulators and tracer positions survive a save/restore split run
+    (VERDICT: reference pickles sim state, subdomain_runner.py:1414)."""
+    import jax
+    from sailfish_tpu.stats import ReynoldsStatsMixIn
+    from sailfish_tpu.tracers import TracerParticles
+
+    def make_sim():
+        class Sim(LBFluidSim, ReynoldsStatsMixIn):
+            subdomain = _TGV
+
+            def before_main_loop(self, runner):
+                self.prepare_reynolds_stats(runner, axis='y', every=5)
+                if not hasattr(self, 'tp'):
+                    self.tp = TracerParticles(
+                        np.array([[3.0, 10.0], [4.0, 20.0]]), (32, 32))
+                    self.register_checkpoint_object('tracers', self.tp)
+
+            def after_step(self, runner):
+                if self.iteration % self.config.every == 0:
+                    self.tp.update(runner)
+        return Sim
+
+    def cfg(**kw):
+        base = dict(lat_nx=32, lat_ny=32, visc=0.02, every=10,
+                    quiet=True, periodic_x=True, periodic_y=True)
+        base.update(kw)
+        return base
+
+    # straight run to 40
+    ctrl_a = LBSimulationController(make_sim(), default_config=cfg(
+        max_iters=40))
+    ctrl_a.run(ignore_cmdline=True)
+    ra = ctrl_a._runner
+
+    # split run: 20 + checkpoint, then restore + 20
+    cp = str(tmp_path / 'cp')
+    ctrl_b1 = LBSimulationController(make_sim(), default_config=cfg(
+        max_iters=20, checkpoint_file=cp, final_checkpoint=True))
+    ctrl_b1.run(ignore_cmdline=True)
+    ctrl_b2 = LBSimulationController(make_sim(), default_config=cfg(
+        max_iters=40, restore_from=cp + '.last'))
+    ctrl_b2.run(ignore_cmdline=True)
+    rb = ctrl_b2._runner
+
+    assert rb.sim.iteration == 40
+    np.testing.assert_array_equal(np.asarray(ra.f), np.asarray(rb.f))
+    sa = ra.sim.reynolds_stats()
+    sb = rb.sim.reynolds_stats()
+    for k in sa:
+        np.testing.assert_allclose(sa[k], sb[k], rtol=1e-6, err_msg=k)
+    np.testing.assert_allclose(ra.sim.tp.to_numpy(),
+                               rb.sim.tp.to_numpy(), rtol=1e-6)
