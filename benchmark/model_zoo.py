@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""MLUPS across the model zoo: one row per (model family, config).
+
+Counterpart of the reference's perftest matrix (perftest/results/*/
+blocksize/{d2q9_bgk, d3q19_bgk, bin_d2q9_fe_bgk, ...}) so every model
+family has a MEASURED figure, not just the fused-BGK headline. Writes
+`<out>.dat` rows:  name  nodes  mlups  engine.
+
+Run on the real chip:  python benchmark/model_zoo.py
+"""
+
+import argparse
+import sys
+import time
+
+
+CASES = {
+    # name: (example module, geo dim, config overrides)
+    'd2q9_bgk_ldc_2048': ('ldc_2d', 2,
+                          dict(lat_nx=2048, lat_ny=2048)),
+    'd3q19_bgk_ldc_256': ('ldc_3d', 3,
+                          dict(lat_nx=256, lat_ny=256, lat_nz=256)),
+    'd3q19_mrt_ldc_128': ('ldc_3d', 3,
+                          dict(lat_nx=128, lat_ny=128, lat_nz=128,
+                               model='mrt')),
+    'd3q15_bgk_kida_128': ('turbulence.kida_vortex', 3,
+                           dict(lat_nx=128, lat_ny=128, lat_nz=128,
+                                visc=0.002)),
+    'd3q19_les_sphere_128': ('sphere_3d', 3,
+                             dict(lat_nx=128, lat_ny=128, lat_nz=128,
+                                  subgrid='les-smagorinsky',
+                                  visc=0.005)),
+    'd2q9_sc_single_1024': ('sc_phase_separation', 2,
+                            dict(lat_nx=1024, lat_ny=1024)),
+    'bin_d2q9_fe_512': ('binary_fluid.fe_separation_2d', 2,
+                        dict(lat_nx=512, lat_ny=512)),
+    'bin_d2q9_sc_512': ('binary_fluid.sc_separation_2d', 2,
+                        dict(lat_nx=512, lat_ny=512)),
+}
+
+SIM_CLASSES = {
+    'ldc_2d': 'LDCSim',
+    'ldc_3d': 'LDCSim',
+    'turbulence.kida_vortex': 'KidaSim',
+    'sphere_3d': 'SphereSimulation',
+    'sc_phase_separation': 'SCSim',
+    'binary_fluid.fe_separation_2d': 'SeparationFESim',
+    'binary_fluid.sc_separation_2d': 'SeparationSCSim',
+}
+
+
+def run_case(name, iters, warmup):
+    import importlib
+
+    import jax
+    import numpy as np
+
+    from sailfish_tpu import geo as geo_mod
+    from sailfish_tpu import util
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.runner import SubdomainRunner
+    util.enable_compile_cache()
+
+    module, dim, overrides = CASES[name]
+    sys.path.insert(0, 'examples')
+    sys.path.insert(0, 'examples/turbulence')
+    sys.path.insert(0, 'examples/binary_fluid')
+    mod = importlib.import_module(module.split('.')[-1])
+    sim_cls = getattr(mod, SIM_CLASSES[module])
+
+    ctrl = LBSimulationController(sim_cls, default_config=dict(
+        max_iters=0, quiet=True, **overrides))
+    defaults = {}
+    sim_cls.update_defaults(defaults)
+    defaults.update(ctrl._default_config)
+    config = ctrl.config_parser.parse([], internal_defaults=defaults)
+    sim_cls.modify_config(config)
+    sim = sim_cls(config)
+    geo_cls = geo_mod.LBGeometry2D if dim == 2 else geo_mod.LBGeometry3D
+    runner = SubdomainRunner(sim, geo_cls(config))
+    runner._init_geometry()
+    runner._init_fields()
+    runner._init_state()
+
+    nodes = int(np.prod(runner._domain_shape()))
+    f = runner._run_steps(runner.f, warmup, 0)
+    jax.block_until_ready(f)
+    t0 = time.perf_counter()
+    f = runner._run_steps(f, iters, warmup)
+    jax.block_until_ready(f)
+    dt = time.perf_counter() - t0
+    leaves = jax.tree.leaves(f)
+    assert all(bool(jax.numpy.isfinite(l).all()) for l in leaves), name
+    return nodes * iters / dt / 1e6, nodes, runner.engine
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--out', type=str, default='model_zoo')
+    p.add_argument('--iters', type=int, default=50)
+    p.add_argument('--warmup', type=int, default=10)
+    p.add_argument('--only', type=str, default='')
+    args = p.parse_args()
+
+    fname = f'{args.out}.dat'
+    with open(fname, 'w') as out:
+        for name in CASES:
+            if args.only and args.only not in name:
+                continue
+            try:
+                mlups, nodes, engine = run_case(name, args.iters,
+                                                args.warmup)
+            except Exception as e:
+                print(f'{name:<24s} FAILED: {e}')
+                continue
+            line = f'{name} {nodes} {mlups:.1f} {engine}'
+            print(line)
+            out.write(line + '\n')
+    print('wrote', fname)
+
+
+if __name__ == '__main__':
+    main()

@@ -94,6 +94,16 @@ class LBSimulationController:
                                 'the JAX_PLATFORMS env var may be overridden '
                                 'by site config, this flag is authoritative')
 
+        group = self.config_parser.add_group('Cluster')
+        group.add_argument('--cluster', action='store_true', default=False,
+                           help='multi-host run: call '
+                                'jax.distributed.initialize before device '
+                                'use (flags below override scheduler env '
+                                'autodetection)')
+        group.add_argument('--coordinator_address', type=str, default='')
+        group.add_argument('--num_processes', type=int, default=0)
+        group.add_argument('--process_id', type=int, default=-1)
+
         group = self.config_parser.add_group('Checkpointing')
         group.add_argument('--checkpoint_file', type=str, default='')
         group.add_argument('--checkpoint_every', type=int, default=0)
@@ -147,6 +157,10 @@ class LBSimulationController:
             jax.config.update('jax_platforms', config.platform)
         if config.precision == 'double':
             jax.config.update('jax_enable_x64', True)
+        if config.cluster:
+            # multi-host bootstrap (replaces the reference's
+            # execnet/PBS/LSF machinery, controller.py:496-658)
+            util.init_distributed(config, util.get_logger(config))
         util.enable_compile_cache()
         if config.seed:
             np.random.seed(config.seed)

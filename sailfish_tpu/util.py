@@ -133,3 +133,85 @@ def energy_spectrum(vfield):
     e = np.zeros(len(kbins) + 1)
     np.add.at(e, which, mag.flat)
     return e[1:-1] / (2.0 * np.prod(shape))
+
+
+def cluster_env_spec():
+    """Autodetect a multi-host launch from scheduler environment
+    variables (counterpart of the reference's PBS/LSF cluster-spec
+    detection, util.py:92-128, repurposed for jax.distributed).
+
+    Returns (coordinator_address, num_processes, process_id) with None
+    entries for anything the environment does not determine."""
+    import os
+    env = os.environ
+
+    # SLURM (srun)
+    if 'SLURM_PROCID' in env and 'SLURM_NTASKS' in env:
+        coord = None
+        nodelist = env.get('SLURM_STEP_NODELIST',
+                           env.get('SLURM_NODELIST', ''))
+        if nodelist:
+            # first hostname of the (possibly compressed) node list
+            head = nodelist.split(',')[0]
+            if '[' in head:
+                prefix, rng = head.split('[', 1)
+                head = prefix + rng.split('-')[0].split(',')[0].rstrip(']')
+            coord = head + ':8476'
+        return coord, int(env['SLURM_NTASKS']), int(env['SLURM_PROCID'])
+
+    # OpenMPI / mpirun
+    if 'OMPI_COMM_WORLD_SIZE' in env:
+        return (None, int(env['OMPI_COMM_WORLD_SIZE']),
+                int(env['OMPI_COMM_WORLD_RANK']))
+
+    # PBS: the node file lists one line per allocated slot
+    if 'PBS_NODEFILE' in env:
+        try:
+            with open(env['PBS_NODEFILE']) as nf:
+                hosts = [l.strip() for l in nf if l.strip()]
+        except OSError:
+            hosts = []
+        if hosts:
+            num = len(hosts)
+            pid = int(env.get('PBS_TASKNUM', env.get('PBS_VNODENUM', 0)))
+            return hosts[0] + ':8476', num, pid
+
+    # LSF
+    if 'LSB_HOSTS' in env:
+        hosts = env['LSB_HOSTS'].split()
+        if hosts:
+            pid = int(env.get('LS_JOBPID_RANK', 0))
+            return hosts[0] + ':8476', len(hosts), pid
+
+    return None, None, None
+
+
+def init_distributed(config, log=None):
+    """Multi-host bootstrap: jax.distributed.initialize driven by
+    explicit flags or scheduler env autodetection (the TPU-native
+    replacement for the reference's execnet/SSH cluster startup,
+    controller.py:496-658). Returns True if initialization ran."""
+    import jax
+
+    coord = getattr(config, 'coordinator_address', '') or None
+    num = getattr(config, 'num_processes', 0) or None
+    pid = getattr(config, 'process_id', -1)
+    pid = None if pid is None or pid < 0 else pid
+    if coord is None or num is None or pid is None:
+        auto = cluster_env_spec()
+        coord = coord or auto[0]
+        num = num if num is not None else auto[1]
+        pid = pid if pid is not None else auto[2]
+    kwargs = {}
+    if coord is not None:
+        kwargs['coordinator_address'] = coord
+    if num is not None:
+        kwargs['num_processes'] = num
+    if pid is not None:
+        kwargs['process_id'] = pid
+    if log is not None:
+        log.info('multi-host init: %s', kwargs or 'TPU-pod autodetect')
+    # on TPU pods jax.distributed.initialize() autodetects everything;
+    # elsewhere the flags/env provide the spec
+    jax.distributed.initialize(**kwargs)
+    return True
