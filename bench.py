@@ -43,11 +43,18 @@ def main():
     runner._init_fields()
     runner._init_state()
 
+    def sync(f):
+        # block_until_ready is not reliable for every array on the
+        # remote-device stack; materializing a slice is
+        import numpy as np
+        leaves = jax.tree.leaves(f)
+        return np.asarray(leaves[0].ravel()[:2])
+
     f = runner._run_steps(runner.f, warmup)
-    jax.block_until_ready(f)
+    sync(f)
     t0 = time.perf_counter()
     f = runner._run_steps(f, iters)
-    jax.block_until_ready(f)
+    sync(f)
     t1 = time.perf_counter()
 
     mlups = n ** 3 * iters / (t1 - t0) / 1e6

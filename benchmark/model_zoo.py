@@ -83,11 +83,18 @@ def run_case(name, iters, warmup):
     runner._init_state()
 
     nodes = int(np.prod(runner._domain_shape()))
+    import numpy as _np
+
+    def sync(f):
+        # materialize a slice: block_until_ready alone is not reliable
+        # for every array on the remote-device stack
+        return _np.asarray(jax.tree.leaves(f)[0].ravel()[:2])
+
     f = runner._run_steps(runner.f, warmup, 0)
-    jax.block_until_ready(f)
+    sync(f)
     t0 = time.perf_counter()
     f = runner._run_steps(f, iters, warmup)
-    jax.block_until_ready(f)
+    sync(f)
     dt = time.perf_counter() - t0
     leaves = jax.tree.leaves(f)
     assert all(bool(jax.numpy.isfinite(l).all()) for l in leaves), name

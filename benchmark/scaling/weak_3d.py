@@ -41,11 +41,18 @@ def run_case(n_devices, base, iters, warmup, platform=''):
     runner._init_state()
 
     nodes = nx * ny * bz * n_devices
+    import numpy as _np
+
+    def sync(f):
+        # materialize a slice: block_until_ready alone is not reliable
+        # for every array on the remote-device stack
+        return _np.asarray(jax.tree.leaves(f)[0].ravel()[:2])
+
     f = runner._run_steps(runner.f, warmup, 0)
-    jax.block_until_ready(f)
+    sync(f)
     t0 = time.perf_counter()
     f = runner._run_steps(f, iters, warmup)
-    jax.block_until_ready(f)
+    sync(f)
     dt = time.perf_counter() - t0
     return nodes * iters / dt / 1e6
 

@@ -210,15 +210,23 @@ class LBForcedSim(LBSim):
     def __init__(self, config):
         super().__init__(config)
         self._forces = {}
+        self._eq_force_map = {}
 
     def add_body_force(self, force, grid=0, accel=True):
-        """Accumulate a constant body force (acceleration if accel=True)
-        on distribution grid ``grid``."""
+        """Accumulate a constant body force (acceleration if accel=True;
+        with accel=False the value is a force density, identical for the
+        rho~1 scenes that use it) on distribution grid ``grid``."""
         f = np.asarray(force, dtype=np.float64)
         if grid in self._forces:
             self._forces[grid] = self._forces[grid] + f
         else:
             self._forces[grid] = f
+
+    def use_force_for_equilibrium(self, force_grid, target_grid):
+        """Select which grid's body force shifts the velocity used in
+        ``target_grid``'s equilibrium: force_grid=None means the bare
+        fluid velocity (reference lb_base.py:341-367)."""
+        self._eq_force_map[target_grid] = force_grid
 
     def body_force(self, grid=0):
         return self._forces.get(grid)

@@ -111,7 +111,9 @@ class LBBinaryFluidFreeEnergy(LBBinaryFluidBase):
             tau_a=cfg.tau_a, tau_b=cfg.tau_b, tau_phi=cfg.tau_phi,
             A=cfg.A, kappa=cfg.kappa, Gamma=cfg.Gamma,
             wall_grad_phase=cfg.bc_wall_grad_phase,
-            body_force=body_force, dtype=dtype)
+            body_force=body_force,
+            eq_force_map=getattr(self, '_eq_force_map', None),
+            dtype=dtype)
 
 
 class LBBinaryFluidShanChen(LBBinaryFluidBase, LBForcedSim):
@@ -132,8 +134,10 @@ class LBBinaryFluidShanChen(LBBinaryFluidBase, LBForcedSim):
         cfg = self.config
         tau = lattice.relaxation_time(cfg.visc)
         couplings = {(0, 0): cfg.G11, (0, 1): cfg.G12, (1, 1): cfg.G22}
+        # grid 0 relaxes at tau(visc), grid 1 at tau_phi (reference
+        # lb_binary_fluid.mako:38-44)
         return ShanChenMultiStepBuilder(
-            self.grid, maps, [tau, tau], couplings,
+            self.grid, maps, [tau, cfg.tau_phi], couplings,
             potential=cfg.sc_potential,
             body_forces=[self.body_force(0), self.body_force(1)],
             dtype=dtype)

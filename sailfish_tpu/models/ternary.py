@@ -99,8 +99,9 @@ class LBTernaryFluidShanChen(LBTernaryFluidBase, LBForcedSim):
         tau = lattice.relaxation_time(cfg.visc)
         couplings = {(0, 0): cfg.G11, (0, 1): cfg.G12, (0, 2): cfg.G13,
                      (1, 1): cfg.G22, (1, 2): cfg.G23, (2, 2): cfg.G33}
+        # per-grid relaxation times (reference lb_ternary_fluid.mako:20-29)
         return ShanChenMultiStepBuilder(
-            self.grid, maps, [tau] * 3, couplings,
+            self.grid, maps, [tau, cfg.tau_phi, cfg.tau_theta], couplings,
             potential=cfg.sc_potential,
             body_forces=[self.body_force(k) for k in range(3)],
             dtype=dtype)

@@ -247,9 +247,13 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
     order parameter, relaxing at tau_phi."""
 
     def __init__(self, grid, maps, *, tau_a, tau_b, tau_phi, A, kappa,
-                 Gamma, wall_grad_phase=0.0, body_force=None, dtype=None):
+                 Gamma, wall_grad_phase=0.0, body_force=None,
+                 eq_force_map=None, dtype=None):
         super().__init__(grid, maps, [(tau_a + tau_b) / 2.0, tau_phi],
                          body_force=body_force, dtype=dtype)
+        #: target_grid -> force source grid (None = bare fluid velocity);
+        #: reference use_force_for_equilibrium (lb_base.py:341-367)
+        self.eq_force_map = dict(eq_force_map or {})
         self.tau_a = float(tau_a)
         self.tau_b = float(tau_b)
         self.tau_phi = float(tau_phi)
@@ -288,6 +292,28 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
             out = jnp.where(self._dry_orient == k, mirrored, out)
         return out
 
+    def _eq_velocity(self, u, target):
+        """Velocity entering ``target``'s equilibrium, honoring
+        use_force_for_equilibrium overrides. ``u`` is the
+        common_velocity output (shifted by half the grid-0 force)."""
+        if target not in self.eq_force_map:
+            return u
+        g = self.grid
+        u_base = u
+        if self.body_force is not None:
+            bf = np.asarray(self.body_force, dtype=np.float64).reshape(
+                (g.dim,) + (1,) * (u.ndim - 1))
+            u_base = u - 0.5 * jnp.asarray(bf, u.dtype)
+        src = self.eq_force_map[target]
+        if src is None:
+            return u_base
+        f_src = self.body_forces[src]
+        if f_src is None:
+            return u_base
+        fs = np.asarray(f_src, dtype=np.float64).reshape(
+            (g.dim,) + (1,) * (u.ndim - 1))
+        return u_base + 0.5 * jnp.asarray(fs, u.dtype)
+
     def collide_all(self, fss, rhos, u):
         g = self.grid
         rho, phi = rhos
@@ -295,8 +321,15 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
         lap, grad = laplacian_and_grad(phi_w, g.dim)
         A, kappa, Gamma = self.A, self.kappa, self.Gamma
 
-        cu = eq.dot_cu(g, u)                    # (Q, *S)
-        usq = jnp.sum(u * u, axis=0)
+        u0 = self._eq_velocity(u, 0)
+        u1 = self._eq_velocity(u, 1)
+        cu = eq.dot_cu(g, u0)                   # (Q, *S)
+        usq = jnp.sum(u0 * u0, axis=0)
+        if u1 is u0:
+            cu1, usq1 = cu, usq
+        else:
+            cu1 = eq.dot_cu(g, u1)
+            usq1 = jnp.sum(u1 * u1, axis=0)
         w = self.fe_w
 
         # fluid equilibrium (free_energy_equilibrium_fluid; cssq=1/3 so
@@ -326,8 +359,9 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
         mu = A * (-phi + phi ** 3) - kappa * lap
         geq_parts = []
         for i in range(1, g.Q):
-            t = w['wi'][i] * (Gamma * mu + cu[i] * phi
-                              + 1.5 * phi * (cu[i] * cu[i] - usq / 3.0))
+            t = w['wi'][i] * (Gamma * mu + cu1[i] * phi
+                              + 1.5 * phi * (cu1[i] * cu1[i]
+                                             - usq1 / 3.0))
             geq_parts.append(t)
         geq0 = phi - sum(geq_parts)
         geq = jnp.stack([geq0] + geq_parts)

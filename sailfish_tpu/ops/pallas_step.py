@@ -129,26 +129,217 @@ def _moments(builder, fs):
     return rho, u, usq, uF
 
 
-def _collide_one(builder, fi, mom, i):
-    """BGK relaxation (+ Guo forcing) of a single direction given the
-    precomputed moments."""
+def _feq_i(builder, rho, usq, cu, i):
+    """Second-order equilibrium for direction i given cu = c_i . u."""
+    w = builder.grid.weights
+    dtype = rho.dtype
+    poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
+    if builder.incompressible:
+        return jnp.asarray(w[i], dtype) * (rho + poly)
+    return jnp.asarray(w[i], dtype) * (rho + rho * poly)
+
+
+def _force_term(builder, mom, cu, i):
+    """Guo forcing increment for direction i (base-tau prefactor, like
+    the XLA engine's guo_force_terms call)."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    dtype = rho.dtype
+    fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
+    cF = float(np.dot(g.basis[i], fvec))
+    pref = (1.0 - 0.5 * builder.tau_inv) * g.weights[i]
+    return jnp.asarray(pref, dtype) * rho * (
+        3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+
+
+def mrt_pair_rates(builder):
+    """(s_even, s_odd) for the parity-split MRT/TRT form, or raise if
+    the rate vector does not decompose that way (then the XLA engine
+    must run the scene). StepBuilder's Gram-Schmidt rates (shear + even
+    ghosts + energy at 1/tau, odd ghosts at the TRT-magic rate,
+    lattice.py:161-185) always qualify."""
+    g = builder.grid
+    rates = np.asarray(builder.mrt_rates, dtype=np.float64)
+    cons = set(int(k) for k in g.mrt_conserved)
+    s_e = s_o = None
+    for k in range(g.Q):
+        if k in cons:
+            continue
+        if g.mrt_parity[k] > 0:
+            if s_e is None:
+                s_e = rates[k]
+            elif abs(s_e - rates[k]) > 1e-12:
+                raise NotImplementedError(
+                    'non-uniform even MRT rates; fused kernel supports '
+                    'the parity-split (TRT-style) rate structure only')
+        else:
+            if s_o is None:
+                s_o = rates[k]
+            elif abs(s_o - rates[k]) > 1e-12:
+                raise NotImplementedError('non-uniform odd MRT rates')
+    return float(s_e), float(s_o)
+
+
+def _collide_prepass(builder, fs, mom):
+    """Whole-plane precomputation shared by the pairwise collide:
+    conserved-moment corrections for MRT/TRT and the local Smagorinsky
+    tau field for LES. Everything is built from on-the-fly fneq planes
+    (compute is ~free; the kernel is HBM-bound)."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    dtype = rho.dtype
+    extra = {}
+    is_mrt = builder.model in ('mrt', 'trt')
+    les = builder.smagorinsky > 0.0
+    if not (is_mrt or les):
+        return extra
+
+    if les:
+        # XLA reference computes the strain from feq at the UNSHIFTED
+        # velocity (ops/step.py smagorinsky block runs before the force
+        # shift)
+        if uF is not None:
+            fvec = np.asarray(builder.body_force,
+                              dtype=np.float64).reshape(-1)
+            u0 = [ua - jnp.asarray(0.5 * fvec[a], dtype)
+                  for a, ua in enumerate(u)]
+        else:
+            u0 = u
+        usq0 = u0[0] * u0[0]
+        for a in range(1, g.dim):
+            usq0 = usq0 + u0[a] * u0[a]
+        ab = [(a, b) for a in range(g.dim) for b in range(a, g.dim)]
+        pi = [None] * len(ab)
+        for j in range(g.Q):
+            cu0 = eq.signed_sum(g.basis[j], u0)
+            fneq = fs[j] - _feq_i(builder, rho, usq0, cu0, j)
+            for t, (a, b) in enumerate(ab):
+                coef = int(g.basis[j][a]) * int(g.basis[j][b])
+                if coef:
+                    term = fneq if coef == 1 else \
+                        (-fneq if coef == -1 else float(coef) * fneq)
+                    pi[t] = term if pi[t] is None else pi[t] + term
+        strain = None
+        for t, (a, b) in enumerate(ab):
+            if pi[t] is None:
+                continue
+            sq = pi[t] * pi[t]
+            if a != b:
+                sq = sq + sq
+            strain = sq if strain is None else strain + sq
+        tau = builder.tau
+        cs = builder.smagorinsky
+        tau_t = 0.5 * (jnp.sqrt(jnp.asarray(tau * tau, dtype)
+                                + 36.0 * (cs * cs)
+                                * jnp.sqrt(strain)) - tau)
+        extra['tau_inv'] = 1.0 / (tau + tau_t)
+
+    if is_mrt:
+        s_e, s_o = mrt_pair_rates(builder)
+        extra['rates'] = (s_e, s_o)
+        cons = [int(k) for k in g.mrt_conserved]
+        m_planes = []
+        for k in cons:
+            acc = None
+            for j in range(g.Q):
+                coef = float(g.mrt_matrix[k, j])
+                if coef == 0.0:
+                    continue
+                cu = eq.signed_sum(g.basis[j], u)
+                fneq = fs[j] - _feq_i(builder, rho, usq, cu, j)
+                term = fneq if coef == 1.0 else \
+                    (-fneq if coef == -1.0 else
+                     jnp.asarray(coef, dtype) * fneq)
+                acc = term if acc is None else acc + term
+            m_planes.append(acc)
+        extra['cons'] = (cons, m_planes)
+    return extra
+
+
+def _mrt_corr(builder, extra, i, dtype):
+    """Conserved-moment correction restoring the zero relaxation rate on
+    rho/momentum (only nonzero net effect under forcing, where the
+    equilibrium velocity is shifted)."""
+    g = builder.grid
+    s_e, s_o = extra['rates']
+    cons, m_planes = extra['cons']
+    corr = None
+    for k, m in zip(cons, m_planes):
+        if m is None:
+            continue
+        s_k = s_e if g.mrt_parity[k] > 0 else s_o
+        coef = float(g.mrt_inv[i, k]) * s_k
+        if coef == 0.0:
+            continue
+        term = jnp.asarray(coef, dtype) * m
+        corr = term if corr is None else corr + term
+    return corr
+
+
+def _collide_pair(builder, fi, fo, mom, i, o, extra):
+    """Post-collision values for the (i, opposite) direction pair.
+
+    BGK (optionally with a local LES tau field) or parity-split MRT/TRT
+    (reference relaxation_mrt.mako; rate structure per mrt_pair_rates).
+    Returns (vi, vo); vo is None when i == o (rest particle)."""
     g = builder.grid
     rho, u, usq, uF = mom
     dtype = fi.dtype
-    w = g.weights
-    cu = eq.signed_sum(g.basis[i], u)
-    poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
-    if builder.incompressible:
-        feq = jnp.asarray(w[i], dtype) * (rho + poly)
+    cu_i = eq.signed_sum(g.basis[i], u)
+    if builder.model in ('mrt', 'trt'):
+        s_e, s_o = extra['rates']
+        feq_i = _feq_i(builder, rho, usq, cu_i, i)
+        fneq_i = fi - feq_i
+        if o == i:
+            vi = fi - jnp.asarray(s_e, dtype) * fneq_i
+            vo = None
+        else:
+            cu_o = eq.signed_sum(g.basis[o], u)
+            feq_o = _feq_i(builder, rho, usq, cu_o, o)
+            fneq_o = fo - feq_o
+            hp = 0.5 * (fneq_i + fneq_o)
+            hm = 0.5 * (fneq_i - fneq_o)
+            vi = fi - jnp.asarray(s_e, dtype) * hp \
+                - jnp.asarray(s_o, dtype) * hm
+            vo = fo - jnp.asarray(s_e, dtype) * hp \
+                + jnp.asarray(s_o, dtype) * hm
+        corr_i = _mrt_corr(builder, extra, i, dtype)
+        if corr_i is not None:
+            vi = vi + corr_i
+        if vo is not None:
+            corr_o = _mrt_corr(builder, extra, o, dtype)
+            if corr_o is not None:
+                vo = vo + corr_o
     else:
-        feq = jnp.asarray(w[i], dtype) * (rho + rho * poly)
+        tau_inv = extra.get('tau_inv')
+        if tau_inv is None:
+            tau_inv = jnp.asarray(builder.tau_inv, dtype)
+        feq_i = _feq_i(builder, rho, usq, cu_i, i)
+        vi = fi + tau_inv * (feq_i - fi)
+        vo = None
+        if o != i:
+            cu_o = eq.signed_sum(g.basis[o], u)
+            feq_o = _feq_i(builder, rho, usq, cu_o, o)
+            vo = fo + tau_inv * (feq_o - fo)
+    if uF is not None:
+        vi = vi + _force_term(builder, mom, cu_i, i)
+        if vo is not None:
+            cu_o = eq.signed_sum(g.basis[o], u)
+            vo = vo + _force_term(builder, mom, cu_o, o)
+    return vi, vo
+
+
+def _collide_one(builder, fi, mom, i):
+    """BGK relaxation (+ Guo forcing) of a single direction given the
+    precomputed moments (kept for the plain-BGK fast path)."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    dtype = fi.dtype
+    cu = eq.signed_sum(g.basis[i], u)
+    feq = _feq_i(builder, rho, usq, cu, i)
     fpost = fi + jnp.asarray(builder.tau_inv, dtype) * (feq - fi)
     if uF is not None:
-        fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
-        cF = float(np.dot(g.basis[i], fvec))
-        pref = (1.0 - 0.5 * builder.tau_inv) * w[i]
-        fpost = fpost + jnp.asarray(pref, dtype) * rho * (
-            3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+        fpost = fpost + _force_term(builder, mom, cu, i)
     return fpost
 
 
@@ -317,24 +508,25 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             # moments (read all planes before any in-place overwrite)
             fsl = [fs_buf[slot, i] for i in range(Q)]
             mom_u = _moments(builder, fsl)
+            extra = _collide_prepass(builder, fsl, mom_u)
             if has_mask:
                 m = mask_buf[slot, 0]
                 is_dry = m == 1
                 is_keep = m == 2
 
             # pairwise collide+store in place: out_i depends only on
-            # fs_i (+ moments), the mask reflection on fs_opp -- both read
-            # before either is overwritten within a pair
+            # fs_i/fs_opp (+ whole-plane moments), both read before
+            # either is overwritten within a pair
             for i, o in pairs:
                 fi = fs_buf[slot, i]
-                vi = _collide_one(builder, fi, mom_u, i)
+                fo = fs_buf[slot, o] if o != i else None
+                vi, vo = _collide_pair(builder, fi, fo, mom_u, i, o,
+                                       extra)
                 if o == i:
                     if has_mask:
                         vi = jnp.where(is_dry | is_keep, fi, vi)
                     fs_buf[slot, i] = vi
                     continue
-                fo = fs_buf[slot, o]
-                vo = _collide_one(builder, fo, mom_u, o)
                 if has_mask:
                     vi = jnp.where(is_dry, fo, jnp.where(is_keep, fi, vi))
                     vo = jnp.where(is_dry, fi, jnp.where(is_keep, fo, vo))

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import classify_nodes, window_shifted, \
-    _moments, _collide_one
+    _collide_pair, _collide_prepass, _moments
 
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
@@ -159,18 +159,20 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     plane = pltpu.roll(plane, cx % X, axis=1)
                 fs.append(plane)
             mom_u = _moments(builder, fs)
+            extra = _collide_prepass(builder, fs, mom_u)
             if has_mask:
                 m = mask_buf[s_cur, 0]
                 is_dry = m == 1
                 is_keep = m == 2
             for i, o in pairs:
-                vi = _collide_one(builder, fs[i], mom_u, i)
+                fo = fs[o] if o != i else None
+                vi, vo = _collide_pair(builder, fs[i], fo, mom_u, i, o,
+                                       extra)
                 if o == i:
                     if has_mask:
                         vi = jnp.where(is_dry | is_keep, fs[i], vi)
                     out_buf[oslot, i] = vi
                     continue
-                vo = _collide_one(builder, fs[o], mom_u, o)
                 if has_mask:
                     vi2 = jnp.where(is_dry, fs[o],
                                     jnp.where(is_keep, fs[i], vi))

@@ -151,10 +151,11 @@ class SubdomainRunner:
 
     def _select_engine(self, dtype):
         """'pallas' = fused TPU kernel + XLA boundary patches; 'xla' =
-        fully traced step. The pallas bulk path covers 2D/3D BGK with
-        uniform Guo forcing (3D also z-sharded meshes) in fp32; everything
-        else uses the XLA engine (which is always the reference
-        implementation for equivalence tests)."""
+        fully traced step. The pallas bulk path covers 2D/3D
+        BGK/MRT/TRT (+ LES-Smagorinsky) with uniform Guo forcing (3D
+        also z-sharded meshes) in fp32; everything else uses the XLA
+        engine (which is always the reference implementation for
+        equivalence tests)."""
         cfg = self.config
         choice = getattr(cfg, 'engine', 'auto')
         b = self.builder
@@ -169,8 +170,9 @@ class SubdomainRunner:
             # Pallas patch path hands sub-builders window-local arrays
             and snt.NTExtendedCopy.id not in b.maps.present_types
             and (self.sim.dim == 3 or self.mesh is None)
-            and dtype == jnp.float32 and b.model == 'bgk'
-            and b.smagorinsky == 0.0 and b.sc_coupling == 0.0
+            and dtype == jnp.float32
+            and b.model in ('bgk', 'mrt', 'trt')
+            and b.sc_coupling == 0.0
             and b.equilibrium == 'bgk'
             and (b.body_force is None
                  or np.asarray(b.body_force).ndim == 1))

@@ -52,6 +52,27 @@ EXAMPLES = {
     'turbulence/kida_vortex.py': ['--lat_nx=16', '--lat_ny=16',
                                   '--lat_nz=16', '--visc=0.01',
                                   '--stats_every=5'],
+    'fs_gaussian.py': ['--lat_nx=32', '--lat_ny=32'],
+    'poiseuille_pulsatile.py': ['--lat_nx=48', '--lat_ny=24'],
+    'ldc_2d_unorm.py': ['--lat_nx=32', '--lat_ny=32',
+                        '--unorm_every=7'],
+    'binary_fluid/sc_laplace_2d.py': ['--lat_nx=64', '--lat_ny=64'],
+    'binary_fluid/sc_drop_2d.py': ['--lat_nx=64', '--lat_ny=64'],
+    'binary_fluid/sc_poiseuille_2d.py': ['--lat_nx=66', '--lat_ny=32'],
+    'binary_fluid/sc_capillary_wave_2d.py': ['--lat_nx=64',
+                                             '--lat_ny=66'],
+    'binary_fluid/fe_capillary_wave_2d.py': ['--lat_nx=64',
+                                             '--lat_ny=66'],
+    'binary_fluid/fe_separation_3d.py': ['--lat_nx=16', '--lat_ny=16',
+                                         '--lat_nz=16'],
+    'binary_fluid/fe_viscous_fingering.py': ['--lat_nx=160',
+                                             '--lat_ny=32',
+                                             '--lat_nz=16'],
+    'binary_fluid/binary_microchannel.py': ['--H=17'],
+    'binary_fluid/sc_separation_3d_walls.py': ['--lat_nx=24',
+                                               '--lat_ny=24',
+                                               '--lat_nz=24'],
+    'ternary_fluid/sc_drop_2d.py': ['--lat_nx=64', '--lat_ny=64'],
 }
 
 ITERS = 20

@@ -85,3 +85,16 @@ def test_pallas2d_space_dependent_dynamic_matches_xla():
     assert np.max(np.abs(vx_a - vx_b)) < 1e-6
     # the lid actually carries the parabolic profile
     assert vx_b[-1, N // 2] > vx_b[-1, 3] > 0
+
+
+def test_pallas2d_mrt_matches_xla():
+    """Parity-split MRT in the fused kernel vs the dense moment-space
+    XLA reference."""
+    from ldc_2d import LDCSim
+    cfg = dict(lat_nx=128, lat_ny=128, max_iters=20, every=20,
+               model='mrt')
+    _, rho_a, vx_a = _run(LDCSim, 'xla', **cfg)
+    engine, rho_b, vx_b = _run(LDCSim, 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+    assert np.max(np.abs(vx_a - vx_b)) < 1e-6

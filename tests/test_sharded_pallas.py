@@ -74,3 +74,46 @@ def test_sharded_pallas_patch_on_shard_boundary():
     vx_ref = run('', 'xla')
     vx2 = run('2', 'pallas')
     assert np.max(np.abs(vx2 - vx_ref)) < 1e-5
+
+
+def test_sharded_pallas_trt_ldc():
+    """TRT collision through the sharded fused path."""
+    from ldc_3d import LDCSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(mesh, engine):
+        ctrl = LBSimulationController(LDCSim, default_config=dict(
+            lat_nx=16, lat_ny=16, lat_nz=16, max_iters=12, every=12,
+            quiet=True, model='trt', mesh=mesh, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx)
+
+    _, vx_ref = run('', 'xla')
+    engine, vx = run('4', 'pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 2e-6
+
+
+def test_pallas3d_les_forced_matches_xla():
+    """LES-Smagorinsky (local tau field) + body force in the fused
+    kernel vs the XLA engine."""
+    from sphere_3d import SphereSimulation
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(engine):
+        ctrl = LBSimulationController(SphereSimulation,
+                                      default_config=dict(
+            lat_nx=32, lat_ny=16, lat_nz=16, max_iters=15, every=15,
+            quiet=True, subgrid='les-smagorinsky', visc=0.01,
+            engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx)
+
+    _, vx_ref = run('xla')
+    engine, vx = run('pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
