@@ -1,91 +1,98 @@
 #!/usr/bin/env python
-"""2D Poiseuille channel flow (counterpart of reference
-examples/poiseuille.py): force- or pressure-driven, full/half bounce-back
-walls, validated against the analytic parabolic profile."""
+"""Plane Poiseuille flow, validated against the analytic parabola.
+
+The channel can run along either axis (--horizontal), be driven by a
+body force or by a pressure difference between the ends (--drive), and
+use full-way or half-way bounce-back walls (--wall) -- the wall type
+shifts the effective channel width by 2 * wall.location, which the
+analytic profile accounts for. regtest/poiseuille.py sweeps viscosity
+and asserts <=0.5% profile error.
+
+Scene counterpart of the reference's examples/poiseuille.py, written
+axis-generically instead of duplicating the horizontal/vertical cases.
+"""
 
 import numpy as np
 
-from sailfish_tpu.geo import LBGeometry2D
-from sailfish_tpu.subdomain import Subdomain2D
-from sailfish_tpu.node_type import NTFullBBWall, NTHalfBBWall, \
-    NTEquilibriumDensity
 from sailfish_tpu.controller import LBSimulationController
-from sailfish_tpu.models.single import LBFluidSim
+from sailfish_tpu.geo import LBGeometry2D
 from sailfish_tpu.models.base import LBForcedSim
+from sailfish_tpu.models.single import LBFluidSim
+from sailfish_tpu.node_type import NTEquilibriumDensity, NTFullBBWall, \
+    NTHalfBBWall
+from sailfish_tpu.subdomain import Subdomain2D
 
 
 class PoiseuilleSubdomain(Subdomain2D):
-    """2D Poiseuille geometry."""
-
+    #: peak (centerline) velocity of the target parabola
     max_v = 0.02
     wall_bc = NTFullBBWall
 
-    def _set_pressure_bc(self, hx, hy):
-        pressure_bc = NTEquilibriumDensity
-        land = np.logical_and
+    # -- geometry helpers, axis-generic --------------------------------------
 
+    @classmethod
+    def width(cls, config):
+        """Node count across the channel (including wall rows)."""
+        return config.lat_ny if config.horizontal else config.lat_nx
+
+    @classmethod
+    def channel_width(cls, config):
+        """Hydrodynamic width: the wall plane sits wall_bc.location
+        nodes outside the outermost wall node."""
+        return cls.width(config) - 1 - 2 * cls.wall_bc.location
+
+    @classmethod
+    def pressure_grad(cls, config):
+        """|dp/dx| sustaining max_v (Poiseuille balance
+        8 mu u_max / w^2)."""
+        return cls.max_v * 8.0 * config.visc / \
+            cls.channel_width(config) ** 2
+
+    @classmethod
+    def velocity_profile(cls, config, cross_coord):
+        """Analytic parabola over the cross-channel coordinate."""
+        w = cls.channel_width(config)
+        half = w / 2.0
+        dist = np.abs(half - (cross_coord - cls.wall_bc.location))
+        return 4.0 * cls.max_v / w ** 2 * (half ** 2 - dist ** 2)
+
+    # -- scene ----------------------------------------------------------------
+
+    def _axes(self, hx, hy):
+        """(along, across, n_along): coordinate arrays along/across the
+        flow and the channel length."""
         if self.config.horizontal:
-            pressure = (self.max_v * (8.0 * self.config.visc) /
-                        (self.channel_width(self.config) ** 2) * self.gx)
-            not_wall = land(hy > 0, hy < self.gy - 1)
-            self.set_node(land(not_wall, hx == 0),
-                          pressure_bc(1.0 + 3.0 * pressure / 2.0))
-            self.set_node(land(not_wall, hx == self.gx - 1),
-                          pressure_bc(1.0 - 3.0 * pressure / 2.0))
-        else:
-            pressure = (self.max_v * (8.0 * self.config.visc) /
-                        (self.channel_width(self.config) ** 2) * self.gy)
-            not_wall = land(hx > 0, hx < self.gx - 1)
-            self.set_node(land(not_wall, hy == 0),
-                          pressure_bc(1.0 + 3.0 * pressure / 2.0))
-            self.set_node(land(not_wall, hy == self.gy - 1),
-                          pressure_bc(1.0 - 3.0 * pressure / 2.0))
+            return hx, hy, self.gx
+        return hy, hx, self.gy
 
     def boundary_conditions(self, hx, hy):
+        along, across, n_along = self._axes(hx, hy)
         if self.config.drive == 'pressure':
-            self._set_pressure_bc(hx, hy)
-
-        if self.config.horizontal:
-            self.set_node(hy == 0, self.wall_bc)
-            self.set_node(hy == self.gy - 1, self.wall_bc)
-        else:
-            self.set_node(hx == 0, self.wall_bc)
-            self.set_node(hx == self.gx - 1, self.wall_bc)
+            # density offsets rho = 1 +- 3/2 * dp * L across the ends
+            dp_total = self.pressure_grad(self.config) * n_along
+            interior = (across > 0) & (across < across.max())
+            self.set_node(interior & (along == 0),
+                          NTEquilibriumDensity(1.0 + 3.0 * dp_total / 2.0))
+            self.set_node(interior & (along == along.max()),
+                          NTEquilibriumDensity(1.0 - 3.0 * dp_total / 2.0))
+        self.set_node(across == 0, self.wall_bc)
+        self.set_node(across == across.max(), self.wall_bc)
 
     def initial_conditions(self, sim, hx, hy):
         sim.rho[:] = 1.0
         if not self.config.stationary:
             return
+        along, across, n_along = self._axes(hx, hy)
         if self.config.drive == 'pressure':
-            pressure = (self.max_v * (8.0 * self.config.visc) /
-                        (self.channel_width(self.config) ** 2))
-            if self.config.horizontal:
-                sim.rho[:] = 1.0 + 3.0 * pressure * (self.gx / 2.0 - hx)
-            else:
-                sim.rho[:] = 1.0 + 3.0 * pressure * (self.gy / 2.0 - hy)
+            # linear pressure ramp matching the end reservoirs
+            dp = self.pressure_grad(self.config)
+            sim.rho[:] = 1.0 + 3.0 * dp * (n_along / 2.0 - along)
         else:
+            profile = self.velocity_profile(self.config, across)
             if self.config.horizontal:
-                sim.vx[:] = self.velocity_profile(self.config, hy)
+                sim.vx[:] = profile
             else:
-                sim.vy[:] = self.velocity_profile(self.config, hx)
-
-    @classmethod
-    def velocity_profile(cls, config, hi):
-        width = cls.channel_width(config)
-        hx = hi - cls.wall_bc.location
-        a = width / 2.0
-        rx = np.abs(a - hx)
-        return 4.0 * cls.max_v / width ** 2 * (a ** 2 - rx ** 2)
-
-    @classmethod
-    def channel_width(cls, config):
-        return cls.width(config) - 1 - 2 * cls.wall_bc.location
-
-    @classmethod
-    def width(cls, config):
-        if config.horizontal:
-            return config.lat_ny
-        return config.lat_nx
+                sim.vy[:] = profile
 
 
 class PoiseuilleSim(LBFluidSim, LBForcedSim):
@@ -93,18 +100,15 @@ class PoiseuilleSim(LBFluidSim, LBForcedSim):
 
     @classmethod
     def update_defaults(cls, defaults):
-        defaults.update({
-            'lat_nx': 128,
-            'lat_ny': 128,
-            'visc': 0.1,
-        })
+        defaults.update({'lat_nx': 128, 'lat_ny': 128, 'visc': 0.1})
 
     @classmethod
     def add_options(cls, group, dim):
-        group.add_argument('--horizontal', action='store_true', default=False,
-                           help='flow along the X axis')
-        group.add_argument('--stationary', action='store_true', default=False,
-                           help='start with the analytic velocity profile')
+        group.add_argument('--horizontal', action='store_true',
+                           default=False, help='flow along the X axis')
+        group.add_argument('--stationary', action='store_true',
+                           default=False,
+                           help='start from the analytic solution')
         group.add_argument('--drive', type=str, default='force',
                            choices=['force', 'pressure'])
         group.add_argument('--wall', type=str, default='fullbb',
@@ -113,21 +117,18 @@ class PoiseuilleSim(LBFluidSim, LBForcedSim):
     @classmethod
     def modify_config(cls, config):
         if config.drive == 'force':
+            # periodic along the flow; walls close the other axis
             config.periodic_x = config.horizontal
             config.periodic_y = not config.horizontal
-        if config.wall == 'halfbb':
-            cls.subdomain.wall_bc = NTHalfBBWall
-        else:
-            cls.subdomain.wall_bc = NTFullBBWall
+        cls.subdomain.wall_bc = (NTHalfBBWall if config.wall == 'halfbb'
+                                 else NTFullBBWall)
 
     def __init__(self, config):
         super().__init__(config)
         if config.drive == 'force':
-            channel_width = self.subdomain.channel_width(config)
-            accel = self.subdomain.max_v * (8.0 * config.visc) / \
-                channel_width ** 2
-            force_vec = (accel, 0.0) if config.horizontal else (0.0, accel)
-            self.add_body_force(force_vec)
+            accel = self.subdomain.pressure_grad(config)
+            self.add_body_force((accel, 0.0) if config.horizontal
+                                else (0.0, accel))
 
 
 if __name__ == '__main__':

@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Single-component Shan-Chen spinodal decomposition
-(counterpart of reference examples/sc_phase_separation.py)."""
+"""Spinodal decomposition of a single-component Shan-Chen fluid.
+
+A uniform density near the critical point of the 'classic' exponential
+pseudopotential (rho ~ 0.693 = ln 2, G below the critical coupling)
+is seeded with small noise and separates into liquid and vapor domains
+that coarsen over time.
+
+Scene counterpart of the reference's examples/sc_phase_separation.py.
+"""
 
 import numpy as np
 
-from sailfish_tpu.geo import LBGeometry2D
-from sailfish_tpu.subdomain import Subdomain2D
 from sailfish_tpu.controller import LBSimulationController
+from sailfish_tpu.geo import LBGeometry2D
 from sailfish_tpu.models.single import LBSingleFluidShanChen
+from sailfish_tpu.subdomain import Subdomain2D
 
 
 class SeparationSubdomain(Subdomain2D):
@@ -15,6 +22,7 @@ class SeparationSubdomain(Subdomain2D):
         pass
 
     def initial_conditions(self, sim, hx, hy):
+        # ln(2) mean density + 1% uniform noise to seed the instability
         sim.rho[:] = np.random.rand(*sim.rho.shape) / 100 + 0.693
 
 
@@ -31,7 +39,8 @@ class SCSim(LBSingleFluidShanChen):
             'periodic_x': True,
             'periodic_y': True,
             'sc_potential': 'classic',
-            'every': 20})
+            'every': 20,
+        })
 
 
 if __name__ == '__main__':

@@ -1,33 +1,42 @@
 #!/usr/bin/env python
-"""Flow around a sphere in a duct (counterpart of reference
-examples/sphere_3d.py): periodic-x body-force-driven flow, bounce-back
-duct walls and an interior spherical obstacle."""
+"""Body-force-driven duct flow past a sphere.
+
+A square duct (bounce-back walls on the y/z faces, periodic along x)
+with a sphere of one third the duct height placed two diameters from
+the inlet. ForceObject momentum exchange on this scene provides the
+drag-coefficient regtest; --subgrid les-smagorinsky turns it into the
+LES showcase configuration.
+
+Scene counterpart of the reference's examples/sphere_3d.py.
+"""
 
 import numpy as np
 
-from sailfish_tpu.geo import EqualSubdomainsGeometry3D
-from sailfish_tpu.subdomain import Subdomain3D
-from sailfish_tpu.node_type import NTFullBBWall
 from sailfish_tpu.controller import LBSimulationController
-from sailfish_tpu.models.single import LBFluidSim
+from sailfish_tpu.geo import EqualSubdomainsGeometry3D
 from sailfish_tpu.models.base import LBForcedSim
+from sailfish_tpu.models.single import LBFluidSim
+from sailfish_tpu.node_type import NTFullBBWall
+from sailfish_tpu.subdomain import Subdomain3D
 
 
 class SphereBlock(Subdomain3D):
-    def boundary_conditions(self, hx, hy, hz):
-        wall_bc = NTFullBBWall
+    def sphere_geometry(self):
+        """(diameter, center) -- diameter = gy/3, two diameters in."""
         diam = self.gy / 3.0
-        z0 = self.gz / 2.0
-        y0 = self.gy / 2.0
-        x0 = 2.0 * diam
+        center = (2.0 * diam, self.gy / 2.0, self.gz / 2.0)
+        return diam, center
 
-        wall_map = ((hy == 0) | (hy == self.gy - 1) |
-                    (hz == 0) | (hz == self.gz - 1))
-        self.set_node(wall_map, wall_bc)
+    def boundary_conditions(self, hx, hy, hz):
+        duct = ((hy == 0) | (hy == self.gy - 1) |
+                (hz == 0) | (hz == self.gz - 1))
+        self.set_node(duct, NTFullBBWall)
 
-        sphere_map = (np.square(hx - x0) + np.square(hy - y0) +
-                      np.square(hz - z0)) <= np.square(diam / 2.0)
-        self.set_node(sphere_map & ~wall_map, wall_bc)
+        diam, (x0, y0, z0) = self.sphere_geometry()
+        r_sq = (np.square(hx - x0) + np.square(hy - y0)
+                + np.square(hz - z0))
+        inside = r_sq <= np.square(diam / 2.0)
+        self.set_node(inside & ~duct, NTFullBBWall)
 
     def initial_conditions(self, sim, hx, hy, hz):
         sim.rho[:] = 1.0
@@ -43,7 +52,8 @@ class SphereSimulation(LBFluidSim, LBForcedSim):
             'lat_ny': 64,
             'lat_nz': 64,
             'visc': 0.01,
-            'grid': 'D3Q19'})
+            'grid': 'D3Q19',
+        })
 
     @classmethod
     def modify_config(cls, config):
@@ -55,6 +65,5 @@ class SphereSimulation(LBFluidSim, LBForcedSim):
 
 
 if __name__ == '__main__':
-    ctrl = LBSimulationController(SphereSimulation,
-                                  EqualSubdomainsGeometry3D)
-    ctrl.run()
+    LBSimulationController(SphereSimulation,
+                           EqualSubdomainsGeometry3D).run()
