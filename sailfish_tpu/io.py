@@ -70,6 +70,9 @@ class LBOutput:
                 out[name + suffix] = arr
         return out
 
+    def close(self):
+        """Flush any pending asynchronous writes."""
+
     def verify(self):
         """NaN/Inf check (reference io.py:77-82)."""
         return all(np.all(np.isfinite(f)) for f in self.fields_dict().values())
@@ -92,16 +95,46 @@ class VisualizationWrapper(LBOutput):
 
 
 class NPYOutput(LBOutput):
-    """.npz output (reference io.py:301-348)."""
+    """.npz output with an asynchronous saver thread: the field dict is
+    snapshotted and written in the background so disk I/O does not
+    stall the hot loop on large 3D domains (reference io.py:271-298
+    saver thread + .tmp rename protocol)."""
 
     format_name = 'npy'
+
+    def __init__(self, config, subdomain_id=0):
+        super().__init__(config, subdomain_id)
+        import queue
+        import threading
+        self._queue = queue.Queue(maxsize=2)
+        self._thread = threading.Thread(target=self._writer_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    def _writer_loop(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._queue.task_done()
+                break
+            fname, snapshot = item
+            tmp = fname + '.tmp.npz'
+            np.savez(tmp, **snapshot)
+            os.rename(tmp, fname + '.npz')
+            self._queue.task_done()
 
     def save(self, i):
         fname = filename(self.basename, self.digits, self.subdomain_id, i,
                          suffix='')
-        tmp = fname + '.tmp.npz'
-        np.savez(tmp, **self.fields_dict())
-        os.rename(tmp, fname + '.npz')
+        snapshot = {k: np.array(v, copy=True)
+                    for k, v in self.fields_dict().items()}
+        self._queue.put((fname, snapshot))
+
+    def close(self):
+        if self._thread.is_alive():
+            self._queue.put(None)
+            self._queue.join()
+            self._thread.join(timeout=60)
 
 
 class MatlabOutput(LBOutput):

@@ -457,10 +457,18 @@ class StepBuilder:
             elif cls is nt.NTGradFreeflow:
                 # Grad's approximation for the unknown distributions from
                 # the node's own previous state (rho, u, Pi^neq)
-                # (reference node_type.py:286-295, boundary.mako Grad
-                # reconstruction; the reference stores rho/u in scratch
-                # space -- here the post-collision state f plays that
-                # role).
+                # (reference node_type.py:286-295, boundary.mako:606-621).
+                # The reference stores last step's macro fields + the
+                # POST-collision flux tensor in scratch space; here the
+                # node's post-collision state f carries the same
+                # information: rho/u are collision invariants, so
+                # macroscopic(f_post) equals the stored pre-collision
+                # macros (absent forcing), and Pi^neq(f_post) is exactly
+                # the post-collision flux the reference saves
+                # (compute_2nd_moment after relaxate,
+                # boundary.mako:696-706). Invariance check: a uniform
+                # equilibrium stream passes through unchanged
+                # (test_bc_catalog.test_grad_outflow_uniform_stream).
                 rho_p, u_p = eq.macroscopic(g, f)
                 feq_p = self.feq(rho_p, u_p)
                 pi_p = eq.second_moment_noneq(g, f, feq_p)

@@ -378,8 +378,21 @@ class SubdomainRunner:
         total_nodes = int(np.prod(self._domain_shape()))
         bench_t0 = None
         bench_iters0 = 0
+        bench_samples = []
         t_start = time.time()
         mlups_history = []
+        if cfg.check_invalid_results_gpu:
+            # device-side NaN/Inf gate, evaluated once per chunk (the
+            # TPU analog of the reference's in-kernel check,
+            # kernel_common.mako:203-211, at chunk granularity)
+            @jax.jit
+            def _check_finite(f):
+                leaves = jax.tree.leaves(f)
+                ok = jnp.bool_(True)
+                for leaf in leaves:
+                    ok = ok & jnp.all(jnp.isfinite(leaf))
+                return ok
+            self._check_finite = _check_finite
 
         while sim.iteration < cfg.max_iters:
             if self._quit_event.is_set():
@@ -407,6 +420,11 @@ class SubdomainRunner:
                 to_cp = cfg.checkpoint_every - (
                     sim.iteration % cfg.checkpoint_every)
                 chunk = min(chunk, to_cp)
+            if cfg.mode == 'benchmark' and cfg.benchmark_minibatch > 0 \
+                    and sim.iteration >= cfg.benchmark_sample_from:
+                # sample MLUPS in minibatches for the sigma report
+                # (reference --benchmark_minibatch protocol)
+                chunk = min(chunk, cfg.benchmark_minibatch)
             chunk = max(1, min(chunk, remaining))
             t0 = time.time()
             self.f = self._run_steps(self.f, chunk, sim.iteration)
@@ -421,6 +439,13 @@ class SubdomainRunner:
                 if bench_t0 is None:
                     bench_t0 = t1
                     bench_iters0 = sim.iteration
+                else:
+                    bench_samples.append(mlups)
+            if cfg.check_invalid_results_gpu and \
+                    not bool(self._check_finite(self.f)):
+                log.error('invalid results (NaN/Inf) on device at '
+                          'iteration %d; aborting', sim.iteration)
+                break
             if not cfg.quiet and cfg.perf_stats_every > 0 and \
                     (sim.iteration % cfg.perf_stats_every) < chunk:
                 log.info('iteration:%d speed:%.2f MLUPS',
@@ -448,10 +473,17 @@ class SubdomainRunner:
 
         if cfg.mode == 'benchmark':
             self.profile.summary(total_nodes, sim.iteration, log)
+            if len(bench_samples) > 1:
+                log.info('MLUPS minibatches: mean=%.1f std=%.1f n=%d',
+                         float(np.mean(bench_samples)),
+                         float(np.std(bench_samples)),
+                         len(bench_samples))
         if cfg.final_checkpoint and cfg.checkpoint_file:
             self.save_checkpoint()
         if cfg.output and cfg.every <= 0:
             self._output_fields()
+        if self._output is not None:
+            self._output.close()
         elapsed = time.time() - t_start
         result = util.TimingInfo(
             iters=sim.iteration, elapsed=elapsed,

@@ -238,3 +238,59 @@ def test_extended_copy_translation_equals_copy():
     assert np.all(np.isfinite(ext.vx))
     assert np.max(np.abs(ext.vx - cpy.vx)) < 1e-6
     assert np.max(np.abs(ext.rho - cpy.rho)) < 1e-6
+
+
+def test_grad_outflow_uniform_stream():
+    """A uniform equilibrium stream must pass through a Grad outflow
+    unchanged: with f = feq, the nonequilibrium tensor vanishes and the
+    reconstruction returns the equilibrium values exactly."""
+    N = 24
+    U = 0.03
+
+    class Stream(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            self.set_node(hx == self.gx - 1, nt.NTGradFreeflow())
+            self.set_node(hx == 0, nt.NTEquilibriumVelocity((U, 0.0)))
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.vx[:] = U
+
+    class Sim(LBFluidSim):
+        subdomain = Stream
+
+    ctrl = LBSimulationController(Sim, default_config=dict(
+        lat_nx=N, lat_ny=16, visc=0.05, max_iters=100, every=100,
+        quiet=True, periodic_y=True))
+    ctrl.run(ignore_cmdline=True)
+    ctrl._runner._fields_to_host()
+    vx = ctrl._runner.sim.vx
+    assert np.all(np.isfinite(vx))
+    np.testing.assert_allclose(vx[:, 1:], U, rtol=0, atol=5e-6)
+
+
+def test_device_nan_gate_aborts():
+    """--check_invalid_results_gpu stops the run when the state goes
+    non-finite (in-device check; reference kernel_common.mako:203)."""
+    N = 32
+
+    class Bad(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            pass
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            # strongly sheared supersonic field at near-zero viscosity
+            sim.vx[:] = 0.8 * np.sin(2 * np.pi * hy / 4.0)
+            sim.vy[:] = 0.8 * np.sin(2 * np.pi * hx / 4.0)
+
+    class Sim(LBFluidSim):
+        subdomain = Bad
+
+    ctrl = LBSimulationController(Sim, default_config=dict(
+        lat_nx=N, lat_ny=N, visc=1e-4, max_iters=2000, every=50,
+        quiet=True, periodic_x=True, periodic_y=True,
+        check_invalid_results_gpu=True))
+    ctrl.run(ignore_cmdline=True)
+    # aborted long before max_iters
+    assert ctrl._runner.sim.iteration < 2000
