@@ -166,6 +166,13 @@ class LBSimulationController:
             np.random.seed(config.seed)
         util.reset_logger()
         log = util.get_logger(config)
+        if config.node_addressing == 'indirect':
+            log.warning(
+                'node_addressing=indirect is not implemented on TPU: '
+                'dense masking measures FASTER than per-node gathers '
+                'here (804 active-MLUPS at 47%% occupancy; see '
+                'PARITY.md "Sparse/indirect addressing"). Running '
+                'dense.')
 
         geo = self._geo_class()(config)
         proc = LBGeometryProcessor(geo.subdomains(), self.dim, geo)

@@ -73,6 +73,9 @@ EXAMPLES = {
                                                '--lat_ny=24',
                                                '--lat_nz=24'],
     'ternary_fluid/sc_drop_2d.py': ['--lat_nx=64', '--lat_ny=64'],
+    'turbulence/channel_cube.py': ['--H=6', '--Re_tau=60',
+                                   '--buf_az=3', '--main_az=5',
+                                   '--ay=2.5', '--stats_every=5'],
 }
 
 ITERS = 20
