@@ -30,10 +30,18 @@ from sailfish_tpu.ops.pallas_step import classify_nodes, window_shifted, \
 
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
-                   interpret=False):
-    """fused(f, mask?, patch_vals?) -> out, f of shape (Q, Y, X).
+                   interpret=False, sharded=False, dyn_patches=False,
+                   max_patches=0):
+    """fused(f[, ghost_lo, ghost_hi], mask?, patch...?) -> out,
+    f of shape (Q, Y, X).
 
     ``patch_blocks``: y-block indices overlaid from the XLA prologue.
+    With ``sharded=True`` the y-wrap blocks come from two ghost inputs
+    (Q, by, X) -- the neighbor shards' boundary blocks, ppermute'd by
+    the caller -- instead of the local periodic wrap. ``dyn_patches``
+    selects patch blocks at run time from an int32 (NB,) SMEM map plus
+    a (Q, max_patches, by, X) plane input (one traced program serves
+    every shard; see the 3D kernel's dynamic mode).
     """
     g = builder.grid
     Q = g.Q
@@ -44,6 +52,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     assert Y % by == 0
     NB = Y // by
     patch_blocks = tuple(int(b) for b in patch_blocks)
+    assert not (patch_blocks and dyn_patches)
 
     if NB < 4:
         raise NotImplementedError(
@@ -52,11 +61,19 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     def kernel(*refs):
         idx = 0
         f_hbm = refs[idx]; idx += 1
+        glo_hbm = ghi_hbm = None
+        if sharded:
+            glo_hbm = refs[idx]; idx += 1
+            ghi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
+        pmap_ref = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
         if patch_blocks:
+            patch_hbm = refs[idx]; idx += 1
+        if dyn_patches:
+            pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx]; idx += 1
         blk_buf = refs[idx]; idx += 1     # (4, Q, by, X) rotating cache
@@ -69,14 +86,21 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
 
         k = pl.program_id(0)
 
-        def start_block(b, slot):
+        def start_block(b, slot, src=None):
             """DMA block (b mod NB) into cache slot ``slot``; b may be -1
-            (the wrap-below block) or NB (the wrap-above block)."""
+            (the wrap-below block) or NB (the wrap-above block). With
+            ``src`` set, the (Q, by, X) ghost input is loaded instead
+            (sharded wrap)."""
             bm = jax.lax.rem(b + NB, NB)
             for i in range(Q):
-                pltpu.make_async_copy(
-                    f_hbm.at[i, pl.ds(bm * by, by)],
-                    blk_buf.at[slot, i], in_sems.at[slot, i]).start()
+                if src is not None:
+                    pltpu.make_async_copy(
+                        src.at[i], blk_buf.at[slot, i],
+                        in_sems.at[slot, i]).start()
+                else:
+                    pltpu.make_async_copy(
+                        f_hbm.at[i, pl.ds(bm * by, by)],
+                        blk_buf.at[slot, i], in_sems.at[slot, i]).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(bm * by, by)],
@@ -106,19 +130,27 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         s_pref = jax.lax.rem(k + 2, 4)
         oslot = jax.lax.rem(k, 2)
 
-        # warmup: program 0 loads blocks -1 (=NB-1), 0, 1
+        # warmup: program 0 loads blocks -1 (=NB-1 or the ghost-below
+        # block under sharding), 0, 1
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3))
+            start_block(-1, jnp.int32(3),
+                        src=glo_hbm if sharded else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
-        # steady prefetch of block k+2 (b == NB means the wrap block 0)
-        @pl.when(k + 2 <= NB)
+        # steady prefetch of block k+2 (b == NB means the wrap block 0,
+        # or the ghost-above block under sharding)
+        @pl.when(k + 2 < NB)
         def _():
             start_block(k + 2, s_pref)
+
+        @pl.when(k + 2 == NB)
+        def _():
+            start_block(k + 2, s_pref,
+                        src=ghi_hbm if sharded else None)
 
         # block k+1 was started by program k-1 (or warmup)
         wait_block(s_next)
@@ -145,6 +177,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 prev2_patch = cond if prev2_patch is None else \
                     (prev2_patch | cond)
             drains = drains & jnp.logical_not(prev2_patch)
+        if dyn_patches:
+            drains = drains & (pmap_ref[jnp.maximum(k - 2, 0)] < 0)
 
         @pl.when(drains)
         def _():
@@ -186,6 +220,15 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                                   out_sems.at[oslot]).start()
 
         def patch_body():
+            if dyn_patches:
+                j = jnp.maximum(pmap_ref[k], 0)
+                c = pltpu.make_async_copy(
+                    patch_hbm.at[:, j],
+                    out_hbm.at[:, pl.ds(k * by, by)],
+                    out_sems.at[oslot])
+                c.start()
+                c.wait()
+                return
             for j, b in enumerate(patch_blocks):
                 @pl.when(k == b)
                 def _(j=j):
@@ -200,8 +243,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         for b in patch_blocks:
             cond = k == b
             is_patch = cond if is_patch is None else (is_patch | cond)
+        if dyn_patches:
+            is_patch = pmap_ref[k] >= 0
 
-        if patch_blocks:
+        if patch_blocks or dyn_patches:
             @pl.when(is_patch)
             def _():
                 patch_body()
@@ -213,14 +258,27 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             normal_body()
 
         # epilogue: drain the last two writes
-        @pl.when(k == NB - 1)
-        def _():
-            if (NB - 1) not in patch_blocks:
-                wait_out(oslot)
-            if (NB - 2) not in patch_blocks:
-                wait_out(jax.lax.rem(k + 1, 2))
+        if dyn_patches:
+            @pl.when(k == NB - 1)
+            def _():
+                @pl.when(pmap_ref[NB - 1] < 0)
+                def _():
+                    wait_out(oslot)
+
+                @pl.when(pmap_ref[NB - 2] < 0)
+                def _():
+                    wait_out(jax.lax.rem(k + 1, 2))
+        else:
+            @pl.when(k == NB - 1)
+            def _():
+                if (NB - 1) not in patch_blocks:
+                    wait_out(oslot)
+                if (NB - 2) not in patch_blocks:
+                    wait_out(jax.lax.rem(k + 1, 2))
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if sharded:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
     scratch = [
         pltpu.VMEM((4, Q, by, X), dtype),
         pltpu.VMEM((2, Q, by, X), dtype),
@@ -229,6 +287,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
     if patch_blocks:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    if dyn_patches:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((4, Q + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
@@ -244,6 +305,25 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         interpret=interpret,
     )
     return fused
+
+
+def compute_patch_block_2d(g, sub, f, box, by, X, it=0):
+    """Exact XLA recompute of one patched y-block -> (Q, by, X)."""
+    def axes_shift(vec):
+        return (int(vec[1]), int(vec[0]))
+
+    f_box = f[(slice(None),) + box].reshape(g.Q, -1)
+    fs_box = jnp.stack([
+        window_shifted(f[i], box, axes_shift(g.basis[i]))
+        .reshape(-1) for i in range(g.Q)])
+
+    def sampler(vec, _f=f, _box=box):
+        sh = axes_shift(-np.asarray(vec))
+        return jnp.stack([window_shifted(_f[i], _box, sh)
+                          .reshape(-1) for i in range(g.Q)])
+
+    fpost = sub.phases(fs_box, f_box, it, sampler)
+    return fpost.reshape(g.Q, by, X)
 
 
 class PallasStep2D:
@@ -294,25 +374,9 @@ class PallasStep2D:
                 (box, self.builder.for_window(box, flatten=True)))
 
     def _compute_patches(self, f, it=0):
-        g = self.builder.grid
-
-        def axes_shift(vec):
-            return (int(vec[1]), int(vec[0]))
-
-        blocks = []
-        for box, sub in self.patch_subs:
-            f_box = f[(slice(None),) + box].reshape(g.Q, -1)
-            fs_box = jnp.stack([
-                window_shifted(f[i], box, axes_shift(g.basis[i]))
-                .reshape(-1) for i in range(g.Q)])
-
-            def sampler(vec, _f=f, _box=box):
-                sh = axes_shift(-np.asarray(vec))
-                return jnp.stack([window_shifted(_f[i], _box, sh)
-                                  .reshape(-1) for i in range(g.Q)])
-
-            fpost = sub.phases(fs_box, f_box, it, sampler)
-            blocks.append(fpost.reshape(g.Q, self.by, self.shape[1]))
+        blocks = [compute_patch_block_2d(self.builder.grid, sub, f, box,
+                                         self.by, self.shape[1], it)
+                  for box, sub in self.patch_subs]
         return jnp.stack(blocks, axis=1)
 
     def step(self, f, it=0):

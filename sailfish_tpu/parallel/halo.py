@@ -152,3 +152,134 @@ class ShardedPallasStep3D:
     def run_steps(self, f, n, it0=0):
         return jax.lax.fori_loop(
             0, n, lambda i, fc: self.step(fc, it0 + i), f)
+
+
+class ShardedPallasStep2D:
+    """y-sharded 2D fused stepping over a 1-axis mesh: each shard runs
+    the block-cached 2D kernel with its wrap blocks replaced by
+    ppermute'd neighbor boundary blocks; complex-BC y-blocks go through
+    the same dynamic patch mode as 3D."""
+
+    def __init__(self, builder, domain_shape, mesh, interpret=False):
+        if list(mesh.axis_names) != ['y']:
+            raise NotImplementedError(
+                'the sharded 2D fused kernel shards the y axis only; '
+                f'got mesh axes {mesh.axis_names}')
+        from sailfish_tpu.ops.pallas_step2d import (
+            PallasStep2D, compute_patch_block_2d, make_kernel_2d)
+        self.builder = builder
+        self.mesh = mesh
+        self.nshards = mesh.shape['y']
+        Y, X = domain_shape
+        assert Y % self.nshards == 0
+        Y_loc = Y // self.nshards
+        self.shape = domain_shape
+
+        # pick the block size exactly like the single-device path
+        by = 32
+        budget = 9 * 2 ** 20
+        per_row = 6 * builder.grid.Q * X * 4
+        while by > 8 and by * per_row > budget:
+            by //= 2
+        while Y_loc % by and by >= 8:
+            by //= 2
+        if by < 8 or Y_loc % by or Y_loc // by < 4:
+            raise NotImplementedError(
+                f'local Y={Y_loc} does not give >= 4 usable y-blocks')
+        self.by = by
+        NB_loc = Y_loc // by
+
+        mask_np, patch_rows = classify_nodes(builder.maps)
+        patch_blocks = sorted({r // by for r in patch_rows})
+        if len(patch_blocks) > PallasStep2D.MAX_PATCH_FRACTION * (Y // by):
+            raise NotImplementedError(
+                f'{len(patch_blocks)}/{Y // by} y-blocks need complex-BC '
+                'patches; use the XLA engine for this scene')
+        self.has_patches = bool(patch_blocks)
+        self.has_mask = bool((mask_np != 0).any())
+        self.mask_global = None
+        if self.has_mask:
+            self.mask_global = jax.device_put(
+                jnp.asarray(mask_np),
+                NamedSharding(mesh, P('y', None)))
+
+        self.P = 0
+        self._patch_fn = compute_patch_block_2d
+        if self.has_patches:
+            per_shard = [[] for _ in range(self.nshards)]
+            for b in patch_blocks:
+                per_shard[b // NB_loc].append(b % NB_loc)
+            self.P = max(1, max(len(v) for v in per_shard))
+            pmap = -np.ones((self.nshards, NB_loc), np.int32)
+            self._slot_of_block = {}
+            for s, blocks in enumerate(per_shard):
+                for j, bl in enumerate(blocks):
+                    pmap[s, bl] = j
+                    self._slot_of_block[s * NB_loc + bl] = (s, j)
+            self.pmap_global = jax.device_put(
+                jnp.asarray(pmap), NamedSharding(mesh, P('y', None)))
+            self.patch_subs = []
+            for b in patch_blocks:
+                box = (slice(b * by, (b + 1) * by), slice(0, X))
+                self.patch_subs.append(
+                    (b, box, builder.for_window(box, flatten=True)))
+
+        self.kernel = make_kernel_2d(
+            builder, Y_loc, X, by=by, has_mask=self.has_mask,
+            interpret=interpret, sharded=True,
+            dyn_patches=self.has_patches, max_patches=self.P)
+
+        up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
+        down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
+        g = builder.grid
+
+        def local_step(f_local, *rest):
+            ghost_lo = jax.lax.ppermute(f_local[:, -by:], 'y', up)
+            ghost_hi = jax.lax.ppermute(f_local[:, :by], 'y', down)
+            args = [f_local, ghost_lo, ghost_hi]
+            r = 0
+            if self.has_mask:
+                args.append(rest[r]); r += 1
+            if self.has_patches:
+                args.append(rest[r].reshape(-1)); r += 1
+                args.append(rest[r].reshape(g.Q, self.P, by, X)); r += 1
+            return self.kernel(*args)
+
+        in_specs = [P(None, 'y', None)]
+        if self.has_mask:
+            in_specs.append(P('y', None))
+        if self.has_patches:
+            in_specs.append(P('y', None))
+            in_specs.append(P(None, 'y', None, None, None))
+        self._sharded_step = shard_map(
+            local_step, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=P(None, 'y', None), check_rep=False)
+
+    def _compute_patches_padded(self, f, it=0):
+        g = self.builder.grid
+        _, X = self.shape
+        planes = {}
+        for b, box, sub in self.patch_subs:
+            planes[self._slot_of_block[b]] = self._patch_fn(
+                g, sub, f, box, self.by, X, it)
+        zero = jnp.zeros((g.Q, self.by, X), f.dtype)
+        cols = []
+        for s in range(self.nshards):
+            slots = [planes.get((s, j), zero) for j in range(self.P)]
+            cols.append(jnp.stack(slots, axis=1))
+        out = jnp.stack(cols, axis=1)       # (Q, S, P, by, X)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(None, 'y', None, None, None)))
+
+    def step(self, f, it=0):
+        args = [f]
+        if self.has_mask:
+            args.append(self.mask_global)
+        if self.has_patches:
+            args.append(self.pmap_global)
+            args.append(self._compute_patches_padded(f, it))
+        return self._sharded_step(*args)
+
+    def run_steps(self, f, n, it0=0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, fc: self.step(fc, it0 + i), f)

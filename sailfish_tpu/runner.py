@@ -80,7 +80,13 @@ class SubdomainRunner:
         if self.engine == 'pallas':
             interp = jax.default_backend() == 'cpu'
             try:
-                if self.mesh is not None:
+                if self.mesh is not None and self.sim.dim == 2:
+                    from sailfish_tpu.parallel.halo import \
+                        ShardedPallasStep2D
+                    pstep = ShardedPallasStep2D(
+                        self.builder, self._domain_shape(), self.mesh,
+                        interpret=interp)
+                elif self.mesh is not None:
                     from sailfish_tpu.parallel.halo import \
                         ShardedPallasStep3D
                     pstep = ShardedPallasStep3D(
@@ -162,14 +168,14 @@ class SubdomainRunner:
         import sailfish_tpu.node_type as snt
         from sailfish_tpu.ops.step import StepBuilder
         mesh_ok = self.mesh is None or \
-            (self.sim.dim == 3 and list(self.mesh.axis_names) == ['z'])
+            (self.sim.dim == 3 and list(self.mesh.axis_names) == ['z']) \
+            or (self.sim.dim == 2 and list(self.mesh.axis_names) == ['y'])
         eligible = (
             type(b) is StepBuilder
             and self.sim.dim in (2, 3) and mesh_ok
             # the ExtendedCopy gather needs the full global state; the
             # Pallas patch path hands sub-builders window-local arrays
             and snt.NTExtendedCopy.id not in b.maps.present_types
-            and (self.sim.dim == 3 or self.mesh is None)
             and dtype == jnp.float32
             and b.model in ('bgk', 'mrt', 'trt')
             and b.sc_coupling == 0.0

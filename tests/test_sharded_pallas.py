@@ -117,3 +117,34 @@ def test_pallas3d_les_forced_matches_xla():
     engine, vx = run('pallas')
     assert engine == 'pallas'
     assert np.max(np.abs(vx - vx_ref)) < 1e-6
+
+
+def test_sharded_pallas2d_periodic_and_ldc():
+    """y-sharded 2D fused kernel: periodic scene (ghost blocks) and the
+    lid cavity (dynamic patch blocks) vs the XLA engine."""
+    from ldc_2d import LDCSim
+    from taylor_green_2d import TaylorGreenSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(sim_cls, mesh, engine, **cfg):
+        ctrl = LBSimulationController(sim_cls, default_config=dict(
+            quiet=True, mesh=mesh, engine=engine, **cfg))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    cfg = dict(lat_nx=128, lat_ny=256, max_iters=20, every=20,
+               visc=0.01)
+    _, vx_ref, rho_ref = run(TaylorGreenSim, '', 'xla', **cfg)
+    engine, vx, rho = run(TaylorGreenSim, '2', 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    assert np.max(np.abs(rho - rho_ref)) < 1e-5
+
+    cfg = dict(lat_nx=128, lat_ny=256, max_iters=20, every=20)
+    _, vx_ref, rho_ref = run(LDCSim, '', 'xla', **cfg)
+    engine, vx, rho = run(LDCSim, '2', 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    assert np.max(np.abs(rho - rho_ref)) < 1e-5
