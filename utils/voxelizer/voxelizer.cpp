@@ -7,8 +7,20 @@
 // scratch with watertight parity-count ray casting (no vendored library).
 //
 // Usage: voxelizer <STL file> <output_base> [voxel_size]
+//                  [--crop [pad]] [--subdomains [max_boxes [min_fill]]]
 //   voxel_size is relative to the geometry scaled to unit length along its
 //   longest axis (default 1/200 -> ~200 voxels; reference default equal).
+//   --crop       shrink the output array to the fluid bounding box plus
+//                `pad` solid layers (default 1) -- the behavior of the
+//                reference's octree variant (voxelizer_octree.cpp:50-88),
+//                implemented as a dense post-pass.
+//   --subdomains recursively bisect the fluid bounding box into cuboids
+//                until each reaches `min_fill` fluid fraction (default
+//                0.5) or ~`max_boxes` (default 64, soft cap) exist; writes
+//                <base>.subdomains as a JSON list of {pos, size,
+//                fill_fraction} -- the reference's subdomain.cpp
+//                ToSubdomains equivalent for decomposing sparse
+//                geometries.
 //
 // Output array semantics: true (1) = solid/wall node, false (0) = fluid,
 // shape (nz, ny, nx) with one padding layer of solid on every face.
@@ -134,16 +146,92 @@ static void write_npy(const std::string& fname,
     out.write(reinterpret_cast<const char*>(data.data()), data.size());
 }
 
+struct Box {
+    long x0, y0, z0, x1, y1, z1;  // inclusive voxel bounds
+    size_t fluid;
+
+    long vol() const {
+        return (x1 - x0 + 1) * (y1 - y0 + 1) * (z1 - z0 + 1);
+    }
+    double fill() const {
+        return static_cast<double>(fluid) / vol();
+    }
+};
+
+static size_t count_fluid(const std::vector<uint8_t>& vox, size_t nx,
+                          size_t ny, const Box& b) {
+    size_t n = 0;
+    for (long z = b.z0; z <= b.z1; ++z)
+        for (long y = b.y0; y <= b.y1; ++y)
+            for (long x = b.x0; x <= b.x1; ++x)
+                n += vox[(static_cast<size_t>(z) * ny + y) * nx + x] == 0;
+    return n;
+}
+
+// Recursive bisection into cuboids with a target fluid fill fraction
+// (analog of the reference's octree-leaf merging, subdomain.cpp).
+static void split_subdomains(const std::vector<uint8_t>& vox, size_t nx,
+                             size_t ny, Box b, double min_fill,
+                             size_t max_boxes, std::vector<Box>* out) {
+    if (b.fluid == 0) return;
+    const long lx = b.x1 - b.x0 + 1, ly = b.y1 - b.y0 + 1,
+               lz = b.z1 - b.z0 + 1;
+    const long longest = std::max(lx, std::max(ly, lz));
+    if (b.fill() >= min_fill || longest <= 4 ||
+        out->size() + 2 > max_boxes) {
+        out->push_back(b);
+        return;
+    }
+    Box a = b, c = b;
+    if (lz == longest) {
+        a.z1 = b.z0 + lz / 2 - 1;
+        c.z0 = a.z1 + 1;
+    } else if (ly == longest) {
+        a.y1 = b.y0 + ly / 2 - 1;
+        c.y0 = a.y1 + 1;
+    } else {
+        a.x1 = b.x0 + lx / 2 - 1;
+        c.x0 = a.x1 + 1;
+    }
+    a.fluid = count_fluid(vox, nx, ny, a);
+    c.fluid = b.fluid - a.fluid;
+    split_subdomains(vox, nx, ny, a, min_fill, max_boxes, out);
+    split_subdomains(vox, nx, ny, c, min_fill, max_boxes, out);
+}
+
 int main(int argc, char** argv) {
     if (argc < 3) {
         std::cerr << "Usage: voxelizer <STL file> <output_base> "
-                     "[voxel_size]\n";
+                     "[voxel_size] [--crop [pad]] "
+                     "[--subdomains [max_boxes [min_fill]]]\n";
         return -1;
     }
     const std::string stl_path = argv[1];
     const std::string out_base = argv[2];
     double voxel_size = 1.0 / 200.0;
-    if (argc >= 4) voxel_size = atof(argv[3]);
+    bool do_crop = false;
+    int crop_pad = 1;
+    bool do_subdomains = false;
+    size_t max_boxes = 64;
+    double min_fill = 0.5;
+    int pos = 0;
+    for (int i = 3; i < argc; ++i) {
+        std::string arg = argv[i];
+        if (arg == "--crop") {
+            do_crop = true;
+            if (i + 1 < argc && argv[i + 1][0] != '-')
+                crop_pad = atoi(argv[++i]);
+        } else if (arg == "--subdomains") {
+            do_subdomains = true;
+            if (i + 1 < argc && argv[i + 1][0] != '-')
+                max_boxes = static_cast<size_t>(atoi(argv[++i]));
+            if (i + 1 < argc && argv[i + 1][0] != '-')
+                min_fill = atof(argv[++i]);
+        } else if (pos == 0) {
+            voxel_size = atof(argv[i]);
+            pos++;
+        }
+    }
 
     std::vector<Tri> tris;
     if (!read_stl(stl_path, &tris)) {
@@ -218,13 +306,76 @@ int main(int argc, char** argv) {
         }
     }
 
+    size_t nx_out = nx, ny_out = ny, nz_out = nz;
+    long off[3] = {0, 0, 0};
+    if (do_crop) {
+        // fluid bounding box (reference octree FindFluidExtent analog)
+        long bx0 = static_cast<long>(nx), by0 = static_cast<long>(ny),
+             bz0 = static_cast<long>(nz), bx1 = -1, by1 = -1, bz1 = -1;
+        for (size_t z = 0; z < nz; ++z)
+            for (size_t y = 0; y < ny; ++y)
+                for (size_t x = 0; x < nx; ++x)
+                    if (vox[(z * ny + y) * nx + x] == 0) {
+                        bx0 = std::min(bx0, static_cast<long>(x));
+                        bx1 = std::max(bx1, static_cast<long>(x));
+                        by0 = std::min(by0, static_cast<long>(y));
+                        by1 = std::max(by1, static_cast<long>(y));
+                        bz0 = std::min(bz0, static_cast<long>(z));
+                        bz1 = std::max(bz1, static_cast<long>(z));
+                    }
+        if (bx1 >= 0) {
+            bx0 = std::max(0L, bx0 - crop_pad);
+            by0 = std::max(0L, by0 - crop_pad);
+            bz0 = std::max(0L, bz0 - crop_pad);
+            bx1 = std::min(static_cast<long>(nx) - 1, bx1 + crop_pad);
+            by1 = std::min(static_cast<long>(ny) - 1, by1 + crop_pad);
+            bz1 = std::min(static_cast<long>(nz) - 1, bz1 + crop_pad);
+            nx_out = bx1 - bx0 + 1;
+            ny_out = by1 - by0 + 1;
+            nz_out = bz1 - bz0 + 1;
+            off[0] = bx0; off[1] = by0; off[2] = bz0;
+            std::vector<uint8_t> cropped(nx_out * ny_out * nz_out);
+            for (size_t z = 0; z < nz_out; ++z)
+                for (size_t y = 0; y < ny_out; ++y)
+                    memcpy(&cropped[(z * ny_out + y) * nx_out],
+                           &vox[((z + bz0) * ny + y + by0) * nx + bx0],
+                           nx_out);
+            vox.swap(cropped);
+            std::cout << "Cropped to fluid bbox + " << crop_pad
+                      << ": offset " << bx0 << " " << by0 << " " << bz0
+                      << "\n";
+        }
+    }
+
     size_t fluid = std::count(vox.begin(), vox.end(), 0);
     std::cout << "Nodes total: " << vox.size() << " active: "
               << std::round(fluid / static_cast<double>(vox.size())
                             * 10000) / 100.0 << "%\n";
-    std::cout << "Lattice size: " << nx << " " << ny << " " << nz << "\n";
+    std::cout << "Lattice size: " << nx_out << " " << ny_out << " "
+              << nz_out << "\n";
 
-    write_npy(out_base + ".npy", vox, nz, ny, nx);
+    write_npy(out_base + ".npy", vox, nz_out, ny_out, nx_out);
+
+    if (do_subdomains) {
+        Box root{0, 0, 0, static_cast<long>(nx_out) - 1,
+                 static_cast<long>(ny_out) - 1,
+                 static_cast<long>(nz_out) - 1, fluid};
+        std::vector<Box> boxes;
+        split_subdomains(vox, nx_out, ny_out, root, min_fill, max_boxes,
+                         &boxes);
+        std::ofstream sd(out_base + ".subdomains");
+        sd << "[";
+        for (size_t i = 0; i < boxes.size(); ++i) {
+            const Box& b = boxes[i];
+            sd << (i ? ",\n " : "\n ")
+               << "{\"pos\": [" << b.x0 << ", " << b.y0 << ", " << b.z0
+               << "], \"size\": [" << (b.x1 - b.x0 + 1) << ", "
+               << (b.y1 - b.y0 + 1) << ", " << (b.z1 - b.z0 + 1)
+               << "], \"fill_fraction\": " << b.fill() << "}";
+        }
+        sd << "\n]\n";
+        std::cout << "Subdomains: " << boxes.size() << " boxes\n";
+    }
 
     std::ofstream config(out_base + ".config");
     config << "{\"bounding_box\": ["
@@ -233,6 +384,9 @@ int main(int argc, char** argv) {
            << "[" << lo.z << ", " << hi.z << "]],"
            << "\"padding\": [1, 1, 1, 1, 1, 1],"
            << "\"axes\": \"xyz\","
-           << "\"size\": [" << nz << ", " << ny << ", " << nx << "]}";
+           << "\"crop_offset\": [" << off[0] << ", " << off[1] << ", "
+           << off[2] << "],"
+           << "\"size\": [" << nz_out << ", " << ny_out << ", "
+           << nx_out << "]}";
     return 0;
 }
