@@ -351,6 +351,9 @@ class DynamicValue:
         """Number of required (non-default) positional parameters."""
         if not callable(expr):
             return 0
+        explicit = getattr(expr, '_dyn_arity', None)
+        if explicit is not None:
+            return explicit
         import inspect
         try:
             params = inspect.signature(expr).parameters.values()
@@ -368,6 +371,76 @@ class DynamicValue:
         if nargs <= 1:
             return expr(t)
         return expr(t, *coords[:nargs - 1])
+
+
+class SpatialArray:
+    """Per-node BC parameter values usable inside DynamicValue
+    expressions (reference node_type.py:627-671).
+
+    ``values`` is a numpy array: a full-domain field (indexed by the
+    node's global coordinates at evaluation time, so it works both for
+    the whole-domain step and the fused engine's boundary windows) or a
+    1-D profile along the ``index`` axis ('x'/'y'/'z'). Supports
+    arithmetic composition with scalars and time/space callables:
+    ``SpatialArray(profile) * (lambda t: ramp(t))``.
+    """
+
+    def __init__(self, values, index='x', where=None, dim=None):
+        self.values = np.asarray(values, dtype=np.float64)
+        self.index = index
+        # `where` kept for API compatibility; values are read through
+        # global coordinates, so no compaction is needed
+        self.where = where
+        if dim is None:
+            dim = self.values.ndim if self.values.ndim > 1 else 2
+        #: evaluation arity: t + the coordinate arrays
+        self._dyn_arity = 1 + dim
+
+    def __call__(self, t, hx, hy, hz=None):
+        import jax.numpy as jnp
+        v = jnp.asarray(self.values)
+        if self.values.ndim == 3:
+            return v[hz, hy, hx]
+        if self.values.ndim == 2:
+            return v[hy, hx]
+        coord = {'x': hx, 'y': hy, 'z': hz}[self.index]
+        return v[coord]
+
+    # -- arithmetic composition ----------------------------------------------
+
+    def _compose(self, other, op, swap=False):
+        nargs = self._dyn_arity
+        if callable(other):
+            nargs = max(nargs, DynamicValue.arity(other))
+
+        def fn(t, *coords):
+            a = DynamicValue.evaluate(self, t, coords)
+            b = DynamicValue.evaluate(other, t, coords) \
+                if callable(other) else other
+            return op(b, a) if swap else op(a, b)
+
+        fn._dyn_arity = nargs
+        return fn
+
+    def __mul__(self, other):
+        import operator
+        return self._compose(other, operator.mul)
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        import operator
+        return self._compose(other, operator.add)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        import operator
+        return self._compose(other, operator.sub)
+
+    def __rsub__(self, other):
+        import operator
+        return self._compose(other, operator.sub, swap=True)
 
 
 class LinearlyInterpolatedTimeSeries(DynamicValue):

@@ -54,6 +54,8 @@ EXAMPLES = {
                                   '--stats_every=5'],
     'fs_gaussian.py': ['--lat_nx=32', '--lat_ny=32'],
     'poiseuille_pulsatile.py': ['--lat_nx=48', '--lat_ny=24'],
+    'poiseuille_sa.py': ['--lat_nx=48', '--lat_ny=32',
+                         '--velocity=spatial_array'],
     'ldc_2d_unorm.py': ['--lat_nx=32', '--lat_ny=32',
                         '--unorm_every=7'],
     'binary_fluid/sc_laplace_2d.py': ['--lat_nx=64', '--lat_ny=64'],

@@ -91,3 +91,28 @@ def test_space_dependent_dynamic():
     # parabolic profile visible at the lid: center faster than edges
     assert vx[-1, N // 2] > vx[-1, 3] > 0
     assert vx[-1, N // 2] == pytest.approx(0.1, rel=0.1)
+
+
+def test_spatial_array_matches_equation():
+    """SpatialArray * time-ramp gives the same flow as the equivalent
+    inline callable (reference SpatialArray, node_type.py:627)."""
+    import sys
+    sys.path.insert(0, 'examples')
+    from poiseuille_sa import RampedPoiseuilleSim
+
+    def run(mode):
+        ctrl = LBSimulationController(RampedPoiseuilleSim,
+                                      default_config=dict(
+            lat_nx=48, lat_ny=32, visc=0.1, max_iters=300, every=300,
+            quiet=True, velocity=mode))
+        ctrl.run(ignore_cmdline=True)
+        ctrl._runner._fields_to_host()
+        return np.array(ctrl._runner.sim.vx)
+
+    vx_eq = run('equation')
+    vx_sa = run('spatial_array')
+    assert np.all(np.isfinite(vx_sa))
+    assert vx_sa.max() > 1e-4          # the ramp has begun
+    # the SpatialArray profile is precomputed in f64, the inline
+    # expression evaluates in f32 -- identical physics, fp-order noise
+    np.testing.assert_allclose(vx_sa, vx_eq, rtol=2e-3, atol=5e-6)
