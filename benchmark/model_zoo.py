@@ -23,6 +23,12 @@ CASES = {
     'd3q19_mrt_ldc_128': ('ldc_3d', 3,
                           dict(lat_nx=128, lat_ny=128, lat_nz=128,
                                model='mrt')),
+    'd3q19_trt_ldc_128': ('ldc_3d', 3,
+                          dict(lat_nx=128, lat_ny=128, lat_nz=128,
+                               model='trt')),
+    'd2q9_elbm_ldc_1024': ('ldc_2d', 2,
+                           dict(lat_nx=1024, lat_ny=1024,
+                                model='elbm')),
     'd3q15_bgk_kida_128': ('turbulence.kida_vortex', 3,
                            dict(lat_nx=128, lat_ny=128, lat_nz=128,
                                 visc=0.002)),
