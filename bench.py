@@ -43,12 +43,7 @@ def main():
     runner._init_fields()
     runner._init_state()
 
-    def sync(f):
-        # block_until_ready is not reliable for every array on the
-        # remote-device stack; materializing a slice is
-        import numpy as np
-        leaves = jax.tree.leaves(f)
-        return np.asarray(leaves[0].ravel()[:2])
+    sync = util.materialize
 
     f = runner._run_steps(runner.f, warmup)
     sync(f)

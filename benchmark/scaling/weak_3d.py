@@ -41,12 +41,7 @@ def run_case(n_devices, base, iters, warmup, platform=''):
     runner._init_state()
 
     nodes = nx * ny * bz * n_devices
-    import numpy as _np
-
-    def sync(f):
-        # materialize a slice: block_until_ready alone is not reliable
-        # for every array on the remote-device stack
-        return _np.asarray(jax.tree.leaves(f)[0].ravel()[:2])
+    from sailfish_tpu.util import materialize as sync
 
     f = runner._run_steps(runner.f, warmup, 0)
     sync(f)

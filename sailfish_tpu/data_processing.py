@@ -127,13 +127,15 @@ class DataProcessingMixIn(LBMixIn):
         reducers[name] = jax.jit(fn)
         if every is None:
             return
-        nslots = self.config.max_iters // every + 1
+        # samples land at iterations every, 2*every, ... in slots 0, 1,
+        # ... (no spurious zero row at the head)
+        nslots = max(self.config.max_iters // every, 1)
         shapes = jax.eval_shape(fn, runner.f)
         series0 = jnp.zeros((nslots,) + shapes.shape, shapes.dtype)
 
         def hook(f, series, it, _fn=fn, _e=every):
             def do(series):
-                return series.at[it // _e].set(_fn(f, it))
+                return series.at[it // _e - 1].set(_fn(f, it))
             return jax.lax.cond(jnp.mod(it, _e) == 0, do,
                                 lambda s: s, series)
 

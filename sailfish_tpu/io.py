@@ -114,16 +114,30 @@ class NPYOutput(LBOutput):
     def _writer_loop(self):
         while True:
             item = self._queue.get()
-            if item is None:
+            try:
+                if item is None:
+                    break
+                fname, snapshot = item
+                tmp = fname + '.tmp.npz'
+                np.savez(tmp, **snapshot)
+                os.rename(tmp, fname + '.npz')
+            except Exception as e:      # surface on the next save/close
+                self._error = e
+            finally:
                 self._queue.task_done()
+            if item is None:
                 break
-            fname, snapshot = item
-            tmp = fname + '.tmp.npz'
-            np.savez(tmp, **snapshot)
-            os.rename(tmp, fname + '.npz')
-            self._queue.task_done()
+
+    _error = None
+
+    def _raise_pending(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(f'async output write failed: {err}') \
+                from err
 
     def save(self, i):
+        self._raise_pending()
         fname = filename(self.basename, self.digits, self.subdomain_id, i,
                          suffix='')
         snapshot = {k: np.array(v, copy=True)
@@ -135,6 +149,7 @@ class NPYOutput(LBOutput):
             self._queue.put(None)
             self._queue.join()
             self._thread.join(timeout=60)
+        self._raise_pending()
 
 
 class MatlabOutput(LBOutput):

@@ -392,7 +392,10 @@ class SpatialArray:
         # global coordinates, so no compaction is needed
         self.where = where
         if dim is None:
-            dim = self.values.ndim if self.values.ndim > 1 else 2
+            if self.values.ndim > 1:
+                dim = self.values.ndim
+            else:
+                dim = 3 if index == 'z' else 2
         #: evaluation arity: t + the coordinate arrays
         self._dyn_arity = 1 + dim
 

@@ -96,7 +96,8 @@ class IBMStepBuilder(StepBuilder):
                                   shape, self.dtype)
             fs = self.fix_missing(self.gather(f), f)
             rho, u = eq.macroscopic(self.grid, fs)
-            rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
+            params = self.bc_params(it)
+            rho, u = self._solve_macro_bc(fs, rho, u, params)
             fs2 = self._pre_collision_bc(fs, rho, u)
             # IBM spring forces are FORCE densities: accel = F / rho
             accel = force / rho[None]
@@ -112,6 +113,7 @@ class IBMStepBuilder(StepBuilder):
                 fpost = jnp.where(wet[None], fpost, fs2)
             fpost = self._post_collision(fs2, fpost)
             fpost = self._apply_tms(fpost, rho, u)
+            fpost = self._guo_density_overlay(fs, fpost, params)
             # particle update from the post-collision velocity field
             u_new = u + 0.5 * accel
             vel = interpolate_velocity(u_new, pos)

@@ -307,6 +307,23 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     return fused
 
 
+def pick_block_size(Q, Y, X, min_blocks=4):
+    """y-block size fitting the VMEM budget: 4 cache slots + 2 out
+    slots of (Q, by, X) fp32 plus compute temporaries must stay under
+    ~9 MB of the ~16 MB VMEM. Raises when Y cannot be blocked."""
+    budget = 9 * 2 ** 20
+    per_row = 6 * Q * X * 4
+    by = 32
+    while by > 8 and by * per_row > budget:
+        by //= 2
+    while Y % by and by >= 8:
+        by //= 2
+    if by < 8 or Y % by or Y // by < min_blocks:
+        raise NotImplementedError(
+            f'Y={Y} does not give >= {min_blocks} usable y-blocks')
+    return by
+
+
 def compute_patch_block_2d(g, sub, f, box, by, X, it=0):
     """Exact XLA recompute of one patched y-block -> (Q, by, X)."""
     def axes_shift(vec):
@@ -336,19 +353,7 @@ class PallasStep2D:
         Ys, Xs = domain_shape
         self.shape = domain_shape
         if by is None:
-            # VMEM budget: 4 cache slots + 2 out slots of (Q, by, X) fp32
-            # plus compute temporaries; keep the explicit buffers under
-            # ~9 MB of the ~16 MB VMEM.
-            budget = 9 * 2 ** 20
-            per_row = 6 * builder.grid.Q * Xs * 4
-            by = 32
-            while by > 8 and by * per_row > budget:
-                by //= 2
-            while Ys % by and by >= 8:
-                by //= 2
-            if by < 8 or Ys % by:
-                raise NotImplementedError(
-                    f'Y={Ys} not divisible by a usable block size')
+            by = pick_block_size(builder.grid.Q, Ys, Xs)
         self.by = by
         mask_np, patch_rows = classify_nodes(builder.maps)
         patch_blocks = sorted({r // by for r in patch_rows})

@@ -166,7 +166,8 @@ class ShardedPallasStep2D:
                 'the sharded 2D fused kernel shards the y axis only; '
                 f'got mesh axes {mesh.axis_names}')
         from sailfish_tpu.ops.pallas_step2d import (
-            PallasStep2D, compute_patch_block_2d, make_kernel_2d)
+            PallasStep2D, compute_patch_block_2d, make_kernel_2d,
+            pick_block_size)
         self.builder = builder
         self.mesh = mesh
         self.nshards = mesh.shape['y']
@@ -175,17 +176,8 @@ class ShardedPallasStep2D:
         Y_loc = Y // self.nshards
         self.shape = domain_shape
 
-        # pick the block size exactly like the single-device path
-        by = 32
-        budget = 9 * 2 ** 20
-        per_row = 6 * builder.grid.Q * X * 4
-        while by > 8 and by * per_row > budget:
-            by //= 2
-        while Y_loc % by and by >= 8:
-            by //= 2
-        if by < 8 or Y_loc % by or Y_loc // by < 4:
-            raise NotImplementedError(
-                f'local Y={Y_loc} does not give >= 4 usable y-blocks')
+        # same block-size policy as the single-device path
+        by = pick_block_size(builder.grid.Q, Y_loc, X)
         self.by = by
         NB_loc = Y_loc // by
 

@@ -186,10 +186,12 @@ class SubdomainRunner:
             return 'xla'
         if choice == 'pallas':
             if not eligible:
-                raise ValueError('pallas engine requested but this '
-                                 'configuration is not yet supported '
-                                 '(needs BGK fp32; 2D single-device or '
-                                 '3D with an optional z mesh)')
+                raise ValueError(
+                    'pallas engine requested but this configuration is '
+                    'not supported: the fused path covers BGK/MRT/TRT '
+                    '(+LES) in fp32, single-device or a 1-axis mesh '
+                    '(3D: z, 2D: y), without ExtendedCopy nodes, '
+                    'Shan-Chen coupling or non-BGK equilibria')
             return 'pallas'
         # auto: use the fused kernel on real accelerators only (on CPU it
         # would run in the slow interpreter).

@@ -215,3 +215,13 @@ def init_distributed(config, log=None):
     # elsewhere the flags/env provide the spec
     jax.distributed.initialize(**kwargs)
     return True
+
+
+def materialize(tree, n=2):
+    """Force completion of a device computation by materializing a tiny
+    slice of its first leaf on the host. jax.block_until_ready alone is
+    not reliable for every array on the remote-device stack and can
+    return before execution finishes (absurd benchmark numbers)."""
+    import jax
+    import numpy as np
+    return np.asarray(jax.tree.leaves(tree)[0].ravel()[:n])

@@ -75,8 +75,8 @@ def test_reduction_time_series_on_device():
 
     r = _run(Sim, iters=50)
     series = r.sim.reduction_series('ke')
-    assert series.shape[0] == 6
-    ke = series[1:, 0]        # slot 0 unwritten (hook sees it >= 1)
+    assert series.shape[0] == 5       # samples at iters 10..50
+    ke = series[:, 0]
     assert np.all(ke > 0)
     # TGV kinetic energy decays monotonically
     assert np.all(np.diff(ke) < 0), ke
