@@ -38,6 +38,8 @@ CASES = {
                                   visc=0.005)),
     'd2q9_sc_single_1024': ('sc_phase_separation', 2,
                             dict(lat_nx=1024, lat_ny=1024)),
+    'd3q19_sc_single_256': ('sc_phase_separation_3d', 3,
+                            dict(lat_nx=256, lat_ny=256, lat_nz=256)),
     'bin_d2q9_fe_512': ('binary_fluid.fe_separation_2d', 2,
                         dict(lat_nx=512, lat_ny=512)),
     'bin_d2q9_sc_512': ('binary_fluid.sc_separation_2d', 2,
@@ -50,6 +52,7 @@ SIM_CLASSES = {
     'turbulence.kida_vortex': 'KidaSim',
     'sphere_3d': 'SphereSimulation',
     'sc_phase_separation': 'SCSim',
+    'sc_phase_separation_3d': 'SCSim3D',
     'binary_fluid.fe_separation_2d': 'SeparationFESim',
     'binary_fluid.sc_separation_2d': 'SeparationSCSim',
 }

@@ -343,8 +343,62 @@ def _collide_one(builder, fi, mom, i):
     return fpost
 
 
+def _sc_psi(builder, rho):
+    """Pseudopotential (ops/collide.SHAN_CHEN_POTENTIALS)."""
+    if builder.sc_potential == 'classic':
+        return 1.0 - jnp.exp(-rho)
+    return rho
+
+
+def _sc_shift_moments(builder, mom, psi_of, shape_yx):
+    """Velocity-shift Shan-Chen forcing: u_eq = u + tau F / rho with
+    F = -G psi(x) sum_i w_i psi(x + c_i) c_i (matches the XLA engine's
+    shan_chen_force exactly; reference shan_chen.mako:9-84).
+
+    ``psi_of(k)`` returns the psi plane at perpendicular offset k
+    (3D: the z offset of a (Y, X) plane; 2D: the y row shift of a
+    (by, X) block); the in-plane shifts are applied here as periodic
+    lane/sublane rolls."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    dtype = rho.dtype
+    acc = [None] * g.dim
+    for i in range(1, g.Q):
+        cx, cy = int(g.basis[i][0]), int(g.basis[i][1])
+        if g.dim == 3:
+            p = psi_of(int(g.basis[i][2]))
+            rolls = ((cy, 0, shape_yx[0]), (cx, 1, shape_yx[1]))
+        else:
+            p = psi_of(cy)
+            rolls = ((cx, 1, shape_yx[1]),)
+        for c, ax, n in rolls:
+            if c:
+                # psi at x + c: roll by -c (sample semantics)
+                p = pltpu.roll(p, (-c) % n, axis=ax)
+        w = float(g.weights[i])
+        for a in range(g.dim):
+            c = int(g.basis[i][a])
+            if c:
+                term = (w * c) * p
+                acc[a] = term if acc[a] is None else acc[a] + term
+    pref = jnp.asarray(-builder.sc_coupling, dtype) * psi_of(0)
+    shift = jnp.asarray(builder.tau, dtype) / rho
+    u = [ua + shift * (pref * acc[a]) for a, ua in enumerate(u)]
+    usq = u[0] * u[0]
+    for a in range(1, g.dim):
+        usq = usq + u[a] * u[a]
+    if uF is not None:
+        fvec = np.asarray(builder.body_force,
+                          dtype=np.float64).reshape(-1)
+        uF = u[0] * jnp.asarray(fvec[0], dtype)
+        for a in range(1, g.dim):
+            uF = uF + u[a] * jnp.asarray(fvec[a], dtype)
+    return rho, u, usq, uF
+
+
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
-                   interpret=False, dyn_patches=False, max_patches=0):
+                   interpret=False, dyn_patches=False, max_patches=0,
+                   sc=False):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for plane z+1 are prefetched into the other buffer slot while plane z
     computes (double buffering; pallas_guide.md 'Double Buffering'), the
@@ -368,6 +422,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     counterpart of the reference running arbitrary scenes on any
     decomposition, subdomain_connection.py:415-449). Signature becomes
     fused(f, ghost_lo, ghost_hi[, mask], patch_map, patch_vals) -> out.
+
+    With ``sc=True`` (single-component Shan-Chen) three extra inputs
+    follow the ghosts: the POST-STREAM density field (Z, Y, X) plus its
+    two periodic ghost planes, computed by the caller in a cheap XLA
+    pre-pass. The pseudopotential force is evaluated in-kernel from the
+    three neighboring rho planes and shifts the equilibrium velocity by
+    tau F / rho, exactly matching the XLA engine's shan_chen_force
+    (ops/collide.py:95; reference shan_chen.mako sc_calculate_force).
     """
     g = builder.grid
     Q = g.Q
@@ -384,6 +446,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         f_hbm = refs[idx]; idx += 1
         glo_hbm = refs[idx]; idx += 1
         ghi_hbm = refs[idx]; idx += 1
+        rho_hbm = rglo_hbm = rghi_hbm = None
+        if sc:
+            rho_hbm = refs[idx]; idx += 1
+            rglo_hbm = refs[idx]; idx += 1
+            rghi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         pmap_ref = None
@@ -399,7 +466,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
-        in_sems = refs[idx]; idx += 1       # DMA (2, Q+1)
+        rho_buf = None
+        if sc:
+            rho_buf = refs[idx]; idx += 1   # (2, 3, Y, X)
+        in_sems = refs[idx]; idx += 1       # DMA (2, Q+4)
         out_sems = refs[idx]; idx += 1      # DMA (2,)
 
         z0 = pl.program_id(0)
@@ -451,6 +521,32 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 pltpu.make_async_copy(
                     mask_hbm.at[plane_z], mask_buf.at[s, 0],
                     in_sems.at[s, Q]).start()
+            if sc:
+                # rho planes plane_z-1, plane_z, plane_z+1 (periodic
+                # edges read the ghost inputs)
+                for j, dz in enumerate((-1, 0, 1)):
+                    pz = plane_z + dz
+                    if dz == 0:
+                        pltpu.make_async_copy(
+                            rho_hbm.at[plane_z], rho_buf.at[s, 1],
+                            in_sems.at[s, Q + 2]).start()
+                        continue
+
+                    ghost = rglo_hbm if dz < 0 else rghi_hbm
+                    edge = (plane_z == 0) if dz < 0 else \
+                        (plane_z == Z - 1)
+
+                    @pl.when(edge)
+                    def _(j=j, s=s, ghost=ghost):
+                        pltpu.make_async_copy(
+                            ghost, rho_buf.at[s, j],
+                            in_sems.at[s, Q + 1 + j]).start()
+
+                    @pl.when(jnp.logical_not(edge))
+                    def _(j=j, s=s, pz=pz):
+                        pltpu.make_async_copy(
+                            rho_hbm.at[pz], rho_buf.at[s, j],
+                            in_sems.at[s, Q + 1 + j]).start()
 
         def wait_gathers(s):
             for i in range(Q):
@@ -459,6 +555,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             if has_mask:
                 pltpu.make_async_copy(mask_hbm.at[0], mask_buf.at[s, 0],
                                       in_sems.at[s, Q]).wait()
+            if sc:
+                for j in range(3):
+                    pltpu.make_async_copy(rho_hbm.at[0],
+                                          rho_buf.at[s, j],
+                                          in_sems.at[s, Q + 1 + j]).wait()
 
         def wait_out(s):
             pltpu.make_async_copy(fs_buf.at[s], out_hbm.at[:, 0],
@@ -508,6 +609,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             # moments (read all planes before any in-place overwrite)
             fsl = [fs_buf[slot, i] for i in range(Q)]
             mom_u = _moments(builder, fsl)
+            if sc:
+                psi = [_sc_psi(builder, rho_buf[slot, j])
+                       for j in range(3)]
+                mom_u = _sc_shift_moments(
+                    builder, mom_u, lambda dz: psi[1 + dz], (Y, X))
             extra = _collide_prepass(builder, fsl, mom_u)
             if has_mask:
                 m = mask_buf[slot, 0]
@@ -587,18 +693,22 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     wait_out(nslot)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+    if sc:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     scratch = [
         pltpu.VMEM((2, Q, Y, X), dtype),
     ]
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
+    if sc:
+        scratch.append(pltpu.VMEM((2, 3, Y, X), dtype))
     if patch_rows:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 4)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     fused = pl.pallas_call(
@@ -662,6 +772,110 @@ def check_plane_tiling(Y, X, interpret=False):
             f'(got Y={Y}, X={X}); use the XLA engine for this domain')
 
 
+def make_rho_kernel_3d(builder, Z, Y, X, interpret=False):
+    """Post-stream density pre-pass: rho(x) = sum_i f_i(x - c_i), the
+    input the Shan-Chen force needs at every node's neighbors. Same
+    plane-DMA gather pipeline as the main kernel, but the only output
+    is one rho plane per program (~76 B read + 4 B written per node; an
+    XLA roll-sum costs ~3x that in practice)."""
+    g = builder.grid
+    Q = g.Q
+    dtype = builder.dtype
+    basis = g.basis
+
+    def kernel(f_hbm, glo_hbm, ghi_hbm, out_hbm, fs_buf, out_buf,
+               in_sems, out_sems):
+        z0 = pl.program_id(0)
+        slot = jax.lax.rem(z0, 2)
+        nslot = jax.lax.rem(z0 + 1, 2)
+
+        def start_gathers(plane_z, s):
+            for i in range(Q):
+                cz = int(basis[i][2])
+                if cz == 0:
+                    pltpu.make_async_copy(
+                        f_hbm.at[i, plane_z], fs_buf.at[s, i],
+                        in_sems.at[s, i]).start()
+                elif cz == 1:
+                    @pl.when(plane_z == 0)
+                    def _(i=i, s=s):
+                        pltpu.make_async_copy(
+                            glo_hbm.at[i], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+
+                    @pl.when(plane_z > 0)
+                    def _(i=i, s=s, plane_z=plane_z):
+                        pltpu.make_async_copy(
+                            f_hbm.at[i, plane_z - 1], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+                else:
+                    @pl.when(plane_z == Z - 1)
+                    def _(i=i, s=s):
+                        pltpu.make_async_copy(
+                            ghi_hbm.at[i], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+
+                    @pl.when(plane_z < Z - 1)
+                    def _(i=i, s=s, plane_z=plane_z):
+                        pltpu.make_async_copy(
+                            f_hbm.at[i, plane_z + 1], fs_buf.at[s, i],
+                            in_sems.at[s, i]).start()
+
+        def wait_gathers(s):
+            for i in range(Q):
+                pltpu.make_async_copy(f_hbm.at[0, 0], fs_buf.at[s, i],
+                                      in_sems.at[s, i]).wait()
+
+        def wait_out(s):
+            pltpu.make_async_copy(out_buf.at[s], out_hbm.at[0],
+                                  out_sems.at[s]).wait()
+
+        @pl.when(z0 == 0)
+        def _():
+            start_gathers(z0, slot)
+
+        @pl.when(z0 + 1 < Z)
+        def _():
+            @pl.when(z0 >= 1)
+            def _():
+                wait_out(nslot)
+            start_gathers(z0 + 1, nslot)
+
+        wait_gathers(slot)
+        acc = None
+        for i in range(Q):
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            plane = fs_buf[slot, i]
+            if cy:
+                plane = pltpu.roll(plane, cy % Y, axis=0)
+            if cx:
+                plane = pltpu.roll(plane, cx % X, axis=1)
+            acc = plane if acc is None else acc + plane
+        out_buf[slot] = acc
+        pltpu.make_async_copy(out_buf.at[slot], out_hbm.at[z0],
+                              out_sems.at[slot]).start()
+
+        @pl.when(z0 == Z - 1)
+        def _():
+            wait_out(slot)
+            if Z >= 2:
+                wait_out(nslot)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Z,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Z, Y, X), dtype),
+        scratch_shapes=[pltpu.VMEM((2, Q, Y, X), dtype),
+                        pltpu.VMEM((2, Y, X), dtype),
+                        pltpu.SemaphoreType.DMA((2, Q)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
 # -- full fused step ---------------------------------------------------------
 
 class PallasStep3D:
@@ -690,11 +904,25 @@ class PallasStep3D:
         self.patch_rows = patch_rows
         self.has_mask = bool((mask_np != 0).any())
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.sc = builder.sc_coupling != 0.0
+        if self.sc and patch_rows:
+            raise NotImplementedError(
+                'Shan-Chen with complex-BC planes needs global psi '
+                'sampling in the patch windows; use the XLA engine')
         self.kernel = make_kernel_3d(builder, Zs, Ys, Xs,
                                      patch_rows=patch_rows,
                                      has_mask=self.has_mask,
-                                     interpret=interpret)
+                                     interpret=interpret, sc=self.sc)
+        self.rho_kernel = None
+        if self.sc:
+            self.rho_kernel = make_rho_kernel_3d(builder, Zs, Ys, Xs,
+                                                 interpret=interpret)
         self._make_patch_builders()
+
+    def _post_stream_rho(self, f):
+        """Pre-pass: rho of the post-stream state (what the XLA
+        engine's shan_chen_force samples)."""
+        return self.rho_kernel(f, f[:, -1], f[:, 0])
 
     def _make_patch_builders(self):
         self.patch_subs = []
@@ -721,6 +949,9 @@ class PallasStep3D:
         if ghost_hi is None:
             ghost_hi = f[:, 0]
         args = [f, ghost_lo, ghost_hi]
+        if self.sc:
+            rho = self._post_stream_rho(f)
+            args += [rho, rho[-1], rho[0]]
         if self.has_mask:
             args.append(self.mask)
         if self.patch_rows:

@@ -26,12 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import classify_nodes, window_shifted, \
-    _collide_pair, _collide_prepass, _moments
+    _collide_pair, _collide_prepass, _moments, _sc_psi, _sc_shift_moments
 
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, sharded=False, dyn_patches=False,
-                   max_patches=0):
+                   max_patches=0, sc=False):
     """fused(f[, ghost_lo, ghost_hi], mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -65,6 +65,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         if sharded:
             glo_hbm = refs[idx]; idx += 1
             ghi_hbm = refs[idx]; idx += 1
+        rho_hbm = None
+        if sc:
+            rho_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         pmap_ref = None
@@ -81,7 +84,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
-        in_sems = refs[idx]; idx += 1      # DMA (4, Q+1)
+        rho_buf = None
+        if sc:
+            rho_buf = refs[idx]; idx += 1   # (4, 1, by, X)
+        in_sems = refs[idx]; idx += 1      # DMA (4, Q+2)
         out_sems = refs[idx]; idx += 1     # DMA (2,)
 
         k = pl.program_id(0)
@@ -105,6 +111,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(bm * by, by)],
                     mask_buf.at[slot, 0], in_sems.at[slot, Q]).start()
+            if sc:
+                pltpu.make_async_copy(
+                    rho_hbm.at[pl.ds(bm * by, by)],
+                    rho_buf.at[slot, 0], in_sems.at[slot, Q + 1]).start()
 
         def wait_block(slot):
             for i in range(Q):
@@ -115,6 +125,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
                                       mask_buf.at[slot, 0],
                                       in_sems.at[slot, Q]).wait()
+            if sc:
+                pltpu.make_async_copy(rho_hbm.at[pl.ds(0, by)],
+                                      rho_buf.at[slot, 0],
+                                      in_sems.at[slot, Q + 1]).wait()
 
         def wait_out(oslot):
             pltpu.make_async_copy(out_buf.at[oslot],
@@ -193,6 +207,22 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     plane = pltpu.roll(plane, cx % X, axis=1)
                 fs.append(plane)
             mom_u = _moments(builder, fs)
+            if sc:
+                def psi_of(dy):
+                    cur = rho_buf[s_cur, 0]
+                    if dy == 0:
+                        r = cur
+                    elif dy == 1:
+                        nxt = rho_buf[s_next, 0]
+                        r = jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
+                    else:
+                        prev = rho_buf[s_prev, 0]
+                        r = jnp.concatenate([prev[by - 1:by],
+                                             cur[:by - 1]], axis=0)
+                    return _sc_psi(builder, r)
+
+                mom_u = _sc_shift_moments(builder, mom_u, psi_of,
+                                          (by, X))
             extra = _collide_prepass(builder, fs, mom_u)
             if has_mask:
                 m = mask_buf[s_cur, 0]
@@ -279,6 +309,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     if sharded:
         in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+    if sc:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch = [
         pltpu.VMEM((4, Q, by, X), dtype),
         pltpu.VMEM((2, Q, by, X), dtype),
@@ -286,12 +318,14 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    if sc:
+        scratch.append(pltpu.VMEM((4, 1, by, X), dtype))
     if patch_blocks:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-    scratch.append(pltpu.SemaphoreType.DMA((4, Q + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((4, Q + 2)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     fused = pl.pallas_call(
@@ -305,6 +339,104 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         interpret=interpret,
     )
     return fused
+
+
+def make_rho_kernel_2d(builder, Y, X, by=32, interpret=False):
+    """Post-stream density pre-pass (2D): rho(x) = sum_i f_i(x - c_i),
+    via the same rotating y-block cache as the main kernel but with a
+    single rho block as output (the 2D counterpart of
+    pallas_step.make_rho_kernel_3d)."""
+    g = builder.grid
+    Q = g.Q
+    dtype = builder.dtype
+    basis = g.basis
+    assert Y % by == 0
+    NB = Y // by
+
+    def kernel(f_hbm, out_hbm, blk_buf, out_buf, in_sems, out_sems):
+        k = pl.program_id(0)
+
+        def start_block(b, slot):
+            bm = jax.lax.rem(b + NB, NB)
+            for i in range(Q):
+                pltpu.make_async_copy(
+                    f_hbm.at[i, pl.ds(bm * by, by)],
+                    blk_buf.at[slot, i], in_sems.at[slot, i]).start()
+
+        def wait_block(slot):
+            for i in range(Q):
+                pltpu.make_async_copy(f_hbm.at[0, pl.ds(0, by)],
+                                      blk_buf.at[slot, i],
+                                      in_sems.at[slot, i]).wait()
+
+        def wait_out(oslot):
+            pltpu.make_async_copy(out_buf.at[oslot],
+                                  out_hbm.at[pl.ds(0, by)],
+                                  out_sems.at[oslot]).wait()
+
+        s_prev = jax.lax.rem(k - 1 + 4 * NB, 4)
+        s_cur = jax.lax.rem(k, 4)
+        s_next = jax.lax.rem(k + 1, 4)
+        s_pref = jax.lax.rem(k + 2, 4)
+        oslot = jax.lax.rem(k, 2)
+
+        @pl.when(k == 0)
+        def _():
+            start_block(-1, jnp.int32(3))
+            start_block(0, jnp.int32(0))
+            start_block(1, jnp.int32(1))
+            wait_block(jnp.int32(3))
+            wait_block(jnp.int32(0))
+
+        @pl.when(k + 2 <= NB)
+        def _():
+            start_block(k + 2, s_pref)
+
+        wait_block(s_next)
+
+        @pl.when(k >= 2)
+        def _():
+            wait_out(oslot)
+
+        acc = None
+        for i in range(Q):
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            cur = blk_buf[s_cur, i]
+            if cy == 0:
+                plane = cur
+            elif cy == 1:
+                prev = blk_buf[s_prev, i]
+                plane = jnp.concatenate([prev[by - 1:by], cur[:by - 1]],
+                                        axis=0)
+            else:
+                nxt = blk_buf[s_next, i]
+                plane = jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
+            if cx:
+                plane = pltpu.roll(plane, cx % X, axis=1)
+            acc = plane if acc is None else acc + plane
+        out_buf[oslot] = acc
+        pltpu.make_async_copy(out_buf.at[oslot],
+                              out_hbm.at[pl.ds(k * by, by)],
+                              out_sems.at[oslot]).start()
+
+        @pl.when(k == NB - 1)
+        def _():
+            wait_out(oslot)
+            wait_out(jax.lax.rem(k + 1, 2))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Y, X), dtype),
+        scratch_shapes=[pltpu.VMEM((4, Q, by, X), dtype),
+                        pltpu.VMEM((2, by, X), dtype),
+                        pltpu.SemaphoreType.DMA((4, Q)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
 
 
 def pick_block_size(Q, Y, X, min_blocks=4):
@@ -364,11 +496,23 @@ class PallasStep2D:
         self.patch_blocks = patch_blocks
         self.has_mask = bool((mask_np != 0).any())
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.sc = builder.sc_coupling != 0.0
+        if self.sc and patch_blocks:
+            raise NotImplementedError(
+                'Shan-Chen with complex-BC blocks needs global psi '
+                'sampling in the patch windows; use the XLA engine')
         self.kernel = make_kernel_2d(builder, Ys, Xs, by=by,
                                      patch_blocks=patch_blocks,
                                      has_mask=self.has_mask,
-                                     interpret=interpret)
+                                     interpret=interpret, sc=self.sc)
+        self.rho_kernel = None
+        if self.sc:
+            self.rho_kernel = make_rho_kernel_2d(builder, Ys, Xs, by=by,
+                                                 interpret=interpret)
         self._make_patch_builders()
+
+    def _post_stream_rho(self, f):
+        return self.rho_kernel(f)
 
     def _make_patch_builders(self):
         self.patch_subs = []
@@ -386,6 +530,8 @@ class PallasStep2D:
 
     def step(self, f, it=0):
         args = [f]
+        if self.sc:
+            args.append(self._post_stream_rho(f))
         if self.has_mask:
             args.append(self.mask)
         if self.patch_blocks:

@@ -178,7 +178,10 @@ class SubdomainRunner:
             and snt.NTExtendedCopy.id not in b.maps.present_types
             and dtype == jnp.float32
             and b.model in ('bgk', 'mrt', 'trt')
-            and b.sc_coupling == 0.0
+            # single-component Shan-Chen: in-kernel psi forcing, single
+            # device, BGK (the XLA pre-pass supplies post-stream rho)
+            and (b.sc_coupling == 0.0 or
+                 (self.mesh is None and b.model == 'bgk'))
             and b.equilibrium == 'bgk'
             and (b.body_force is None
                  or np.asarray(b.body_force).ndim == 1))

@@ -32,6 +32,8 @@ EXAMPLES = {
     'taylor_green_2d.py': ['--lat_nx=32', '--lat_ny=32'],
     'sphere_3d.py': ['--lat_nx=32', '--lat_ny=16', '--lat_nz=16'],
     'sc_phase_separation.py': ['--lat_nx=32', '--lat_ny=32'],
+    'sc_phase_separation_3d.py': ['--lat_nx=16', '--lat_ny=16',
+                                  '--lat_nz=16'],
     'external_geometry.py': [],
     'womersley.py': ['--lat_nx=32', '--lat_ny=12', '--lat_nz=12'],
     'binary_fluid/sc_separation_2d.py': ['--lat_nx=32', '--lat_ny=32'],

@@ -98,3 +98,16 @@ def test_pallas2d_mrt_matches_xla():
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
     assert np.max(np.abs(vx_a - vx_b)) < 1e-6
+
+
+def test_pallas2d_shan_chen_matches_xla():
+    """Single-component Shan-Chen on the fused path (in-kernel psi
+    forcing + rho pre-pass kernel) vs the XLA engine."""
+    np.random.seed(42)
+    from sc_phase_separation import SCSim
+    cfg = dict(lat_nx=128, lat_ny=128, max_iters=25, every=25)
+    _, rho_a, _ = _run(SCSim, 'xla', **cfg)
+    np.random.seed(42)
+    engine, rho_b, _ = _run(SCSim, 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6

@@ -148,3 +148,41 @@ def test_sharded_pallas2d_periodic_and_ldc():
     assert engine == 'pallas'
     assert np.max(np.abs(vx - vx_ref)) < 1e-6
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
+
+
+def test_pallas3d_shan_chen_matches_xla():
+    """3D single-component Shan-Chen on the fused path vs XLA."""
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.single import LBSingleFluidShanChen
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Sep3(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            pass
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = np.random.RandomState(7).rand(
+                *sim.rho.shape) / 100 + 0.693
+
+    class S3(LBSingleFluidShanChen):
+        subdomain = Sep3
+
+        @classmethod
+        def update_defaults(cls, d):
+            d.update(dict(G=-5.0, visc=1.0 / 6.0, periodic_x=True,
+                          periodic_y=True, periodic_z=True,
+                          sc_potential='classic', grid='D3Q19'))
+
+    def run(engine):
+        ctrl = LBSimulationController(S3, default_config=dict(
+            lat_nx=32, lat_ny=16, lat_nz=16, max_iters=20, every=20,
+            quiet=True, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.rho)
+
+    _, rho_a = run('xla')
+    engine, rho_b = run('pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
