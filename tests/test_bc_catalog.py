@@ -294,3 +294,73 @@ def test_device_nan_gate_aborts():
     ctrl.run(ignore_cmdline=True)
     # aborted long before max_iters
     assert ctrl._runner.sim.iteration < 2000
+
+
+def test_tms_missing_dists_are_target_equilibrium():
+    """Port of the reference's tests/gpu/tms.py check: at a TMS node,
+    the tagged (missing) distributions must equal the equilibrium at
+    the target macros computed from the bounce-filled populations."""
+    import jax.numpy as jnp
+    from sailfish_tpu import lattice
+    from sailfish_tpu import equilibrium as eq
+    from sailfish_tpu.subdomain import SubdomainSpec2D, Subdomain2D
+    from sailfish_tpu.ops.step import StepBuilder
+
+    grid = lattice.get_grid('D2Q9')
+
+    def vi(x, y):
+        for i in range(grid.Q):
+            if grid.basis[i][0] == x and grid.basis[i][1] == y:
+                return i
+        raise AssertionError
+
+    # the reference's fixture values (tests/gpu/tms.py fi_start_2d)
+    fi_start = {
+        vi(0, 0): 0.4745, vi(1, 0): 0.1179, vi(-1, 0): 0.1045,
+        vi(0, -1): 0.1809, vi(-1, -1): 0.03613, vi(1, -1): 0.00946,
+        vi(1, 1): 0.02946, vi(0, 1): 0.1110, vi(-1, 1): 0.02613,
+    }
+
+    N = 16
+
+    class Dom(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            self.set_node(hy == 0, nt.NTWallTMS)
+
+    class Cfg:
+        periodic_x = True
+        periodic_y = False
+
+    dom = Dom((8, N), SubdomainSpec2D((0, 0), (N, 8)), grid, Cfg())
+    dom.reset()
+    b = StepBuilder(grid, dom.maps, visc=1.0 / 12.0)
+
+    f = np.tile(np.asarray(grid.weights, np.float32)[:, None, None],
+                (1, 8, N))
+    x0 = 5
+    for k, v in fi_start.items():
+        f[k, 0, x0] = v
+    fj = jnp.asarray(f)
+    # bypass the streaming gather (the reference test disables
+    # propagation): fix_missing sees the node's own values
+    fs = np.asarray(b.fix_missing(fj, fj))
+
+    # expected target macros: bounce-filled populations
+    filled = dict(fi_start)
+    for k in fi_start:
+        if grid.basis[k][1] == 1:
+            filled[k] = fi_start[int(grid.opposite[k])]
+    rho_bb = sum(filled.values())
+    ux_bb = sum(grid.basis[k][0] * v for k, v in filled.items()) / rho_bb
+    uy_bb = sum(grid.basis[k][1] * v for k, v in filled.items()) / rho_bb
+
+    feq = np.asarray(eq.bgk_equilibrium(
+        grid, jnp.asarray(np.float32(rho_bb)),
+        jnp.asarray(np.array([ux_bb, uy_bb], np.float32))))
+    for k in fi_start:
+        if grid.basis[k][1] == 1:   # tagged (missing) directions
+            np.testing.assert_allclose(fs[k, 0, x0], feq[k], rtol=2e-6,
+                                       err_msg=str(k))
+        else:                        # known populations untouched
+            np.testing.assert_allclose(fs[k, 0, x0], fi_start[k],
+                                       rtol=1e-6)
