@@ -158,6 +158,25 @@ class Grid:
                 raise AssertionError(f'{self.name}: moment {i} lacks parity')
         self.mrt_parity = parity
 
+    @functools.cached_property
+    def visc_tau_slope(self):
+        """d(tau)/d(nu) for axis-aligned shear: 1 / (3 A) with
+        A = sum_i w_i c_ix^2 c_iy^2. For 4th-order-isotropic lattices
+        A = cs^4 = 1/9 and the slope is the familiar 3; D3Q13 has
+        A = 1/6 (its known anisotropy; tests/test_lattice.py) giving
+        nu = (tau - 1/2)/2, i.e. slope 2."""
+        from fractions import Fraction
+        A = sum(Fraction(w).limit_denominator(10 ** 6)
+                * int(b[0]) ** 2 * int(b[1]) ** 2
+                for w, b in zip(self.weights, self.basis))
+        return float(1 / (3 * A))
+
+    def relaxation_time(self, visc):
+        """tau producing shear viscosity ``visc`` on THIS lattice
+        (grid-aware generalization of sym.relaxation_time,
+        sym.py:847)."""
+        return visc * self.visc_tau_slope + 0.5
+
     def mrt_relaxation_rates(self, tau, tau_bulk=None, magic=0.25):
         """Per-moment relaxation-rate vector s (length Q).
 

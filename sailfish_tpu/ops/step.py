@@ -92,8 +92,10 @@ class StepBuilder:
         self.grid = grid
         self.maps = maps
         self.model = model
+        # grid-aware nu -> tau (identical to 3 nu + 1/2 on every
+        # 4th-order-isotropic lattice; differs only for D3Q13)
         self.tau = float(tau if tau is not None
-                         else lat.relaxation_time(visc))
+                         else grid.relaxation_time(visc))
         self.tau_inv = 1.0 / self.tau
         self.incompressible = incompressible
         self.regularized = regularized
