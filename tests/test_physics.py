@@ -142,7 +142,7 @@ def test_viscosity_all_3d_grids():
     from sailfish_tpu.ops.step import StepBuilder
     from sailfish_tpu.subdomain import NodeMaps
 
-    N = 32
+    N = 64
     visc = 0.02
     steps = 400
     # D3Q13's tau slope is 2 (its 4th moment sum w cx^2 cy^2 = 1/6, not
@@ -167,7 +167,8 @@ def test_viscosity_all_3d_grids():
         amp0 = u0 / 2
         amp = np.abs(np.fft.rfft(np.asarray(u_out[1][4, 4]))[1]) / N
         nu = -np.log(amp / amp0) / (k * k * steps)
-        # D3Q13: residual 4th-order anisotropy; D3Q15: staggered
-        # ghost-mode coupling (both known lattice properties)
-        tol = 0.02 if name in ('D3Q13', 'D3Q15') else 0.01
+        # D3Q13 keeps a ~2% resolution-independent bias from its
+        # ghost-mode coupling (residual anisotropy); the isotropic
+        # lattices land within discretization error
+        tol = 0.025 if name == 'D3Q13' else 0.01
         assert abs(nu - visc) / visc < tol, (name, nu)
