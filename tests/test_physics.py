@@ -160,15 +160,22 @@ def test_viscosity_all_3d_grids():
         u = jnp.stack([jnp.zeros_like(rho), uy, jnp.zeros_like(rho)])
         f = eq.bgk_equilibrium(grid, rho, u)
         step = b.build()
-        run = jax.jit(lambda f: jax.lax.fori_loop(
-            0, steps, lambda i, fc: step(fc, i), f))
-        f = run(f)
-        _, u_out = eq.macroscopic(grid, b.streamed(f))
-        amp0 = u0 / 2
-        amp = np.abs(np.fft.rfft(np.asarray(u_out[1][4, 4]))[1]) / N
-        nu = -np.log(amp / amp0) / (k * k * steps)
-        # D3Q13 keeps a ~2% resolution-independent bias from its
-        # ghost-mode coupling (residual anisotropy); the isotropic
-        # lattices land within discretization error
-        tol = 0.025 if name == 'D3Q13' else 0.01
+        run = jax.jit(lambda f, n: jax.lax.fori_loop(
+            0, n, lambda i, fc: step(fc, i), f))
+
+        def mode_amp(f):
+            _, u_out = eq.macroscopic(grid, b.streamed(f))
+            return np.abs(np.fft.rfft(
+                np.asarray(u_out[1][4, 4]))[1]) / N
+
+        # two-point fit between t=steps and t=2*steps: the equilibrium
+        # initialization sheds a one-time transient that a from-t0 fit
+        # would misattribute to viscosity
+        f = run(f, steps)
+        amp1 = mode_amp(f)
+        f = run(f, steps)
+        amp2 = mode_amp(f)
+        nu = -np.log(amp2 / amp1) / (k * k * steps)
+        # D3Q13's residual ghost-mode anisotropy biases it ~0.5%
+        tol = 0.01 if name == 'D3Q13' else 0.005
         assert abs(nu - visc) / visc < tol, (name, nu)
