@@ -44,6 +44,10 @@ CASES = {
                         dict(lat_nx=512, lat_ny=512)),
     'bin_d2q9_sc_512': ('binary_fluid.sc_separation_2d', 2,
                         dict(lat_nx=512, lat_ny=512)),
+    'bin_d2q9_sc_1024': ('binary_fluid.sc_separation_2d', 2,
+                         dict(lat_nx=1024, lat_ny=1024)),
+    'tern_d2q9_sc_512': ('ternary_fluid.sc_drop_2d', 2,
+                         dict(lat_nx=512, lat_ny=512)),
 }
 
 SIM_CLASSES = {
@@ -55,6 +59,7 @@ SIM_CLASSES = {
     'sc_phase_separation_3d': 'SCSim3D',
     'binary_fluid.fe_separation_2d': 'SeparationFESim',
     'binary_fluid.sc_separation_2d': 'SeparationSCSim',
+    'ternary_fluid.sc_drop_2d': 'TernaryDropSim',
 }
 
 
@@ -74,6 +79,7 @@ def run_case(name, iters, warmup):
     sys.path.insert(0, 'examples')
     sys.path.insert(0, 'examples/turbulence')
     sys.path.insert(0, 'examples/binary_fluid')
+    sys.path.insert(0, 'examples/ternary_fluid')
     mod = importlib.import_module(module.split('.')[-1])
     sim_cls = getattr(mod, SIM_CLASSES[module])
 

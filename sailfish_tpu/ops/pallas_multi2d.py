@@ -1,0 +1,362 @@
+"""Fused 2D kernel for K-component Shan-Chen mixtures.
+
+Extends the single-fluid 2D block-cache kernel (ops/pallas_step2d.py)
+to the multi-distribution SC models (binary/ternary;
+ops/multigrid.ShanChenMultiStepBuilder): all K distribution sets are
+cached per y-block, the common velocity u' = (sum mom_k/tau_k) /
+(sum rho_k/tau_k) and the pseudopotential cross-forces are evaluated
+in-VMEM from per-component post-stream density fields (each produced by
+the single-fluid rho pre-pass kernel), and every component collides
+with its shifted equilibrium velocity -- the reference's
+binary_shan_chen.mako / ternary_shan_chen.mako two-phase step as one
+fused pass.
+
+Covers: periodic/full-bounce-back scenes (mask in-kernel), uniform Guo
+body forces per component, fp32, single device. Anything else falls
+back to the XLA engine, which remains the semantics reference
+(equivalence to fp32 roundoff, tests/test_multi_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sailfish_tpu import node_type as nt
+from sailfish_tpu.equilibrium import signed_sum
+from sailfish_tpu.ops.pallas_step import classify_nodes
+from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
+    pick_block_size
+
+
+def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
+                            interpret=False):
+    """fused(f_0..f_{K-1}, rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1})."""
+    b0 = mbuilder.b0
+    g = mbuilder.grid
+    Q = g.Q
+    K = len(mbuilder.components)
+    dtype = b0.dtype
+    basis = g.basis
+    opp = [int(o) for o in g.opposite]
+    taus = [float(t) for t in mbuilder.taus]
+    couplings = {k: float(v) for k, v in mbuilder.couplings.items()
+                 if v != 0.0}
+    forces = [None if f is None else
+              np.asarray(f, dtype=np.float64).reshape(-1)
+              for f in mbuilder.body_forces]
+    classic = mbuilder.potential == 'classic'
+
+    def psi(x):
+        # the mixture's pseudopotential (ops/collide.SHAN_CHEN_POTENTIALS)
+        return 1.0 - jnp.exp(-x) if classic else x
+    assert Y % by == 0
+    NB = Y // by
+    if NB < 4:
+        raise NotImplementedError(
+            f'2D fused kernel needs >= 4 y-blocks (Y={Y}, by={by})')
+
+    def kernel(*refs):
+        idx = 0
+        f_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        rho_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        mask_hbm = None
+        if has_mask:
+            mask_hbm = refs[idx]; idx += 1
+        out_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        blk_buf = refs[idx]; idx += 1     # (4, K*Q, by, X)
+        out_buf = refs[idx]; idx += 1     # (2, K*Q, by, X)
+        rho_buf = refs[idx]; idx += 1     # (4, K, by, X)
+        mask_buf = None
+        if has_mask:
+            mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
+        in_sems = refs[idx]; idx += 1      # DMA (4, K*(Q+1)+1)
+        out_sems = refs[idx]; idx += 1     # DMA (2, K)
+
+        k = pl.program_id(0)
+
+        def start_block(b, slot):
+            bm = jax.lax.rem(b + NB, NB)
+            for c in range(K):
+                for i in range(Q):
+                    pltpu.make_async_copy(
+                        f_hbm[c].at[i, pl.ds(bm * by, by)],
+                        blk_buf.at[slot, c * Q + i],
+                        in_sems.at[slot, c * Q + i]).start()
+                pltpu.make_async_copy(
+                    rho_hbm[c].at[pl.ds(bm * by, by)],
+                    rho_buf.at[slot, c],
+                    in_sems.at[slot, K * Q + c]).start()
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[pl.ds(bm * by, by)],
+                    mask_buf.at[slot, 0],
+                    in_sems.at[slot, K * (Q + 1)]).start()
+
+        def wait_block(slot):
+            for c in range(K):
+                for i in range(Q):
+                    pltpu.make_async_copy(
+                        f_hbm[0].at[0, pl.ds(0, by)],
+                        blk_buf.at[slot, c * Q + i],
+                        in_sems.at[slot, c * Q + i]).wait()
+                pltpu.make_async_copy(rho_hbm[0].at[pl.ds(0, by)],
+                                      rho_buf.at[slot, c],
+                                      in_sems.at[slot, K * Q + c]).wait()
+            if has_mask:
+                pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
+                                      mask_buf.at[slot, 0],
+                                      in_sems.at[slot, K * (Q + 1)]).wait()
+
+        def wait_out(oslot):
+            for c in range(K):
+                pltpu.make_async_copy(
+                    out_buf.at[oslot, pl.ds(c * Q, Q)],
+                    out_hbm[c].at[:, pl.ds(0, by)],
+                    out_sems.at[oslot, c]).wait()
+
+        s_prev = jax.lax.rem(k - 1 + 4 * NB, 4)
+        s_cur = jax.lax.rem(k, 4)
+        s_next = jax.lax.rem(k + 1, 4)
+        s_pref = jax.lax.rem(k + 2, 4)
+        oslot = jax.lax.rem(k, 2)
+
+        @pl.when(k == 0)
+        def _():
+            start_block(-1, jnp.int32(3))
+            start_block(0, jnp.int32(0))
+            start_block(1, jnp.int32(1))
+            wait_block(jnp.int32(3))
+            wait_block(jnp.int32(0))
+
+        @pl.when(k + 2 <= NB)
+        def _():
+            start_block(k + 2, s_pref)
+
+        wait_block(s_next)
+
+        def rows_shifted(ch, cy):
+            """(by, X) rows of cache channel ``ch`` shifted so the pull
+            source is y - cy."""
+            cur = blk_buf[s_cur, ch]
+            if cy == 0:
+                return cur
+            if cy == 1:
+                prev = blk_buf[s_prev, ch]
+                return jnp.concatenate([prev[by - 1:by], cur[:by - 1]],
+                                       axis=0)
+            nxt = blk_buf[s_next, ch]
+            return jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
+
+        def rho_rows(c, dy):
+            """rho of component c at row offset +dy."""
+            cur = rho_buf[s_cur, c]
+            if dy == 0:
+                return cur
+            if dy == 1:
+                nxt = rho_buf[s_next, c]
+                return jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
+            prev = rho_buf[s_prev, c]
+            return jnp.concatenate([prev[by - 1:by], cur[:by - 1]],
+                                   axis=0)
+
+        @pl.when(k >= 2)
+        def _():
+            wait_out(oslot)
+
+        # -- gather + roll all components -----------------------------------
+        fs = []
+        for c in range(K):
+            comp = []
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                plane = rows_shifted(c * Q + i, cy)
+                if cx:
+                    plane = pltpu.roll(plane, cx % X, axis=1)
+                comp.append(plane)
+            fs.append(comp)
+
+        # -- common velocity (reference binary_shan_chen.mako:60-90) --------
+        rhos = []
+        moms = []
+        for c in range(K):
+            r = fs[c][0]
+            for i in range(1, Q):
+                r = r + fs[c][i]
+            rhos.append(r)
+            moms.append([signed_sum(basis[:, a], fs[c])
+                         for a in range(2)])
+        den = rhos[0] * jnp.asarray(1.0 / taus[0], dtype)
+        num = [moms[0][a] * jnp.asarray(1.0 / taus[0], dtype)
+               for a in range(2)]
+        for c in range(1, K):
+            inv_t = jnp.asarray(1.0 / taus[c], dtype)
+            den = den + rhos[c] * inv_t
+            for a in range(2):
+                num[a] = num[a] + moms[c][a] * inv_t
+        inv_den = 1.0 / den
+        u_common = [num[a] * inv_den for a in range(2)]
+
+        # -- pseudopotential cross-forces ------------------------------------
+        psi_self = [psi(rho_buf[s_cur, c]) for c in range(K)]
+
+        def neighbor_sum(c):
+            """sum_i w_i psi_c(x + c_i) c_i for both axes."""
+            acc = [None, None]
+            for i in range(1, Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                p = psi(rho_rows(c, cy))
+                if cx:
+                    p = pltpu.roll(p, (-cx) % X, axis=1)
+                w = float(g.weights[i])
+                for a in range(2):
+                    cc = int(basis[i][a])
+                    if cc:
+                        t = (w * cc) * p
+                        acc[a] = t if acc[a] is None else acc[a] + t
+            return acc
+
+        nsum = [neighbor_sum(c) for c in range(K)]
+        F = [[None, None] for _ in range(K)]
+        for (j, kk), G in couplings.items():
+            for a in range(2):
+                tj = jnp.asarray(-G, dtype) * psi_self[j] * nsum[kk][a]
+                F[j][a] = tj if F[j][a] is None else F[j][a] + tj
+                if j != kk:
+                    tk = jnp.asarray(-G, dtype) * psi_self[kk] * \
+                        nsum[j][a]
+                    F[kk][a] = tk if F[kk][a] is None else \
+                        F[kk][a] + tk
+
+        if has_mask:
+            m = mask_buf[s_cur, 0]
+            is_dry = m == 1
+            is_keep = m == 2
+
+        # -- per-component collide -------------------------------------------
+        w_np = np.asarray(g.weights, np.float64)
+        for c in range(K):
+            tau = taus[c]
+            tau_inv = 1.0 / tau
+            inv_rho = 1.0 / rhos[c]
+            u_eq = list(u_common)
+            if F[c][0] is not None or F[c][1] is not None:
+                for a in range(2):
+                    if F[c][a] is not None:
+                        u_eq[a] = u_eq[a] + jnp.asarray(tau, dtype) * \
+                            F[c][a] * inv_rho
+            fvec = forces[c]
+            uF = None
+            if fvec is not None:
+                # acceleration semantics: u* = u + a/2
+                u_eq = [u_eq[a] + jnp.asarray(0.5 * fvec[a], dtype)
+                        for a in range(2)]
+                uF = u_eq[0] * jnp.asarray(fvec[0], dtype) + \
+                    u_eq[1] * jnp.asarray(fvec[1], dtype)
+            usq = u_eq[0] * u_eq[0] + u_eq[1] * u_eq[1]
+            for i, o in [(i, opp[i]) for i in range(Q) if i <= opp[i]]:
+                for d in ((i,) if o == i else (i, o)):
+                    fi = fs[c][d]
+                    cu = signed_sum(basis[d], u_eq)
+                    poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
+                    feq = jnp.asarray(w_np[d], dtype) * \
+                        (rhos[c] + rhos[c] * poly)
+                    vi = fi + jnp.asarray(tau_inv, dtype) * (feq - fi)
+                    if fvec is not None:
+                        cF = float(np.dot(basis[d][:2], fvec))
+                        pref = (1.0 - 0.5 * tau_inv) * w_np[d]
+                        vi = vi + jnp.asarray(pref, dtype) * rhos[c] * (
+                            3.0 * (jnp.asarray(cF, dtype) - uF)
+                            + 9.0 * cu * cF)
+                    if has_mask:
+                        refl = fs[c][opp[d]]
+                        vi = jnp.where(is_dry, refl,
+                                       jnp.where(is_keep, fi, vi))
+                    out_buf[oslot, c * Q + d] = vi
+
+        for c in range(K):
+            pltpu.make_async_copy(
+                out_buf.at[oslot, pl.ds(c * Q, Q)],
+                out_hbm[c].at[:, pl.ds(k * by, by)],
+                out_sems.at[oslot, c]).start()
+
+        @pl.when(k == NB - 1)
+        def _():
+            wait_out(oslot)
+            wait_out(jax.lax.rem(k + 1, 2))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * K)
+    scratch = [
+        pltpu.VMEM((4, K * Q, by, X), dtype),
+        pltpu.VMEM((2, K * Q, by, X), dtype),
+        pltpu.VMEM((4, K, by, X), dtype),
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA((4, K * (Q + 1) + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, K)))
+
+    fused = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                        for _ in range(K)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Q, Y, X), dtype)
+                        for _ in range(K)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    return fused
+
+
+class PallasStepSCMulti2D:
+    """Fused stepping for ShanChenMultiStepBuilder scenes (2D, single
+    device, periodic/bounce-back boundaries)."""
+
+    def __init__(self, mbuilder, domain_shape, interpret=False):
+        from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
+        if not isinstance(mbuilder, ShanChenMultiStepBuilder):
+            raise NotImplementedError(
+                'fused multi-component stepping covers Shan-Chen '
+                'mixtures only (free energy uses the XLA engine)')
+        self.mbuilder = mbuilder
+        Ys, Xs = domain_shape
+        self.shape = domain_shape
+        b0 = mbuilder.b0
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'multi-component fused kernel covers walls/obstacles '
+                'only; complex-BC scenes use the XLA engine')
+        for c in mbuilder.components:
+            if c.model != 'bgk' or c.smagorinsky or c.sc_coupling:
+                raise NotImplementedError(
+                    'multi-component fused kernel is BGK-only')
+        # a smaller block keeps K cached component sets within VMEM
+        by = pick_block_size(mbuilder.grid.Q * len(mbuilder.components),
+                             Ys, Xs)
+        self.by = by
+        self.has_mask = bool((mask_np != 0).any())
+        self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.kernel = make_kernel_2d_sc_multi(
+            mbuilder, Ys, Xs, by=by, has_mask=self.has_mask,
+            interpret=interpret)
+        self.rho_kernel = make_rho_kernel_2d(b0, Ys, Xs, by=by,
+                                             interpret=interpret)
+
+    def step(self, state, it=0):
+        args = list(state)
+        args += [self.rho_kernel(f) for f in state]
+        if self.has_mask:
+            args.append(self.mask)
+        return tuple(self.kernel(*args))
+
+    def run_steps(self, state, n, it0=0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), state)

@@ -450,6 +450,8 @@ def pick_block_size(Q, Y, X, min_blocks=4):
         by //= 2
     while Y % by and by >= 8:
         by //= 2
+    while by > 8 and Y // by < min_blocks:
+        by //= 2
     if by < 8 or Y % by or Y // by < min_blocks:
         raise NotImplementedError(
             f'Y={Y} does not give >= {min_blocks} usable y-blocks')

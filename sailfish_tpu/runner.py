@@ -79,8 +79,15 @@ class SubdomainRunner:
         self.engine = self._select_engine(dtype)
         if self.engine == 'pallas':
             interp = jax.default_backend() == 'cpu'
+            from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
             try:
-                if self.mesh is not None and self.sim.dim == 2:
+                if isinstance(self.builder, ShanChenMultiStepBuilder):
+                    from sailfish_tpu.ops.pallas_multi2d import \
+                        PallasStepSCMulti2D
+                    pstep = PallasStepSCMulti2D(
+                        self.builder, self._domain_shape(),
+                        interpret=interp)
+                elif self.mesh is not None and self.sim.dim == 2:
                     from sailfish_tpu.parallel.halo import \
                         ShardedPallasStep2D
                     pstep = ShardedPallasStep2D(
@@ -166,7 +173,24 @@ class SubdomainRunner:
         choice = getattr(cfg, 'engine', 'auto')
         b = self.builder
         import sailfish_tpu.node_type as snt
+        from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
         from sailfish_tpu.ops.step import StepBuilder
+        if isinstance(b, ShanChenMultiStepBuilder):
+            # K-component Shan-Chen: fused 2D kernel, single device
+            eligible = (self.sim.dim == 2 and self.mesh is None
+                        and dtype == jnp.float32)
+            if choice == 'xla':
+                return 'xla'
+            if choice == 'pallas':
+                if not eligible:
+                    raise ValueError(
+                        'pallas engine requested: multi-component '
+                        'scenes run fused only in 2D fp32 on a single '
+                        'device')
+                return 'pallas'
+            if jax.default_backend() == 'cpu':
+                return 'xla'
+            return 'pallas' if eligible else 'xla'
         mesh_ok = self.mesh is None or \
             (self.sim.dim == 3 and list(self.mesh.axis_names) == ['z']) \
             or (self.sim.dim == 2 and list(self.mesh.axis_names) == ['y'])
