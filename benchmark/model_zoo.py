@@ -42,6 +42,8 @@ CASES = {
                             dict(lat_nx=256, lat_ny=256, lat_nz=256)),
     'bin_d2q9_fe_512': ('binary_fluid.fe_separation_2d', 2,
                         dict(lat_nx=512, lat_ny=512)),
+    'bin_d2q9_fe_1024': ('binary_fluid.fe_separation_2d', 2,
+                         dict(lat_nx=1024, lat_ny=1024)),
     'bin_d2q9_sc_512': ('binary_fluid.sc_separation_2d', 2,
                         dict(lat_nx=512, lat_ny=512)),
     'bin_d2q9_sc_1024': ('binary_fluid.sc_separation_2d', 2,

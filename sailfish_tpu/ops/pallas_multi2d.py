@@ -315,6 +315,377 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     return fused
 
 
+def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
+                      wetting=False, interpret=False):
+    """Fused binary free-energy step (reference lb_binary_fluid.mako):
+    fused(f0, f1, phi_field[, mask][, orient]) -> (f0', f1').
+
+    ``phi_field`` is the post-stream order parameter (rho pre-pass on
+    f1); the Landau chemical potential, isotropic laplacian/gradient
+    stencils (with the wall-wetting phi mirror when ``wetting``), the
+    phi-interpolated relaxation time, and both equilibria are evaluated
+    in-VMEM per y-block."""
+    from sailfish_tpu.ops.multigrid import _fe_weights
+    g = mbuilder.grid
+    Q = g.Q
+    dtype = mbuilder.dtype
+    basis = g.basis
+    opp = [int(o) for o in g.opposite]
+    tau_a, tau_b = mbuilder.tau_a, mbuilder.tau_b
+    tau_phi = mbuilder.tau_phi
+    A_c, kappa, Gamma = mbuilder.A, mbuilder.kappa, mbuilder.Gamma
+    wall_grad = mbuilder.wall_grad_phase
+    few = {k: np.asarray(v, np.float64)
+           for k, v in _fe_weights(g).items()}
+    fvec = None
+    if mbuilder.body_force is not None:
+        fvec = np.asarray(mbuilder.body_force, np.float64).reshape(-1)
+    eq_force_map = dict(getattr(mbuilder, 'eq_force_map', {}))
+    body_forces = [None if f is None else
+                   np.asarray(f, np.float64).reshape(-1)
+                   for f in mbuilder.body_forces]
+    assert Y % by == 0
+    NB = Y // by
+    if NB < 4:
+        raise NotImplementedError(
+            f'2D fused kernel needs >= 4 y-blocks (Y={Y}, by={by})')
+
+    def kernel(*refs):
+        idx = 0
+        f_hbm = [refs[idx], refs[idx + 1]]; idx += 2
+        phi_hbm = refs[idx]; idx += 1
+        mask_hbm = orient_hbm = None
+        if has_mask:
+            mask_hbm = refs[idx]; idx += 1
+        if wetting:
+            orient_hbm = refs[idx]; idx += 1
+        out_hbm = [refs[idx], refs[idx + 1]]; idx += 2
+        blk_buf = refs[idx]; idx += 1     # (4, 2Q, by, X)
+        out_buf = refs[idx]; idx += 1     # (2, 2Q, by, X)
+        phi_buf = refs[idx]; idx += 1     # (4, 1, by, X)
+        mask_buf = orient_buf = None
+        if has_mask:
+            mask_buf = refs[idx]; idx += 1
+        if wetting:
+            orient_buf = refs[idx]; idx += 1
+        in_sems = refs[idx]; idx += 1      # DMA (4, 2Q+3)
+        out_sems = refs[idx]; idx += 1     # DMA (2, 2)
+
+        k = pl.program_id(0)
+
+        def start_block(b, slot):
+            bm = jax.lax.rem(b + NB, NB)
+            for c in range(2):
+                for i in range(Q):
+                    pltpu.make_async_copy(
+                        f_hbm[c].at[i, pl.ds(bm * by, by)],
+                        blk_buf.at[slot, c * Q + i],
+                        in_sems.at[slot, c * Q + i]).start()
+            pltpu.make_async_copy(
+                phi_hbm.at[pl.ds(bm * by, by)], phi_buf.at[slot, 0],
+                in_sems.at[slot, 2 * Q]).start()
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[pl.ds(bm * by, by)],
+                    mask_buf.at[slot, 0], in_sems.at[slot, 2 * Q + 1]
+                ).start()
+            if wetting:
+                pltpu.make_async_copy(
+                    orient_hbm.at[pl.ds(bm * by, by)],
+                    orient_buf.at[slot, 0], in_sems.at[slot, 2 * Q + 2]
+                ).start()
+
+        def wait_block(slot):
+            for c in range(2):
+                for i in range(Q):
+                    pltpu.make_async_copy(
+                        f_hbm[0].at[0, pl.ds(0, by)],
+                        blk_buf.at[slot, c * Q + i],
+                        in_sems.at[slot, c * Q + i]).wait()
+            pltpu.make_async_copy(phi_hbm.at[pl.ds(0, by)],
+                                  phi_buf.at[slot, 0],
+                                  in_sems.at[slot, 2 * Q]).wait()
+            if has_mask:
+                pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
+                                      mask_buf.at[slot, 0],
+                                      in_sems.at[slot, 2 * Q + 1]).wait()
+            if wetting:
+                pltpu.make_async_copy(orient_hbm.at[pl.ds(0, by)],
+                                      orient_buf.at[slot, 0],
+                                      in_sems.at[slot, 2 * Q + 2]).wait()
+
+        def wait_out(oslot):
+            for c in range(2):
+                pltpu.make_async_copy(
+                    out_buf.at[oslot, pl.ds(c * Q, Q)],
+                    out_hbm[c].at[:, pl.ds(0, by)],
+                    out_sems.at[oslot, c]).wait()
+
+        s_prev = jax.lax.rem(k - 1 + 4 * NB, 4)
+        s_cur = jax.lax.rem(k, 4)
+        s_next = jax.lax.rem(k + 1, 4)
+        s_pref = jax.lax.rem(k + 2, 4)
+        oslot = jax.lax.rem(k, 2)
+
+        @pl.when(k == 0)
+        def _():
+            start_block(-1, jnp.int32(3))
+            start_block(0, jnp.int32(0))
+            start_block(1, jnp.int32(1))
+            wait_block(jnp.int32(3))
+            wait_block(jnp.int32(0))
+
+        @pl.when(k + 2 <= NB)
+        def _():
+            start_block(k + 2, s_pref)
+
+        wait_block(s_next)
+
+        def rows_shifted(ch, cy):
+            cur = blk_buf[s_cur, ch]
+            if cy == 0:
+                return cur
+            if cy == 1:
+                prev = blk_buf[s_prev, ch]
+                return jnp.concatenate([prev[by - 1:by], cur[:by - 1]],
+                                       axis=0)
+            nxt = blk_buf[s_next, ch]
+            return jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
+
+        def cache_rows(buf, dy):
+            """Rows of a 1-channel cache at offset +dy, |dy| <= 2."""
+            cur = buf[s_cur, 0]
+            if dy == 0:
+                return cur
+            if dy > 0:
+                nxt = buf[s_next, 0]
+                return jnp.concatenate([cur[dy:], nxt[0:dy]], axis=0)
+            prev = buf[s_prev, 0]
+            return jnp.concatenate([prev[by + dy:by], cur[:by + dy]],
+                                   axis=0)
+
+        @pl.when(k >= 2)
+        def _():
+            wait_out(oslot)
+
+        fs = []
+        for c in range(2):
+            comp = []
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                plane = rows_shifted(c * Q + i, cy)
+                if cx:
+                    plane = pltpu.roll(plane, cx % X, axis=1)
+                comp.append(plane)
+            fs.append(comp)
+
+        rho = fs[0][0]
+        phi = fs[1][0]
+        for i in range(1, Q):
+            rho = rho + fs[0][i]
+            phi = phi + fs[1][i]
+        mom = [signed_sum(basis[:, a], fs[0]) for a in range(2)]
+        inv_rho = 1.0 / rho
+        u = [mom[a] * inv_rho for a in range(2)]
+        if fvec is not None:
+            u = [u[a] + jnp.asarray(0.5 * fvec[a], dtype)
+                 for a in range(2)]
+
+        # phi_w rows at +dy with wall wetting applied
+        def phi_w_rows(dy):
+            raw = cache_rows(phi_buf, dy)
+            if not wetting:
+                return raw
+            orient = cache_rows(orient_buf, dy)
+            out = raw
+            for kk, vec in enumerate(g.orientation_vectors):
+                ex, ey = int(vec[0]), int(vec[1])
+                neigh = cache_rows(phi_buf, dy + ey)
+                if ex:
+                    neigh = pltpu.roll(neigh, (-ex) % X, axis=1)
+                out = jnp.where(orient == kk + 1,
+                                neigh - jnp.asarray(wall_grad, dtype),
+                                out)
+            return out
+
+        pw = {dy: phi_w_rows(dy) for dy in (-1, 0, 1)}
+
+        def at(cx, cy):
+            p = pw[cy]
+            if cx:
+                p = pltpu.roll(p, (-cx) % X, axis=1)
+            return p
+
+        # isotropic stencils (ops/multigrid.laplacian_and_grad, 2D)
+        fe_, fw_ = at(1, 0), at(-1, 0)
+        fn_, fs_ = at(0, 1), at(0, -1)
+        fne, fnw = at(1, 1), at(-1, 1)
+        fse, fsw = at(1, -1), at(-1, -1)
+        grad_x = (-fnw - fsw + fse + fne) / 12.0 + (fe_ - fw_) / 3.0
+        grad_y = (-fse - fsw + fne + fnw) / 12.0 + (fn_ - fs_) / 3.0
+        lap = (fnw + fne + fsw + fse + 4.0 * (fe_ + fw_ + fn_ + fs_)
+               - 20.0 * pw[0]) / 6.0
+
+        # per-target equilibrium velocities (use_force_for_equilibrium)
+        def u_for(target):
+            if target not in eq_force_map:
+                return u
+            u_base = u
+            if fvec is not None:
+                u_base = [u[a] - jnp.asarray(0.5 * fvec[a], dtype)
+                          for a in range(2)]
+            src = eq_force_map[target]
+            if src is None or body_forces[src] is None:
+                return u_base
+            fs_src = body_forces[src]
+            return [u_base[a] + jnp.asarray(0.5 * fs_src[a], dtype)
+                    for a in range(2)]
+
+        u0 = u_for(0)
+        u1 = u_for(1)
+        usq0 = u0[0] * u0[0] + u0[1] * u0[1]
+        usq1 = u1[0] * u1[0] + u1[1] * u1[1] if u1 is not u0 else usq0
+
+        pb = rho / 3.0 + jnp.asarray(A_c, dtype) * (
+            -(phi * phi) / 2.0 + 0.75 * phi ** 4)
+        kphl = jnp.asarray(kappa, dtype) * phi * lap
+        mu = jnp.asarray(A_c, dtype) * (-phi + phi ** 3) - \
+            jnp.asarray(kappa, dtype) * lap
+        tau0 = jnp.asarray(tau_b, dtype) + \
+            (jnp.clip(phi, -1.0, 1.0) + 1.0) * \
+            jnp.asarray((tau_a - tau_b) * 0.5, dtype)
+        inv_tau0 = 1.0 / tau0
+
+        if has_mask:
+            m = mask_buf[s_cur, 0]
+            is_dry = m == 1
+            is_keep = m == 2
+
+        uF = None
+        if fvec is not None:
+            uF = u[0] * jnp.asarray(fvec[0], dtype) + \
+                u[1] * jnp.asarray(fvec[1], dtype)
+
+        feq_parts = []
+        geq_parts = []
+        for i in range(1, Q):
+            cu0 = signed_sum(basis[i], u0)
+            cu1 = cu0 if u1 is u0 else signed_sum(basis[i], u1)
+            t = jnp.asarray(few['wi'][i], dtype) * (
+                pb - kphl + rho * cu0
+                + 1.5 * (cu0 * cu0 * rho - rho * usq0 / 3.0))
+            t = t + jnp.asarray(kappa, dtype) * (
+                jnp.asarray(few['wxx'][i], dtype) * grad_x * grad_x
+                + jnp.asarray(few['wyy'][i], dtype) * grad_y * grad_y
+                + jnp.asarray(few['wxy'][i], dtype) * grad_x * grad_y)
+            feq_parts.append(t)
+            geq_parts.append(jnp.asarray(few['wi'][i], dtype) * (
+                jnp.asarray(Gamma, dtype) * mu + cu1 * phi
+                + 1.5 * phi * (cu1 * cu1 - usq1 / 3.0)))
+        feq0 = rho - sum(feq_parts)
+        geq0 = phi - sum(geq_parts)
+        feq = [feq0] + feq_parts
+        geq = [geq0] + geq_parts
+
+        for i in range(Q):
+            v0 = fs[0][i] + (feq[i] - fs[0][i]) * inv_tau0
+            if fvec is not None:
+                cu = signed_sum(basis[i], u)
+                cF = float(np.dot(basis[i][:2], fvec))
+                pref = jnp.asarray(g.weights[i], dtype) * \
+                    (1.0 - 0.5 * inv_tau0)
+                v0 = v0 + pref * rho * (
+                    3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+            v1 = fs[1][i] + (geq[i] - fs[1][i]) * \
+                jnp.asarray(1.0 / tau_phi, dtype)
+            if has_mask:
+                v0 = jnp.where(is_dry, fs[0][opp[i]],
+                               jnp.where(is_keep, fs[0][i], v0))
+                v1 = jnp.where(is_dry, fs[1][opp[i]],
+                               jnp.where(is_keep, fs[1][i], v1))
+            out_buf[oslot, i] = v0
+            out_buf[oslot, Q + i] = v1
+
+        for c in range(2):
+            pltpu.make_async_copy(
+                out_buf.at[oslot, pl.ds(c * Q, Q)],
+                out_hbm[c].at[:, pl.ds(k * by, by)],
+                out_sems.at[oslot, c]).start()
+
+        @pl.when(k == NB - 1)
+        def _():
+            wait_out(oslot)
+            wait_out(jax.lax.rem(k + 1, 2))
+
+    n_in = 3 + (1 if has_mask else 0) + (1 if wetting else 0)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    scratch = [
+        pltpu.VMEM((4, 2 * Q, by, X), dtype),
+        pltpu.VMEM((2, 2 * Q, by, X), dtype),
+        pltpu.VMEM((4, 1, by, X), dtype),
+    ]
+    if has_mask:
+        scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    if wetting:
+        scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA((4, 2 * Q + 3)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((Q, Y, X), dtype),
+                   jax.ShapeDtypeStruct((Q, Y, X), dtype)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+class PallasStepFE2D:
+    """Fused stepping for binary free-energy scenes (2D, single device,
+    periodic/bounce-back boundaries)."""
+
+    def __init__(self, mbuilder, domain_shape, interpret=False):
+        Ys, Xs = domain_shape
+        self.shape = domain_shape
+        b0 = mbuilder.b0
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused FE kernel covers walls/obstacles only; '
+                'complex-BC scenes use the XLA engine')
+        by = pick_block_size(mbuilder.grid.Q * 2, Ys, Xs)
+        self.by = by
+        self.has_mask = bool((mask_np != 0).any())
+        self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.wetting = bool(mbuilder._has_dry_nodes)
+        self.orient = None
+        if self.wetting:
+            self.orient = mbuilder._dry_orient
+        self.kernel = make_kernel_2d_fe(
+            mbuilder, Ys, Xs, by=by, has_mask=self.has_mask,
+            wetting=self.wetting, interpret=interpret)
+        self.rho_kernel = make_rho_kernel_2d(b0, Ys, Xs, by=by,
+                                             interpret=interpret)
+
+    def step(self, state, it=0):
+        f0, f1 = state
+        args = [f0, f1, self.rho_kernel(f1)]
+        if self.has_mask:
+            args.append(self.mask)
+        if self.wetting:
+            args.append(self.orient)
+        return tuple(self.kernel(*args))
+
+    def run_steps(self, state, n, it0=0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), state)
+
+
 class PallasStepSCMulti2D:
     """Fused stepping for ShanChenMultiStepBuilder scenes (2D, single
     device, periodic/bounce-back boundaries)."""

@@ -79,12 +79,19 @@ class SubdomainRunner:
         self.engine = self._select_engine(dtype)
         if self.engine == 'pallas':
             interp = jax.default_backend() == 'cpu'
-            from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
+            from sailfish_tpu.ops.multigrid import (
+                FreeEnergyStepBuilder, ShanChenMultiStepBuilder)
             try:
                 if isinstance(self.builder, ShanChenMultiStepBuilder):
                     from sailfish_tpu.ops.pallas_multi2d import \
                         PallasStepSCMulti2D
                     pstep = PallasStepSCMulti2D(
+                        self.builder, self._domain_shape(),
+                        interpret=interp)
+                elif isinstance(self.builder, FreeEnergyStepBuilder):
+                    from sailfish_tpu.ops.pallas_multi2d import \
+                        PallasStepFE2D
+                    pstep = PallasStepFE2D(
                         self.builder, self._domain_shape(),
                         interpret=interp)
                 elif self.mesh is not None and self.sim.dim == 2:
@@ -173,10 +180,12 @@ class SubdomainRunner:
         choice = getattr(cfg, 'engine', 'auto')
         b = self.builder
         import sailfish_tpu.node_type as snt
-        from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
+        from sailfish_tpu.ops.multigrid import (
+            FreeEnergyStepBuilder, ShanChenMultiStepBuilder)
         from sailfish_tpu.ops.step import StepBuilder
-        if isinstance(b, ShanChenMultiStepBuilder):
-            # K-component Shan-Chen: fused 2D kernel, single device
+        if isinstance(b, (ShanChenMultiStepBuilder,
+                          FreeEnergyStepBuilder)):
+            # K-component models: fused 2D kernels, single device
             eligible = (self.sim.dim == 2 and self.mesh is None
                         and dtype == jnp.float32)
             if choice == 'xla':

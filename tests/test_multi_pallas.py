@@ -55,3 +55,66 @@ def test_ternary_sc_fused_matches_xla():
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 5e-6
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_fe_fused_matches_xla():
+    """Free-energy separation (periodic) on the fused FE kernel."""
+    from fe_separation_2d import SeparationFESim
+    dims = dict(lat_nx=128, lat_ny=128, max_iters=25, every=25)
+    _, rho_a, phi_a = _run(SeparationFESim, 'xla', dims)
+    engine, rho_b, phi_b = _run(SeparationFESim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_fe_fused_walls_wetting_force():
+    """Two-layer FE Poiseuille: walls + wetting mirror + body force +
+    phi-interpolated tau through the fused kernel."""
+    from fe_poiseuille_2d import FEPoiseuilleSim
+    dims = dict(lat_nx=64, lat_ny=64, max_iters=25, every=25)
+    _, rho_a, phi_a = _run(FEPoiseuilleSim, 'xla', dims)
+    engine, rho_b, phi_b = _run(FEPoiseuilleSim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_fe_fused_eq_force_map():
+    """use_force_for_equilibrium overrides flow through the fused FE
+    kernel (per-target equilibrium velocities)."""
+    from sailfish_tpu.models.base import LBForcedSim
+    from sailfish_tpu.models.binary import LBBinaryFluidFreeEnergy
+    from sailfish_tpu.node_type import NTFullBBWall
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    class Dom(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            self.set_node((hy == 0) | (hy == self.gy - 1),
+                          NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.phi[:] = np.where(hx < self.gx / 2, 1.0, -1.0)
+
+    class Sim(LBBinaryFluidFreeEnergy, LBForcedSim):
+        subdomain = Dom
+
+        @classmethod
+        def update_defaults(cls, defaults):
+            defaults.update(dict(
+                tau_a=2.5, tau_b=0.7, tau_phi=1.0, kappa=0.04,
+                A=0.04, Gamma=1.0, periodic_x=True))
+
+        def __init__(self, config):
+            super().__init__(config)
+            self.add_body_force((1e-5, 0.0), grid=0)
+            self.use_force_for_equilibrium(None, target_grid=0)
+            self.use_force_for_equilibrium(0, target_grid=1)
+
+    dims = dict(lat_nx=64, lat_ny=64, max_iters=25, every=25)
+    _, rho_a, phi_a = _run(Sim, 'xla', dims)
+    engine, rho_b, phi_b = _run(Sim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
