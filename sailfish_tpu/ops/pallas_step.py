@@ -890,8 +890,40 @@ class PallasStep3D:
         self.builder = builder
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
-        check_plane_tiling(Ys, Xs, interpret)
         mask_np, patch_rows = classify_nodes(builder.maps)
+        # Mosaic rejects partial-tile plane DMAs (Y%8 / X%128). Pad the
+        # in-kernel state instead of falling back, when it is safe: the
+        # outermost original layers along a padded axis must hold no wet
+        # nodes (dry reflections only return fluid-side values, so pad
+        # garbage flows outward into kept pad nodes and never re-enters
+        # the flow). Padding happens once per chunk (pad_state /
+        # crop_state), not per step.
+        self.pad_y = self.pad_x = 0
+        if not interpret:
+            pad_y = (-Ys) % 8
+            pad_x = (-Xs) % 128
+            if pad_y or pad_x:
+                wet = np.isin(
+                    builder.maps.type_map,
+                    [t for t in builder.maps.present_types
+                     if nt.get_node_type(t).wet_node])
+                safe = True
+                if pad_y and (wet[:, 0, :].any() or wet[:, -1, :].any()):
+                    safe = False
+                if pad_x and (wet[:, :, 0].any() or wet[:, :, -1].any()):
+                    safe = False
+                if not safe:
+                    raise NotImplementedError(
+                        f'domain (Y={Ys}, X={Xs}) needs tile padding '
+                        'but has wet nodes on the padded edges; use '
+                        'the XLA engine')
+                self.pad_y, self.pad_x = pad_y, pad_x
+                Ys += pad_y
+                Xs += pad_x
+                mask_np = np.pad(
+                    mask_np, ((0, 0), (0, pad_y), (0, pad_x)),
+                    constant_values=2)
+        self.kshape = (Zs, Ys, Xs)
         if len(patch_rows) > self.MAX_PATCH_FRACTION * Zs:
             raise NotImplementedError(
                 f'{len(patch_rows)}/{Zs} z-planes need complex-BC patches; '
@@ -955,8 +987,29 @@ class PallasStep3D:
         if self.has_mask:
             args.append(self.mask)
         if self.patch_rows:
-            args.append(self._compute_patches(f, it))
+            pv = self._compute_patches(self.crop_state(f), it)
+            if self.padded:
+                pv = jnp.pad(pv, ((0, 0), (0, 0), (0, self.pad_y),
+                                  (0, self.pad_x)))
+            args.append(pv)
         return self.kernel(*args)
+
+    @property
+    def padded(self):
+        return bool(self.pad_y or self.pad_x)
+
+    def pad_state(self, f):
+        """Grow the state to the kernel's tile-aligned shape (pad nodes
+        are mask=2 'keep'); applied once per chunk."""
+        if not self.padded:
+            return f
+        return jnp.pad(f, ((0, 0), (0, 0), (0, self.pad_y),
+                           (0, self.pad_x)))
+
+    def crop_state(self, f):
+        if not self.padded:
+            return f
+        return f[:, :, :self.shape[1], :self.shape[2]]
 
     # backwards-compatible name used by profiling scripts
     def step_padded(self, f, it=0):
@@ -964,5 +1017,7 @@ class PallasStep3D:
 
     def run_steps(self, f, n, it0=0):
         """(Q, Z, Y, X) unpadded in/out; jit-friendly."""
-        return jax.lax.fori_loop(
+        f = self.pad_state(f)
+        f = jax.lax.fori_loop(
             0, n, lambda i, fc: self.step(fc, it0 + i), f)
+        return self.crop_state(f)

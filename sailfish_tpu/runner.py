@@ -136,12 +136,20 @@ class SubdomainRunner:
         inside the loop; the TPU replacement for the reference's per-step
         after_step calls, subdomain_runner.py:1738-1743)."""
         step = self._step_fn
+        # tile-padded kernels grow the state once per chunk
+        p = getattr(self, '_pallas', None)
+        pad = crop = None
+        if p is not None and getattr(p, 'padded', False):
+            pad, crop = p.pad_state, p.crop_state
         hooks = getattr(self.sim, '_device_hooks', [])
         if not hooks:
             @functools.partial(jax.jit, donate_argnums=0)
             def run_steps(f, n, it0=0):
-                return jax.lax.fori_loop(
+                if pad is not None:
+                    f = pad(f)
+                f = jax.lax.fori_loop(
                     0, n, lambda i, fc: step(fc, it0 + i), f)
+                return crop(f) if crop is not None else f
 
             self._run_steps = run_steps
             return
@@ -152,15 +160,23 @@ class SubdomainRunner:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run_steps_hooked(f, states, n, it0=0):
+            if pad is not None:
+                f = pad(f)
+
             def body(i, val):
                 fc, sts = val
                 f2 = step(fc, it0 + i)
                 # hooks see the iteration count AFTER the step, matching
-                # sim.iteration at after_step time in the reference
-                sts = tuple(fn(f2, s, it0 + i + 1)
+                # sim.iteration at after_step time in the reference;
+                # they read the unpadded view
+                f2h = crop(f2) if crop is not None else f2
+                sts = tuple(fn(f2h, s, it0 + i + 1)
                             for fn, s in zip(fns, sts))
                 return f2, sts
-            return jax.lax.fori_loop(0, n, body, (f, states))
+            f, states = jax.lax.fori_loop(0, n, body, (f, states))
+            if crop is not None:
+                f = crop(f)
+            return f, states
 
         def run_steps(f, n, it0=0):
             f, self.device_hook_state = run_steps_hooked(

@@ -186,3 +186,71 @@ def test_pallas3d_shan_chen_matches_xla():
     engine, rho_b = run('pallas')
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+
+
+def test_pallas3d_tile_padding_unaligned_domain():
+    """Domains with Y%8/X%128 != 0 but solid outer layers run on the
+    fused kernel via tile padding; wet-node state matches the XLA
+    engine (solid-node bookkeeping values may differ -- they see
+    different wrap sources and carry no physics)."""
+    import sailfish_tpu.node_type as snt
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.base import LBForcedSim
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import NTFullBBWall
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Duct(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            self.set_node((hy == 0) | (hy == self.gy - 1) |
+                          (hz == 0) | (hz == self.gz - 1), NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+
+    class Sim(LBFluidSim, LBForcedSim):
+        subdomain = Duct
+
+        def __init__(self, config):
+            super().__init__(config)
+            self.add_body_force((1e-5, 0.0, 0.0))
+
+    def run(engine):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=128, lat_ny=13, lat_nz=11, max_iters=15, every=15,
+            quiet=True, periodic_x=True, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        return r, np.asarray(r.f)
+
+    r1, f1 = run('xla')
+    # interpret mode skips padding; force it to exercise the pad path
+    from sailfish_tpu.ops.pallas_step import PallasStep3D
+    import sailfish_tpu.runner as runner_mod
+    r2kw = {}
+    ctrl = None
+    import sailfish_tpu.ops.pallas_step as psmod
+    orig_init = PallasStep3D.__init__
+
+    def patched(self, builder, domain_shape, interpret=False, **kw):
+        orig_init(self, builder, domain_shape, interpret=False, **kw)
+        # rebuild kernels in interpret mode at the padded shape
+        Zs, Ys, Xs = self.kshape
+        self.kernel = psmod.make_kernel_3d(
+            builder, Zs, Ys, Xs, patch_rows=self.patch_rows,
+            has_mask=self.has_mask, interpret=True, sc=self.sc)
+        if self.sc:
+            self.rho_kernel = psmod.make_rho_kernel_3d(
+                builder, Zs, Ys, Xs, interpret=True)
+
+    PallasStep3D.__init__ = patched
+    try:
+        r2, f2 = run('pallas')
+    finally:
+        PallasStep3D.__init__ = orig_init
+    assert r2.engine == 'pallas'
+
+    wet = np.isin(r1.maps.type_map,
+                  [t for t in r1.maps.present_types
+                   if snt.get_node_type(t).wet_node])
+    assert np.max(np.abs(f1[:, wet] - f2[:, wet])) < 1e-6
