@@ -10,8 +10,13 @@ Run on the real chip:  python benchmark/model_zoo.py
 """
 
 import argparse
+import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 CASES = {
@@ -50,6 +55,12 @@ CASES = {
                          dict(lat_nx=1024, lat_ny=1024)),
     'tern_d2q9_sc_512': ('ternary_fluid.sc_drop_2d', 2,
                          dict(lat_nx=512, lat_ny=512)),
+    'tern_d2q9_sc_1024': ('ternary_fluid.sc_drop_2d', 2,
+                          dict(lat_nx=1024, lat_ny=1024)),
+    'bin_d3q19_fe_128': ('binary_fluid.fe_separation_3d', 3,
+                         dict(lat_nx=128, lat_ny=128, lat_nz=128)),
+    'bin_d3q19_sc_128': ('binary_fluid.sc_separation_3d', 3,
+                         dict(lat_nx=128, lat_ny=128, lat_nz=128)),
 }
 
 SIM_CLASSES = {
@@ -62,6 +73,8 @@ SIM_CLASSES = {
     'binary_fluid.fe_separation_2d': 'SeparationFESim',
     'binary_fluid.sc_separation_2d': 'SeparationSCSim',
     'ternary_fluid.sc_drop_2d': 'TernaryDropSim',
+    'binary_fluid.fe_separation_3d': 'SeparationFESim3D',
+    'binary_fluid.sc_separation_3d': 'SeparationSCSim',
 }
 
 
@@ -78,10 +91,9 @@ def run_case(name, iters, warmup):
     util.enable_compile_cache()
 
     module, dim, overrides = CASES[name]
-    sys.path.insert(0, 'examples')
-    sys.path.insert(0, 'examples/turbulence')
-    sys.path.insert(0, 'examples/binary_fluid')
-    sys.path.insert(0, 'examples/ternary_fluid')
+    for sub in ('examples', 'examples/turbulence',
+                'examples/binary_fluid', 'examples/ternary_fluid'):
+        sys.path.insert(0, os.path.join(REPO, sub))
     mod = importlib.import_module(module.split('.')[-1])
     sim_cls = getattr(mod, SIM_CLASSES[module])
 

@@ -93,8 +93,17 @@ class ChannelSubdomain(Subdomain3D):
         sim.vz[:] = u_mean
 
         amp = 0.03 * u_mean / self.u_center
-        wx, wy, wz = divergence_free_noise(
-            hx.shape, smooth=max(2.0, H / 8.0), seed=cfg.seed or 1234)
+        if cfg.perturbation_file:
+            with np.load(cfg.perturbation_file) as noise:
+                wx, wy, wz = noise['wx'], noise['wy'], noise['wz']
+            if wx.shape != hx.shape:
+                raise ValueError(
+                    'perturbation shape %s != domain shape %s'
+                    % (wx.shape, hx.shape))
+        else:
+            wx, wy, wz = divergence_free_noise(
+                hx.shape, smooth=max(2.0, H / 8.0),
+                seed=cfg.seed or 1234)
         norm = max(np.abs(wx).max(), np.abs(wy).max(), np.abs(wz).max())
         sim.vx[:] += wx / norm * amp
         sim.vy[:] += wy / norm * amp
@@ -114,6 +123,9 @@ class ChannelSim(LBFluidSim, LBForcedSim, ReynoldsStatsMixIn):
                            default='hbb', help='wall treatment')
         group.add_argument('--stats_every', type=int, default=20,
                            help='Reynolds-stats sampling stride')
+        group.add_argument('--perturbation_file', type=str, default='',
+                           help='npz with precomputed wx/wy/wz noise '
+                                '(utils/channel_make_rand_field.py)')
 
     @classmethod
     def update_defaults(cls, defaults):

@@ -63,11 +63,20 @@ class LBOutput:
         else:
             self._scalar_fields[name] = field
 
-    def fields_dict(self):
+    def fields_dict(self, cast=False):
         out = dict(self._scalar_fields)
         for name, comps in self._vector_fields.items():
             for suffix, arr in zip('xyz', comps):
                 out[name + suffix] = arr
+        if cast:
+            # host fields are kept float64 for initial-condition
+            # precision; on-disk outputs carry the simulation precision
+            # (the reference saves its float32 host fields directly)
+            dt = np.dtype(self.config.dtype)
+            out = {k: (np.asarray(v, dtype=dt)
+                       if np.issubdtype(np.asarray(v).dtype, np.floating)
+                       else np.asarray(v))
+                   for k, v in out.items()}
         return out
 
     def close(self):
@@ -141,7 +150,7 @@ class NPYOutput(LBOutput):
         fname = filename(self.basename, self.digits, self.subdomain_id, i,
                          suffix='')
         snapshot = {k: np.array(v, copy=True)
-                    for k, v in self.fields_dict().items()}
+                    for k, v in self.fields_dict(cast=True).items()}
         self._queue.put((fname, snapshot))
 
     def close(self):
@@ -161,7 +170,7 @@ class MatlabOutput(LBOutput):
         import scipy.io
         fname = filename(self.basename, self.digits, self.subdomain_id, i,
                          suffix='.mat')
-        scipy.io.savemat(fname, self.fields_dict())
+        scipy.io.savemat(fname, self.fields_dict(cast=True))
 
 
 class VTKOutput(LBOutput):
@@ -174,7 +183,7 @@ class VTKOutput(LBOutput):
     def save(self, i):
         fname = filename(self.basename, self.digits, self.subdomain_id, i,
                          suffix='.vtk')
-        fields = self.fields_dict()
+        fields = self.fields_dict(cast=True)
         first = next(iter(fields.values()))
         shape = first.shape              # (gy, gx) or (gz, gy, gx)
         dims = tuple(reversed(shape)) + (1,) * (3 - len(shape))

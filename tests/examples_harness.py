@@ -77,6 +77,7 @@ EXAMPLES = {
                                                '--lat_ny=24',
                                                '--lat_nz=24'],
     'ternary_fluid/sc_drop_2d.py': ['--lat_nx=64', '--lat_ny=64'],
+    'binary_fluid/sc_capillary.py': ['--lat_nx=96', '--lat_ny=32'],
     'turbulence/channel_cube.py': ['--H=6', '--Re_tau=60',
                                    '--buf_az=3', '--main_az=5',
                                    '--ay=2.5', '--stats_every=5'],
@@ -91,6 +92,9 @@ def run_example(name, flags, out_base):
            '--seed=1234', '--quiet', f'--output={out_base}'] + flags
     env = dict(os.environ)
     env['PYTHONHASHSEED'] = '0'
+    env['PYTHONPATH'] = os.pathsep.join(
+        [REPO] + [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+                  if p])
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd=os.path.join(REPO, 'examples'))
     if r.returncode != 0:
