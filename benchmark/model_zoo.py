@@ -61,6 +61,13 @@ CASES = {
                          dict(lat_nx=128, lat_ny=128, lat_nz=128)),
     'bin_d3q19_sc_128': ('binary_fluid.sc_separation_3d', 3,
                          dict(lat_nx=128, lat_ny=128, lat_nz=128)),
+    # taller z amortizes the plane pipeline's DMA latency
+    'bin_d3q19_fe_128x128x384': ('binary_fluid.fe_separation_3d', 3,
+                                 dict(lat_nx=128, lat_ny=128,
+                                      lat_nz=384)),
+    'bin_d3q19_sc_128x128x384': ('binary_fluid.sc_separation_3d', 3,
+                                 dict(lat_nx=128, lat_ny=128,
+                                      lat_nz=384)),
 }
 
 SIM_CLASSES = {

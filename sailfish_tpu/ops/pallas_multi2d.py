@@ -201,14 +201,18 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         u_common = [num[a] * inv_den for a in range(2)]
 
         # -- pseudopotential cross-forces ------------------------------------
-        psi_self = [psi(rho_buf[s_cur, c]) for c in range(K)]
+        # psi evaluated once per (component, row-offset) block: the exp
+        # of the classic potential dominates the VPU cost otherwise
+        psi_rows_c = [{dy: psi(rho_rows(c, dy)) for dy in (-1, 0, 1)}
+                      for c in range(K)]
+        psi_self = [psi_rows_c[c][0] for c in range(K)]
 
         def neighbor_sum(c):
             """sum_i w_i psi_c(x + c_i) c_i for both axes."""
             acc = [None, None]
             for i in range(1, Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
-                p = psi(rho_rows(c, cy))
+                p = psi_rows_c[c][cy]
                 if cx:
                     p = pltpu.roll(p, (-cx) % X, axis=1)
                 w = float(g.weights[i])

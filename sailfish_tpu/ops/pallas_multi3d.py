@@ -1,0 +1,824 @@
+"""Fused 3D kernels for K-component mixtures (Shan-Chen + binary FE).
+
+Marries the single-fluid 3D plane pipeline (ops/pallas_step.make_kernel_3d:
+double-buffered z-grid, plane DMAs, in-place pairwise collide) with the
+multi-component coupling math of the 2D block kernels
+(ops/pallas_multi2d): all K distribution sets stream plane-by-plane, the
+common velocity / pseudopotential cross-forces / free-energy chemical
+potential are evaluated in VMEM from per-component post-stream density
+planes (rho pre-pass kernels), and each component collides with its own
+shifted equilibrium velocity. This replaces the reference's
+binary_shan_chen.mako / ternary_shan_chen.mako / lb_binary_fluid.mako
+two-phase NN-runner step (subdomain_runner.py:1840) as a single pass.
+
+Covers: periodic / full-bounce-back scenes (in-kernel mask), uniform
+per-component Guo body forces, the FE wetting mirror, fp32, single
+device, tile-aligned planes (Y % 8 == 0, X % 128 == 0). Everything else
+falls back to the XLA engine (ops/multigrid.py), which remains the
+semantics reference (equivalence in tests/test_multi_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sailfish_tpu.equilibrium import signed_sum
+from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
+                                          classify_nodes,
+                                          make_rho_kernel_3d)
+
+#: stay under the ~16 MB/core VMEM budget (plus compiler headroom)
+VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _check_vmem(*plane_counts_dtypes, Y, X):
+    """plane_counts_dtypes: (n_planes, itemsize) pairs for every VMEM
+    scratch buffer; raise when the per-core budget would overflow."""
+    total = sum(n * Y * X * isz for n, isz in plane_counts_dtypes)
+    if total > VMEM_BUDGET:
+        raise NotImplementedError(
+            f'fused multi-component 3D kernel needs {total / 2**20:.1f} '
+            f'MB of VMEM at plane size {Y}x{X} (budget '
+            f'{VMEM_BUDGET / 2**20:.0f} MB); use the XLA engine')
+
+
+def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
+                            interpret=False):
+    """fused(f_0.., glo_0.., ghi_0.., rho_0.., rglo_0.., rghi_0..
+    [, mask]) -> (out_0..): one z-plane per program, K components."""
+    g = mbuilder.grid
+    Q = g.Q
+    K = len(mbuilder.components)
+    dtype = mbuilder.b0.dtype
+    basis = g.basis
+    opp = [int(o) for o in g.opposite]
+    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
+    taus = [float(t) for t in mbuilder.taus]
+    couplings = {k: float(v) for k, v in mbuilder.couplings.items()
+                 if v != 0.0}
+    forces = [None if f is None else
+              np.asarray(f, dtype=np.float64).reshape(-1)
+              for f in mbuilder.body_forces]
+    classic = mbuilder.potential == 'classic'
+    w_np = np.asarray(g.weights, np.float64)
+
+    def psi(x):
+        return 1.0 - jnp.exp(-x) if classic else x
+
+    def kernel(*refs):
+        idx = 0
+        f_hbm = refs[idx:idx + K]; idx += K
+        glo_hbm = refs[idx:idx + K]; idx += K
+        ghi_hbm = refs[idx:idx + K]; idx += K
+        rho_hbm = refs[idx:idx + K]; idx += K
+        rglo_hbm = refs[idx:idx + K]; idx += K
+        rghi_hbm = refs[idx:idx + K]; idx += K
+        mask_hbm = None
+        if has_mask:
+            mask_hbm = refs[idx]; idx += 1
+        out_hbm = refs[idx:idx + K]; idx += K
+        fs_buf = refs[idx]; idx += 1        # (2, K*Q, Y, X)
+        rho_buf = refs[idx]; idx += 1       # (2, 3*K, Y, X)
+        mask_buf = None
+        if has_mask:
+            mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
+        in_sems = refs[idx]; idx += 1       # DMA (2, K*Q + 3*K + 1)
+        out_sems = refs[idx]; idx += 1      # DMA (2, K)
+
+        z0 = pl.program_id(0)
+        slot = jax.lax.rem(z0, 2)
+        nslot = jax.lax.rem(z0 + 1, 2)
+
+        def start_gathers(plane_z, s):
+            for c in range(K):
+                for i in range(Q):
+                    cz = int(basis[i][2])
+                    ch = c * Q + i
+                    if cz == 0:
+                        pltpu.make_async_copy(
+                            f_hbm[c].at[i, plane_z], fs_buf.at[s, ch],
+                            in_sems.at[s, ch]).start()
+                    elif cz == 1:
+                        @pl.when(plane_z == 0)
+                        def _(c=c, i=i, ch=ch, s=s):
+                            pltpu.make_async_copy(
+                                glo_hbm[c].at[i], fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+
+                        @pl.when(plane_z > 0)
+                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                            pltpu.make_async_copy(
+                                f_hbm[c].at[i, plane_z - 1],
+                                fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+                    else:
+                        @pl.when(plane_z == Z - 1)
+                        def _(c=c, i=i, ch=ch, s=s):
+                            pltpu.make_async_copy(
+                                ghi_hbm[c].at[i], fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+
+                        @pl.when(plane_z < Z - 1)
+                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                            pltpu.make_async_copy(
+                                f_hbm[c].at[i, plane_z + 1],
+                                fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+                for j, dz in enumerate((-1, 0, 1)):
+                    sem = in_sems.at[s, K * Q + c * 3 + j]
+                    dst = rho_buf.at[s, c * 3 + j]
+                    if dz == 0:
+                        pltpu.make_async_copy(
+                            rho_hbm[c].at[plane_z], dst, sem).start()
+                        continue
+                    ghost = rglo_hbm[c] if dz < 0 else rghi_hbm[c]
+                    edge = (plane_z == 0) if dz < 0 else \
+                        (plane_z == Z - 1)
+
+                    @pl.when(edge)
+                    def _(dst=dst, sem=sem, ghost=ghost):
+                        pltpu.make_async_copy(ghost, dst, sem).start()
+
+                    @pl.when(jnp.logical_not(edge))
+                    def _(c=c, dst=dst, sem=sem, pz=plane_z + dz):
+                        pltpu.make_async_copy(
+                            rho_hbm[c].at[pz], dst, sem).start()
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[plane_z], mask_buf.at[s, 0],
+                    in_sems.at[s, K * Q + 3 * K]).start()
+
+        def wait_gathers(s):
+            for ch in range(K * Q):
+                pltpu.make_async_copy(f_hbm[0].at[0, 0],
+                                      fs_buf.at[s, ch],
+                                      in_sems.at[s, ch]).wait()
+            for j in range(3 * K):
+                pltpu.make_async_copy(rho_hbm[0].at[0],
+                                      rho_buf.at[s, j],
+                                      in_sems.at[s, K * Q + j]).wait()
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[0], mask_buf.at[s, 0],
+                    in_sems.at[s, K * Q + 3 * K]).wait()
+
+        def wait_out(s):
+            for c in range(K):
+                pltpu.make_async_copy(
+                    fs_buf.at[s, pl.ds(c * Q, Q)], out_hbm[c].at[:, 0],
+                    out_sems.at[s, c]).wait()
+
+        @pl.when(z0 == 0)
+        def _():
+            start_gathers(z0, slot)
+
+        @pl.when(z0 + 1 < Z)
+        def _():
+            @pl.when(z0 >= 1)
+            def _():
+                wait_out(nslot)
+            start_gathers(z0 + 1, nslot)
+
+        wait_gathers(slot)
+
+        # in-plane periodic shifts of the pull
+        for c in range(K):
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                if cy or cx:
+                    ch = c * Q + i
+                    plane = fs_buf[slot, ch]
+                    if cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    fs_buf[slot, ch] = plane
+
+        fsl = [[fs_buf[slot, c * Q + i] for i in range(Q)]
+               for c in range(K)]
+
+        # common velocity u' = (sum mom_k/tau_k) / (sum rho_k/tau_k)
+        # (reference binary_shan_chen.mako:60-90)
+        rhos = []
+        moms = []
+        for c in range(K):
+            r = fsl[c][0]
+            for i in range(1, Q):
+                r = r + fsl[c][i]
+            rhos.append(r)
+            moms.append([signed_sum(basis[:, a], fsl[c])
+                         for a in range(3)])
+        den = rhos[0] * jnp.asarray(1.0 / taus[0], dtype)
+        num = [moms[0][a] * jnp.asarray(1.0 / taus[0], dtype)
+               for a in range(3)]
+        for c in range(1, K):
+            inv_t = jnp.asarray(1.0 / taus[c], dtype)
+            den = den + rhos[c] * inv_t
+            for a in range(3):
+                num[a] = num[a] + moms[c][a] * inv_t
+        inv_den = 1.0 / den
+        u_common = [num[a] * inv_den for a in range(3)]
+
+        # pseudopotential cross-forces from the 3 neighboring rho
+        # planes; psi evaluated once per (component, z-offset) plane
+        # (the exp of the classic potential is the dominant VPU cost)
+        psi_pl = [[psi(rho_buf[slot, c * 3 + j]) for j in range(3)]
+                  for c in range(K)]
+        psi_self = [psi_pl[c][1] for c in range(K)]
+
+        def neighbor_sum(c):
+            acc = [None, None, None]
+            for i in range(1, Q):
+                cx, cy, cz = (int(basis[i][0]), int(basis[i][1]),
+                              int(basis[i][2]))
+                p = psi_pl[c][1 + cz]
+                if cy:
+                    p = pltpu.roll(p, (-cy) % Y, axis=0)
+                if cx:
+                    p = pltpu.roll(p, (-cx) % X, axis=1)
+                w = float(g.weights[i])
+                for a in range(3):
+                    cc = int(basis[i][a])
+                    if cc:
+                        t = (w * cc) * p
+                        acc[a] = t if acc[a] is None else acc[a] + t
+            return acc
+
+        nsum = [neighbor_sum(c) for c in range(K)]
+        F = [[None] * 3 for _ in range(K)]
+        for (j, kk), G in couplings.items():
+            for a in range(3):
+                tj = jnp.asarray(-G, dtype) * psi_self[j] * nsum[kk][a]
+                F[j][a] = tj if F[j][a] is None else F[j][a] + tj
+                if j != kk:
+                    tk = jnp.asarray(-G, dtype) * psi_self[kk] * \
+                        nsum[j][a]
+                    F[kk][a] = tk if F[kk][a] is None else \
+                        F[kk][a] + tk
+
+        if has_mask:
+            m = mask_buf[slot, 0]
+            is_dry = m == 1
+            is_keep = m == 2
+
+        # per-component collide (math mirrors the 2D multi kernel,
+        # which is equivalence-tested against ops/multigrid)
+        for c in range(K):
+            tau = taus[c]
+            tau_inv = 1.0 / tau
+            inv_rho = 1.0 / rhos[c]
+            u_eq = list(u_common)
+            for a in range(3):
+                if F[c][a] is not None:
+                    u_eq[a] = u_eq[a] + jnp.asarray(tau, dtype) * \
+                        F[c][a] * inv_rho
+            fvec = forces[c]
+            uF = None
+            if fvec is not None:
+                u_eq = [u_eq[a] + jnp.asarray(0.5 * fvec[a], dtype)
+                        for a in range(3)]
+                uF = u_eq[0] * jnp.asarray(fvec[0], dtype)
+                for a in range(1, 3):
+                    uF = uF + u_eq[a] * jnp.asarray(fvec[a], dtype)
+            usq = u_eq[0] * u_eq[0]
+            for a in range(1, 3):
+                usq = usq + u_eq[a] * u_eq[a]
+            for i, o in pairs:
+                fi = fsl[c][i]
+                fo = fsl[c][o] if o != i else None
+                outs = []
+                for d, fd, frefl in (((i, fi, fo),) if o == i else
+                                     ((i, fi, fo), (o, fo, fi))):
+                    cu = signed_sum(basis[d], u_eq)
+                    poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
+                    feq = jnp.asarray(w_np[d], dtype) * \
+                        (rhos[c] + rhos[c] * poly)
+                    vd = fd + jnp.asarray(tau_inv, dtype) * (feq - fd)
+                    if fvec is not None:
+                        cF = float(np.dot(basis[d], fvec))
+                        pref = (1.0 - 0.5 * tau_inv) * w_np[d]
+                        vd = vd + jnp.asarray(pref, dtype) * rhos[c] * (
+                            3.0 * (jnp.asarray(cF, dtype) - uF)
+                            + 9.0 * cu * cF)
+                    if has_mask:
+                        refl = fd if frefl is None else frefl
+                        vd = jnp.where(is_dry, refl,
+                                       jnp.where(is_keep, fd, vd))
+                    outs.append((d, vd))
+                for d, vd in outs:
+                    fs_buf[slot, c * Q + d] = vd
+
+        for c in range(K):
+            pltpu.make_async_copy(
+                fs_buf.at[slot, pl.ds(c * Q, Q)], out_hbm[c].at[:, z0],
+                out_sems.at[slot, c]).start()
+
+        @pl.when(z0 == Z - 1)
+        def _():
+            wait_out(slot)
+            if Z >= 2:
+                wait_out(nslot)
+
+    n_in = 6 * K + (1 if has_mask else 0)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    scratch = [
+        pltpu.VMEM((2, K * Q, Y, X), dtype),
+        pltpu.VMEM((2, 3 * K, Y, X), dtype),
+    ]
+    if has_mask:
+        scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, K * Q + 3 * K + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, K)))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Z,),
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                        for _ in range(K)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)
+                        for _ in range(K)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
+                      interpret=False):
+    """Fused binary free-energy 3D step:
+    fused(f0, f1, glo0, glo1, ghi0, ghi1, phi, phi_lo2, phi_lo1,
+    phi_hi1, phi_hi2[, mask][, orient, orient_lo, orient_hi])
+    -> (f0', f1').
+
+    ``phi`` is the post-stream order parameter (rho pre-pass on f1) with
+    TWO periodic ghost planes per side: the wetting mirror shifts the
+    stencil's phi samples by up to one more plane. Landau chemical
+    potential, 3D isotropic laplacian/gradient (ops/multigrid.
+    laplacian_and_grad dim==3), phi-interpolated tau, and both
+    equilibria are evaluated per plane in VMEM."""
+    from sailfish_tpu.ops.multigrid import _fe_weights
+    g = mbuilder.grid
+    Q = g.Q
+    dtype = mbuilder.dtype
+    basis = g.basis
+    opp = [int(o) for o in g.opposite]
+    tau_a, tau_b = mbuilder.tau_a, mbuilder.tau_b
+    tau_phi = mbuilder.tau_phi
+    A_c, kappa, Gamma = mbuilder.A, mbuilder.kappa, mbuilder.Gamma
+    wall_grad = mbuilder.wall_grad_phase
+    few = {k: np.asarray(v, np.float64)
+           for k, v in _fe_weights(g).items()}
+    fvec = None
+    if mbuilder.body_force is not None:
+        fvec = np.asarray(mbuilder.body_force, np.float64).reshape(-1)
+    eq_force_map = dict(getattr(mbuilder, 'eq_force_map', {}))
+    body_forces = [None if f is None else
+                   np.asarray(f, np.float64).reshape(-1)
+                   for f in mbuilder.body_forces]
+    w_np = np.asarray(g.weights, np.float64)
+
+    def kernel(*refs):
+        idx = 0
+        f_hbm = refs[idx:idx + 2]; idx += 2
+        glo_hbm = refs[idx:idx + 2]; idx += 2
+        ghi_hbm = refs[idx:idx + 2]; idx += 2
+        phi_hbm = refs[idx]; idx += 1
+        phi_ghosts = refs[idx:idx + 4]; idx += 4   # lo2, lo1, hi1, hi2
+        mask_hbm = None
+        if has_mask:
+            mask_hbm = refs[idx]; idx += 1
+        orient_hbm = None
+        if wetting:
+            orient_hbm = refs[idx]; idx += 1
+            orient_lo = refs[idx]; idx += 1
+            orient_hi = refs[idx]; idx += 1
+        out_hbm = refs[idx:idx + 2]; idx += 2
+        fs_buf = refs[idx]; idx += 1        # (2, 2Q, Y, X)
+        phi_buf = refs[idx]; idx += 1       # (2, 5, Y, X): z0-2..z0+2
+        mask_buf = None
+        if has_mask:
+            mask_buf = refs[idx]; idx += 1
+        orient_buf = None
+        if wetting:
+            orient_buf = refs[idx]; idx += 1  # (2, 3, Y, X)
+        in_sems = refs[idx]; idx += 1       # DMA (2, 2Q + 5 + 1 + 3)
+        out_sems = refs[idx]; idx += 1      # DMA (2, 2)
+
+        z0 = pl.program_id(0)
+        slot = jax.lax.rem(z0, 2)
+        nslot = jax.lax.rem(z0 + 1, 2)
+
+        def copy_z_periodic(src, ghosts, dst, sem, pz, lo_reach,
+                            hi_reach):
+            """DMA plane ``pz`` of (Z,..) array ``src`` into ``dst``,
+            reading ghost inputs past either end. ghosts = (lo planes
+            ordered -lo_reach..-1, hi planes ordered Z..Z-1+hi_reach)."""
+            done = None
+            for off in range(1, lo_reach + 1):
+                cond = pz == -off
+
+                @pl.when(cond)
+                def _(gh=ghosts[lo_reach - off]):
+                    pltpu.make_async_copy(gh, dst, sem).start()
+                done = cond if done is None else done | cond
+            for off in range(hi_reach):
+                cond = pz == Z + off
+
+                @pl.when(cond)
+                def _(gh=ghosts[lo_reach + off]):
+                    pltpu.make_async_copy(gh, dst, sem).start()
+                done = cond if done is None else done | cond
+
+            @pl.when(jnp.logical_not(done) if done is not None
+                     else pz == pz)
+            def _():
+                pzc = jnp.clip(pz, 0, Z - 1)
+                pltpu.make_async_copy(src.at[pzc], dst, sem).start()
+
+        def start_gathers(plane_z, s):
+            for c in range(2):
+                for i in range(Q):
+                    cz = int(basis[i][2])
+                    ch = c * Q + i
+                    if cz == 0:
+                        pltpu.make_async_copy(
+                            f_hbm[c].at[i, plane_z], fs_buf.at[s, ch],
+                            in_sems.at[s, ch]).start()
+                    elif cz == 1:
+                        @pl.when(plane_z == 0)
+                        def _(c=c, i=i, ch=ch, s=s):
+                            pltpu.make_async_copy(
+                                glo_hbm[c].at[i], fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+
+                        @pl.when(plane_z > 0)
+                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                            pltpu.make_async_copy(
+                                f_hbm[c].at[i, plane_z - 1],
+                                fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+                    else:
+                        @pl.when(plane_z == Z - 1)
+                        def _(c=c, i=i, ch=ch, s=s):
+                            pltpu.make_async_copy(
+                                ghi_hbm[c].at[i], fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+
+                        @pl.when(plane_z < Z - 1)
+                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                            pltpu.make_async_copy(
+                                f_hbm[c].at[i, plane_z + 1],
+                                fs_buf.at[s, ch],
+                                in_sems.at[s, ch]).start()
+            for j, dz in enumerate(range(-2, 3)):
+                copy_z_periodic(phi_hbm, phi_ghosts,
+                                phi_buf.at[s, j],
+                                in_sems.at[s, 2 * Q + j],
+                                plane_z + dz, 2, 2)
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[plane_z], mask_buf.at[s, 0],
+                    in_sems.at[s, 2 * Q + 5]).start()
+            if wetting:
+                for j, dz in enumerate((-1, 0, 1)):
+                    copy_z_periodic(orient_hbm, (orient_lo, orient_hi),
+                                    orient_buf.at[s, j],
+                                    in_sems.at[s, 2 * Q + 6 + j],
+                                    plane_z + dz, 1, 1)
+
+        def wait_gathers(s):
+            for ch in range(2 * Q):
+                pltpu.make_async_copy(f_hbm[0].at[0, 0],
+                                      fs_buf.at[s, ch],
+                                      in_sems.at[s, ch]).wait()
+            for j in range(5):
+                pltpu.make_async_copy(phi_hbm.at[0], phi_buf.at[s, j],
+                                      in_sems.at[s, 2 * Q + j]).wait()
+            if has_mask:
+                pltpu.make_async_copy(
+                    mask_hbm.at[0], mask_buf.at[s, 0],
+                    in_sems.at[s, 2 * Q + 5]).wait()
+            if wetting:
+                for j in range(3):
+                    pltpu.make_async_copy(
+                        orient_hbm.at[0], orient_buf.at[s, j],
+                        in_sems.at[s, 2 * Q + 6 + j]).wait()
+
+        def wait_out(s):
+            for c in range(2):
+                pltpu.make_async_copy(
+                    fs_buf.at[s, pl.ds(c * Q, Q)], out_hbm[c].at[:, 0],
+                    out_sems.at[s, c]).wait()
+
+        @pl.when(z0 == 0)
+        def _():
+            start_gathers(z0, slot)
+
+        @pl.when(z0 + 1 < Z)
+        def _():
+            @pl.when(z0 >= 1)
+            def _():
+                wait_out(nslot)
+            start_gathers(z0 + 1, nslot)
+
+        wait_gathers(slot)
+
+        for c in range(2):
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                if cy or cx:
+                    ch = c * Q + i
+                    plane = fs_buf[slot, ch]
+                    if cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    fs_buf[slot, ch] = plane
+
+        fsl = [[fs_buf[slot, c * Q + i] for i in range(Q)]
+               for c in range(2)]
+
+        rho = fsl[0][0]
+        phi = fsl[1][0]
+        for i in range(1, Q):
+            rho = rho + fsl[0][i]
+            phi = phi + fsl[1][i]
+        mom = [signed_sum(basis[:, a], fsl[0]) for a in range(3)]
+        inv_rho = 1.0 / rho
+        u = [mom[a] * inv_rho for a in range(3)]
+        if fvec is not None:
+            u = [u[a] + jnp.asarray(0.5 * fvec[a], dtype)
+                 for a in range(3)]
+
+        # phi_w planes at z offset dz with the wall-wetting mirror
+        def phi_w_plane(dz):
+            raw = phi_buf[slot, 2 + dz]
+            if not wetting:
+                return raw
+            orient = orient_buf[slot, 1 + dz]
+            out = raw
+            for kk, vec in enumerate(g.orientation_vectors):
+                ex, ey, ez = int(vec[0]), int(vec[1]), int(vec[2])
+                neigh = phi_buf[slot, 2 + dz + ez]
+                if ey:
+                    neigh = pltpu.roll(neigh, (-ey) % Y, axis=0)
+                if ex:
+                    neigh = pltpu.roll(neigh, (-ex) % X, axis=1)
+                out = jnp.where(orient == kk + 1,
+                                neigh - jnp.asarray(wall_grad, dtype),
+                                out)
+            return out
+
+        pw = {dz: phi_w_plane(dz) for dz in (-1, 0, 1)}
+
+        def at(cx, cy, cz):
+            p = pw[cz]
+            if cy:
+                p = pltpu.roll(p, (-cy) % Y, axis=0)
+            if cx:
+                p = pltpu.roll(p, (-cx) % X, axis=1)
+            return p
+
+        # isotropic 3D stencils (ops/multigrid.laplacian_and_grad)
+        fe_, fw_ = at(1, 0, 0), at(-1, 0, 0)
+        fn_, fs_ = at(0, 1, 0), at(0, -1, 0)
+        ft_, fb_ = at(0, 0, 1), at(0, 0, -1)
+        fne, fnw = at(1, 1, 0), at(-1, 1, 0)
+        fse, fsw = at(1, -1, 0), at(-1, -1, 0)
+        fte, ftw = at(1, 0, 1), at(-1, 0, 1)
+        fbe, fbw = at(1, 0, -1), at(-1, 0, -1)
+        ftn, fts = at(0, 1, 1), at(0, -1, 1)
+        fbn, fbs = at(0, 1, -1), at(0, -1, -1)
+        grad_x = (-fnw - fsw - ftw - fbw + fse + fne + fte + fbe) \
+            / 12.0 + (fe_ - fw_) / 6.0
+        grad_y = (-fse - fsw - fts - fbs + fne + fnw + ftn + fbn) \
+            / 12.0 + (fn_ - fs_) / 6.0
+        grad_z = (-fbe - fbw - fbn - fbs + fte + ftw + ftn + fts) \
+            / 12.0 + (ft_ - fb_) / 6.0
+        lap = ((fnw + fne + fse + fsw + fte + ftw + ftn + fts
+                + fbe + fbw + fbn + fbs) / 6.0
+               + (ft_ + fb_ + fe_ + fw_ + fn_ + fs_) / 3.0
+               - 4.0 * pw[0])
+
+        def u_for(target):
+            if target not in eq_force_map:
+                return u
+            u_base = u
+            if fvec is not None:
+                u_base = [u[a] - jnp.asarray(0.5 * fvec[a], dtype)
+                          for a in range(3)]
+            src = eq_force_map[target]
+            if src is None or body_forces[src] is None:
+                return u_base
+            fs_src = body_forces[src]
+            return [u_base[a] + jnp.asarray(0.5 * fs_src[a], dtype)
+                    for a in range(3)]
+
+        u0 = u_for(0)
+        u1 = u_for(1)
+        usq0 = u0[0] * u0[0] + u0[1] * u0[1] + u0[2] * u0[2]
+        usq1 = usq0 if u1 is u0 else \
+            u1[0] * u1[0] + u1[1] * u1[1] + u1[2] * u1[2]
+
+        pb = rho / 3.0 + jnp.asarray(A_c, dtype) * (
+            -(phi * phi) / 2.0 + 0.75 * phi ** 4)
+        kphl = jnp.asarray(kappa, dtype) * phi * lap
+        mu = jnp.asarray(A_c, dtype) * (-phi + phi ** 3) - \
+            jnp.asarray(kappa, dtype) * lap
+        tau0 = jnp.asarray(tau_b, dtype) + \
+            (jnp.clip(phi, -1.0, 1.0) + 1.0) * \
+            jnp.asarray((tau_a - tau_b) * 0.5, dtype)
+        inv_tau0 = 1.0 / tau0
+
+        if has_mask:
+            m = mask_buf[slot, 0]
+            is_dry = m == 1
+            is_keep = m == 2
+
+        uF = None
+        if fvec is not None:
+            uF = u[0] * jnp.asarray(fvec[0], dtype) + \
+                u[1] * jnp.asarray(fvec[1], dtype) + \
+                u[2] * jnp.asarray(fvec[2], dtype)
+
+        feq_parts = []
+        geq_parts = []
+        for i in range(1, Q):
+            cu0 = signed_sum(basis[i], u0)
+            cu1 = cu0 if u1 is u0 else signed_sum(basis[i], u1)
+            t = jnp.asarray(few['wi'][i], dtype) * (
+                pb - kphl + rho * cu0
+                + 1.5 * (cu0 * cu0 * rho - rho * usq0 / 3.0))
+            t = t + jnp.asarray(kappa, dtype) * (
+                jnp.asarray(few['wxx'][i], dtype) * grad_x * grad_x
+                + jnp.asarray(few['wyy'][i], dtype) * grad_y * grad_y
+                + jnp.asarray(few['wxy'][i], dtype) * grad_x * grad_y
+                + jnp.asarray(few['wzz'][i], dtype) * grad_z * grad_z
+                + jnp.asarray(few['wyz'][i], dtype) * grad_y * grad_z
+                + jnp.asarray(few['wxz'][i], dtype) * grad_x * grad_z)
+            feq_parts.append(t)
+            geq_parts.append(jnp.asarray(few['wi'][i], dtype) * (
+                jnp.asarray(Gamma, dtype) * mu + cu1 * phi
+                + 1.5 * phi * (cu1 * cu1 - usq1 / 3.0)))
+        feq0 = rho - sum(feq_parts)
+        geq0 = phi - sum(geq_parts)
+        feq = [feq0] + feq_parts
+        geq = [geq0] + geq_parts
+
+        v0s = []
+        v1s = []
+        for i in range(Q):
+            v0 = fsl[0][i] + (feq[i] - fsl[0][i]) * inv_tau0
+            if fvec is not None:
+                cu = signed_sum(basis[i], u)
+                cF = float(np.dot(basis[i], fvec))
+                pref = jnp.asarray(w_np[i], dtype) * \
+                    (1.0 - 0.5 * inv_tau0)
+                v0 = v0 + pref * rho * (
+                    3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+            v1 = fsl[1][i] + (geq[i] - fsl[1][i]) * \
+                jnp.asarray(1.0 / tau_phi, dtype)
+            if has_mask:
+                v0 = jnp.where(is_dry, fsl[0][opp[i]],
+                               jnp.where(is_keep, fsl[0][i], v0))
+                v1 = jnp.where(is_dry, fsl[1][opp[i]],
+                               jnp.where(is_keep, fsl[1][i], v1))
+            v0s.append(v0)
+            v1s.append(v1)
+        # all reads above are from materialized values; safe to
+        # overwrite the cache in place now
+        for i in range(Q):
+            fs_buf[slot, i] = v0s[i]
+            fs_buf[slot, Q + i] = v1s[i]
+
+        for c in range(2):
+            pltpu.make_async_copy(
+                fs_buf.at[slot, pl.ds(c * Q, Q)], out_hbm[c].at[:, z0],
+                out_sems.at[slot, c]).start()
+
+        @pl.when(z0 == Z - 1)
+        def _():
+            wait_out(slot)
+            if Z >= 2:
+                wait_out(nslot)
+
+    n_in = 11 + (1 if has_mask else 0) + (3 if wetting else 0)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    scratch = [
+        pltpu.VMEM((2, 2 * Q, Y, X), dtype),
+        pltpu.VMEM((2, 5, Y, X), dtype),
+    ]
+    if has_mask:
+        scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
+    if wetting:
+        scratch.append(pltpu.VMEM((2, 3, Y, X), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2 * Q + 9)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Z,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
+                   jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+class PallasStepSCMulti3D:
+    """Fused stepping for 3D ShanChenMultiStepBuilder scenes (single
+    device, periodic/bounce-back boundaries, tile-aligned planes)."""
+
+    def __init__(self, mbuilder, domain_shape, interpret=False):
+        from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
+        if not isinstance(mbuilder, ShanChenMultiStepBuilder):
+            raise NotImplementedError(
+                'fused multi-component stepping covers Shan-Chen '
+                'mixtures and binary free energy only')
+        self.mbuilder = mbuilder
+        Zs, Ys, Xs = domain_shape
+        self.shape = domain_shape
+        b0 = mbuilder.b0
+        K = len(mbuilder.components)
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused multi-component 3D kernel covers walls/'
+                'obstacles only; complex-BC scenes use the XLA engine')
+        check_plane_tiling(Ys, Xs, interpret)
+        self.has_mask = bool((mask_np != 0).any())
+        isz = np.dtype(np.float32).itemsize
+        _check_vmem((2 * K * mbuilder.grid.Q, isz), (2 * 3 * K, isz),
+                    (2 if self.has_mask else 0, 4), Y=Ys, X=Xs)
+        self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.kernel = make_kernel_3d_sc_multi(
+            mbuilder, Zs, Ys, Xs, has_mask=self.has_mask,
+            interpret=interpret)
+        self.rho_kernel = make_rho_kernel_3d(b0, Zs, Ys, Xs,
+                                             interpret=interpret)
+
+    def step(self, state, it=0):
+        fs = list(state)
+        rhos = [self.rho_kernel(f, f[:, -1], f[:, 0]) for f in fs]
+        args = (fs + [f[:, -1] for f in fs] + [f[:, 0] for f in fs]
+                + rhos + [r[-1] for r in rhos] + [r[0] for r in rhos])
+        if self.has_mask:
+            args.append(self.mask)
+        return tuple(self.kernel(*args))
+
+    def run_steps(self, state, n, it0=0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), state)
+
+
+class PallasStepFE3D:
+    """Fused stepping for 3D binary free-energy scenes (single device,
+    periodic/bounce-back boundaries incl. wetting walls)."""
+
+    def __init__(self, mbuilder, domain_shape, interpret=False):
+        Zs, Ys, Xs = domain_shape
+        self.shape = domain_shape
+        b0 = mbuilder.b0
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused FE 3D kernel covers walls/obstacles only; '
+                'complex-BC scenes use the XLA engine')
+        check_plane_tiling(Ys, Xs, interpret)
+        self.has_mask = bool((mask_np != 0).any())
+        self.wetting = bool(mbuilder._has_dry_nodes)
+        isz = np.dtype(np.float32).itemsize
+        _check_vmem((4 * mbuilder.grid.Q, isz), (10, isz),
+                    (2 if self.has_mask else 0, 4),
+                    (6 if self.wetting else 0, 4), Y=Ys, X=Xs)
+        self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.orient = mbuilder._dry_orient if self.wetting else None
+        self.kernel = make_kernel_3d_fe(
+            mbuilder, Zs, Ys, Xs, has_mask=self.has_mask,
+            wetting=self.wetting, interpret=interpret)
+        self.rho_kernel = make_rho_kernel_3d(b0, Zs, Ys, Xs,
+                                             interpret=interpret)
+
+    def step(self, state, it=0):
+        f0, f1 = state
+        phi = self.rho_kernel(f1, f1[:, -1], f1[:, 0])
+        args = [f0, f1, f0[:, -1], f1[:, -1], f0[:, 0], f1[:, 0],
+                phi, phi[-2], phi[-1], phi[0], phi[1]]
+        if self.has_mask:
+            args.append(self.mask)
+        if self.wetting:
+            args += [self.orient, self.orient[-1], self.orient[0]]
+        return tuple(self.kernel(*args))
+
+    def run_steps(self, state, n, it0=0):
+        return jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), state)

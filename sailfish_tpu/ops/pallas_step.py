@@ -362,14 +362,23 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
     g = builder.grid
     rho, u, usq, uF = mom
     dtype = rho.dtype
+    # memoize the psi planes at trace time: the classic potential's exp
+    # would otherwise be re-evaluated once per direction
+    psi_cache = {}
+
+    def psi_at(k):
+        if k not in psi_cache:
+            psi_cache[k] = psi_of(k)
+        return psi_cache[k]
+
     acc = [None] * g.dim
     for i in range(1, g.Q):
         cx, cy = int(g.basis[i][0]), int(g.basis[i][1])
         if g.dim == 3:
-            p = psi_of(int(g.basis[i][2]))
+            p = psi_at(int(g.basis[i][2]))
             rolls = ((cy, 0, shape_yx[0]), (cx, 1, shape_yx[1]))
         else:
-            p = psi_of(cy)
+            p = psi_at(cy)
             rolls = ((cx, 1, shape_yx[1]),)
         for c, ax, n in rolls:
             if c:
@@ -381,7 +390,7 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
             if c:
                 term = (w * c) * p
                 acc[a] = term if acc[a] is None else acc[a] + term
-    pref = jnp.asarray(-builder.sc_coupling, dtype) * psi_of(0)
+    pref = jnp.asarray(-builder.sc_coupling, dtype) * psi_at(0)
     shift = jnp.asarray(builder.tau, dtype) / rho
     u = [ua + shift * (pref * acc[a]) for a, ua in enumerate(u)]
     usq = u[0] * u[0]

@@ -83,17 +83,31 @@ class SubdomainRunner:
                 FreeEnergyStepBuilder, ShanChenMultiStepBuilder)
             try:
                 if isinstance(self.builder, ShanChenMultiStepBuilder):
-                    from sailfish_tpu.ops.pallas_multi2d import \
-                        PallasStepSCMulti2D
-                    pstep = PallasStepSCMulti2D(
-                        self.builder, self._domain_shape(),
-                        interpret=interp)
+                    if self.sim.dim == 3:
+                        from sailfish_tpu.ops.pallas_multi3d import \
+                            PallasStepSCMulti3D
+                        pstep = PallasStepSCMulti3D(
+                            self.builder, self._domain_shape(),
+                            interpret=interp)
+                    else:
+                        from sailfish_tpu.ops.pallas_multi2d import \
+                            PallasStepSCMulti2D
+                        pstep = PallasStepSCMulti2D(
+                            self.builder, self._domain_shape(),
+                            interpret=interp)
                 elif isinstance(self.builder, FreeEnergyStepBuilder):
-                    from sailfish_tpu.ops.pallas_multi2d import \
-                        PallasStepFE2D
-                    pstep = PallasStepFE2D(
-                        self.builder, self._domain_shape(),
-                        interpret=interp)
+                    if self.sim.dim == 3:
+                        from sailfish_tpu.ops.pallas_multi3d import \
+                            PallasStepFE3D
+                        pstep = PallasStepFE3D(
+                            self.builder, self._domain_shape(),
+                            interpret=interp)
+                    else:
+                        from sailfish_tpu.ops.pallas_multi2d import \
+                            PallasStepFE2D
+                        pstep = PallasStepFE2D(
+                            self.builder, self._domain_shape(),
+                            interpret=interp)
                 elif self.mesh is not None and self.sim.dim == 2:
                     from sailfish_tpu.parallel.halo import \
                         ShardedPallasStep2D
@@ -201,8 +215,8 @@ class SubdomainRunner:
         from sailfish_tpu.ops.step import StepBuilder
         if isinstance(b, (ShanChenMultiStepBuilder,
                           FreeEnergyStepBuilder)):
-            # K-component models: fused 2D kernels, single device
-            eligible = (self.sim.dim == 2 and self.mesh is None
+            # K-component models: fused 2D/3D kernels, single device
+            eligible = (self.sim.dim in (2, 3) and self.mesh is None
                         and dtype == jnp.float32)
             if choice == 'xla':
                 return 'xla'
@@ -210,8 +224,8 @@ class SubdomainRunner:
                 if not eligible:
                     raise ValueError(
                         'pallas engine requested: multi-component '
-                        'scenes run fused only in 2D fp32 on a single '
-                        'device')
+                        'scenes run fused only in 2D/3D fp32 on a '
+                        'single device')
                 return 'pallas'
             if jax.default_backend() == 'cpu':
                 return 'xla'

@@ -118,3 +118,60 @@ def test_binary_fe_fused_eq_force_map():
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 5e-6
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+# -- 3D fused multi-component kernels (ops/pallas_multi3d) -------------------
+
+def _run3(cls, engine, dims, seed=42):
+    np.random.seed(seed)
+    ctrl = LBSimulationController(cls, default_config=dict(
+        quiet=True, engine=engine, **dims))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    r._fields_to_host()
+    return r.engine, np.array(r.sim.rho), np.array(r.sim.phi)
+
+
+def test_binary_sc3d_fused_matches_xla():
+    """3D binary SC demixing, fully periodic."""
+    from sc_separation_3d import SeparationSCSim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20)
+    _, rho_a, phi_a = _run3(SeparationSCSim, 'xla', dims)
+    engine, rho_b, phi_b = _run3(SeparationSCSim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_sc3d_fused_walls():
+    """3D binary SC with bounce-back walls (in-kernel mask)."""
+    from sc_separation_3d_walls import WalledSeparationSim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20)
+    _, rho_a, phi_a = _run3(WalledSeparationSim, 'xla', dims)
+    engine, rho_b, phi_b = _run3(WalledSeparationSim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_fe3d_fused_matches_xla():
+    """3D free-energy separation, fully periodic."""
+    from fe_separation_3d import SeparationFESim3D
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20)
+    _, rho_a, phi_a = _run3(SeparationFESim3D, 'xla', dims)
+    engine, rho_b, phi_b = _run3(SeparationFESim3D, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_fe3d_fused_walls_wetting_force():
+    """3D FE viscous fingering: walls + wetting mirror + body force +
+    eq_force_map through the fused kernel."""
+    from fe_viscous_fingering import FingeringFESim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20)
+    _, rho_a, phi_a = _run3(FingeringFESim, 'xla', dims)
+    engine, rho_b, phi_b = _run3(FingeringFESim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
