@@ -9,15 +9,21 @@ count is the mesh size; run with real chips or a virtual CPU mesh:
 """
 
 import argparse
+import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def run_case(n_devices, base, iters, warmup, platform=''):
     import jax
     if platform:
         jax.config.update('jax_platforms', platform)
-    sys.path.insert(0, 'examples')
+    sys.path.insert(0, os.path.join(REPO, 'examples'))
     from ldc_3d import LDCSim
 
     from sailfish_tpu import geo as geo_mod

@@ -8,8 +8,13 @@ merit as perftest/results/*/blocksize/*.
 """
 
 import argparse
+import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def run_case(grid, n, iters, warmup, engine='auto'):
@@ -21,13 +26,13 @@ def run_case(grid, n, iters, warmup, engine='auto'):
     util.enable_compile_cache()
 
     if grid == 'D2Q9':
-        sys.path.insert(0, 'examples')
+        sys.path.insert(0, os.path.join(REPO, 'examples'))
         from ldc_2d import LDCSim
         dims = {'lat_nx': n, 'lat_ny': n}
         geo_cls = geo_mod.LBGeometry2D
         nodes = n * n
     else:
-        sys.path.insert(0, 'examples')
+        sys.path.insert(0, os.path.join(REPO, 'examples'))
         from ldc_3d import LDCSim
         dims = {'lat_nx': n, 'lat_ny': n, 'lat_nz': n, 'grid': grid}
         geo_cls = geo_mod.LBGeometry3D

@@ -7,11 +7,16 @@ from sailfish_tpu.models.single import LBEntropicFluidSim
 
 import ldc_2d
 
-ldc_2d.LDCBlock.max_v = 0.01
+
+class EntropicLDCBlock(ldc_2d.LDCBlock):
+    # slower lid (the entropic run targets a higher Re via visc, not
+    # lid speed); subclassed -- mutating ldc_2d.LDCBlock.max_v would
+    # leak into every later import of the shared scene
+    max_v = 0.01
 
 
 class EntropicLDCSim(LBEntropicFluidSim):
-    subdomain = ldc_2d.LDCBlock
+    subdomain = EntropicLDCBlock
 
     @classmethod
     def update_defaults(cls, defaults):

@@ -8,10 +8,15 @@ equilibrium (``sym_equilibrium.elbm_equilibrium``, sym_equilibrium.py:123).
 
 The per-node scalar Newton iteration becomes a fixed-count vectorized
 loop with convergence masking -- data-independent control flow that XLA
-and Pallas both like.
+and Pallas both like. All Q-reductions are unrolled sequential adds
+with SCALAR per-direction constants: the same trace then serves the XLA
+engine and the fused Pallas kernels (which reject captured constant
+vectors), keeping the two engines fp32-identical.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -48,25 +53,34 @@ def elbm_equilibrium(grid, rho, u):
 
 def _entropy(grid, f):
     """H(f) = sum_i f_i (ln f_i - ln w_i) (entropic.mako:48-58)."""
-    shape = (grid.Q,) + (1,) * (f.ndim - 1)
-    logw = jnp.asarray(np.log(grid.weights), f.dtype).reshape(shape)
-    return jnp.sum(f * (jnp.log(f) - logw), axis=0)
+    acc = None
+    for i in range(grid.Q):
+        logw = math.log(float(grid.weights[i]))
+        t = f[i] * (jnp.log(f[i]) - jnp.asarray(logw, f.dtype))
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def alpha_series(grid, f, fneq):
     """Asymptotic expansion of the entropy equality in powers of fneq/f
     (PRL 97, 010201 (2006) Eq. 12; reference entropic.mako:9-45 and
     sym.alpha_series, sym.py:431-447)."""
-    inv = 1.0 / f
-    t = fneq * inv
-    p = fneq * t          # fneq^2 / f
-    a1 = jnp.sum(p, axis=0) * 0.5
-    p = p * t
-    a2 = jnp.sum(p, axis=0) * (-1.0 / 6.0)
-    p = p * t
-    a3 = jnp.sum(p, axis=0) * (1.0 / 12.0)
-    p = p * t
-    a4 = jnp.sum(p, axis=0) * (-1.0 / 20.0)
+    a1 = a2 = a3 = a4 = None
+    for i in range(grid.Q):
+        inv = 1.0 / f[i]
+        t = fneq[i] * inv
+        p = fneq[i] * t       # fneq^2 / f
+        a1 = p if a1 is None else a1 + p
+        p = p * t
+        a2 = p if a2 is None else a2 + p
+        p = p * t
+        a3 = p if a3 is None else a3 + p
+        p = p * t
+        a4 = p if a4 is None else a4 + p
+    a1 = a1 * 0.5
+    a2 = a2 * (-1.0 / 6.0)
+    a3 = a3 * (1.0 / 12.0)
+    a4 = a4 * (-1.0 / 20.0)
     ia1 = 1.0 / a1
     return (2.0
             - 4.0 * a2 * ia1
@@ -82,17 +96,23 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
     (entropic.mako:90-144), with the max-alpha positivity safeguard."""
     ent0 = _entropy(grid, f)
     # max alpha keeping f + alpha fneq > 0
-    ratio = jnp.where(fneq < 0.0, -f / fneq, jnp.inf)
-    max_alpha = jnp.min(ratio, axis=0)
-    shape = (grid.Q,) + (1,) * (f.ndim - 1)
-    logw = jnp.asarray(np.log(grid.weights), f.dtype).reshape(shape)
+    big = jnp.asarray(np.float32(3.4e38), f.dtype)
+    max_alpha = None
+    for i in range(grid.Q):
+        r = jnp.where(fneq[i] < 0.0, -f[i] / fneq[i], big)
+        max_alpha = r if max_alpha is None else jnp.minimum(max_alpha, r)
 
     def body(_, alpha):
-        t = f + alpha[None] * fneq
-        t = jnp.maximum(t, 1e-12)
-        h = jnp.log(t) - logw
-        ent = jnp.sum(t * h, axis=0)
-        dent = jnp.sum(fneq * (h + 1.0), axis=0)
+        ent = None
+        dent = None
+        for i in range(grid.Q):
+            t = jnp.maximum(f[i] + alpha * fneq[i], 1e-12)
+            logw = math.log(float(grid.weights[i]))
+            h = jnp.log(t) - jnp.asarray(logw, f.dtype)
+            e = t * h
+            d = fneq[i] * (h + 1.0)
+            ent = e if ent is None else ent + e
+            dent = d if dent is None else dent + d
         inc = ent - ent0
         new_alpha = alpha - inc / dent
         new_alpha = jnp.where(new_alpha > max_alpha,
@@ -107,10 +127,13 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
 def entropic_alpha(grid, f, fneq, alpha0=None):
     """Dispatch exactly as the reference (entropic.mako:160-184):
     tiny deviation -> 2; small -> series; large -> Newton."""
-    dev = jnp.max(jnp.abs(fneq) / jnp.maximum(f, 1e-12), axis=0)
+    dev = None
+    for i in range(grid.Q):
+        d = jnp.abs(fneq[i]) / jnp.maximum(f[i], 1e-12)
+        dev = d if dev is None else jnp.maximum(dev, d)
     a_series = alpha_series(grid, f, fneq)
     if alpha0 is None:
-        alpha0 = jnp.full(dev.shape, 2.0, dtype=f.dtype)
+        alpha0 = jnp.full(dev.shape, 2.0, dtype=f[0].dtype)
     a_newton = alpha_newton(grid, f, fneq, alpha0)
     alpha = jnp.where(dev < 1e-6, 2.0,
                       jnp.where(dev < 0.01, a_series, a_newton))

@@ -34,7 +34,14 @@ from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
 
 def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                             interpret=False):
-    """fused(f_0..f_{K-1}, rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1})."""
+    """fused(f_0..f_{K-1}, glo_0..glo_{K-1}, ghi_0..ghi_{K-1},
+    rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1}).
+
+    The outputs alias the f inputs (in-place HBM update; see
+    pallas_step.make_kernel_3d for the bandwidth measurement), so the
+    y-wrap blocks of each component must arrive as materialized ghost
+    copies (glo = block NB-1, ghi = block 0 of the pre-step state);
+    the rho wraps read the separate pre-pass buffers and stay safe."""
     b0 = mbuilder.b0
     g = mbuilder.grid
     Q = g.Q
@@ -62,6 +69,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     def kernel(*refs):
         idx = 0
         f_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        glo_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        ghi_hbm = [refs[idx + c] for c in range(K)]; idx += K
         rho_hbm = [refs[idx + c] for c in range(K)]; idx += K
         mask_hbm = None
         if has_mask:
@@ -73,43 +82,48 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
-        in_sems = refs[idx]; idx += 1      # DMA (4, K*(Q+1)+1)
+        in_sems = refs[idx]; idx += 1      # DMA (4, 2*K+1)
         out_sems = refs[idx]; idx += 1     # DMA (2, K)
 
         k = pl.program_id(0)
 
-        def start_block(b, slot):
+        def start_block(b, slot, fsrc=None):
+            # one strided DMA per component set (all Q dists read the
+            # same y-range; per-dist copies are DMA-issue-bound).
+            # ``fsrc``: ghost inputs for the wrap blocks -- reading the
+            # wrap from f_hbm would race the in-place write of block 0
             bm = jax.lax.rem(b + NB, NB)
             for c in range(K):
-                for i in range(Q):
-                    pltpu.make_async_copy(
-                        f_hbm[c].at[i, pl.ds(bm * by, by)],
-                        blk_buf.at[slot, c * Q + i],
-                        in_sems.at[slot, c * Q + i]).start()
+                if fsrc is not None:
+                    src = fsrc[c]
+                else:
+                    src = f_hbm[c].at[:, pl.ds(bm * by, by)]
+                pltpu.make_async_copy(
+                    src, blk_buf.at[slot, pl.ds(c * Q, Q)],
+                    in_sems.at[slot, c]).start()
                 pltpu.make_async_copy(
                     rho_hbm[c].at[pl.ds(bm * by, by)],
                     rho_buf.at[slot, c],
-                    in_sems.at[slot, K * Q + c]).start()
+                    in_sems.at[slot, K + c]).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(bm * by, by)],
                     mask_buf.at[slot, 0],
-                    in_sems.at[slot, K * (Q + 1)]).start()
+                    in_sems.at[slot, 2 * K]).start()
 
         def wait_block(slot):
             for c in range(K):
-                for i in range(Q):
-                    pltpu.make_async_copy(
-                        f_hbm[0].at[0, pl.ds(0, by)],
-                        blk_buf.at[slot, c * Q + i],
-                        in_sems.at[slot, c * Q + i]).wait()
+                pltpu.make_async_copy(
+                    f_hbm[0].at[:, pl.ds(0, by)],
+                    blk_buf.at[slot, pl.ds(c * Q, Q)],
+                    in_sems.at[slot, c]).wait()
                 pltpu.make_async_copy(rho_hbm[0].at[pl.ds(0, by)],
                                       rho_buf.at[slot, c],
-                                      in_sems.at[slot, K * Q + c]).wait()
+                                      in_sems.at[slot, K + c]).wait()
             if has_mask:
                 pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
                                       mask_buf.at[slot, 0],
-                                      in_sems.at[slot, K * (Q + 1)]).wait()
+                                      in_sems.at[slot, 2 * K]).wait()
 
         def wait_out(oslot):
             for c in range(K):
@@ -126,15 +140,19 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3))
+            start_block(-1, jnp.int32(3), fsrc=glo_hbm)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
-        @pl.when(k + 2 <= NB)
+        @pl.when(k + 2 < NB)
         def _():
             start_block(k + 2, s_pref)
+
+        @pl.when(k + 2 == NB)
+        def _():
+            start_block(k + 2, s_pref, fsrc=ghi_hbm)
 
         wait_block(s_next)
 
@@ -292,7 +310,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
             wait_out(jax.lax.rem(k + 1, 2))
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * K)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (4 * K)
     scratch = [
         pltpu.VMEM((4, K * Q, by, X), dtype),
         pltpu.VMEM((2, K * Q, by, X), dtype),
@@ -301,7 +319,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((4, K * (Q + 1) + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((4, 2 * K + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
 
     fused = pl.pallas_call(
@@ -314,6 +332,10 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                         for _ in range(K)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # in-place component updates (wrap blocks come from the ghost
+        # inputs; each interior block's single HBM read completes a
+        # full program before its write)
+        input_output_aliases={c: c for c in range(K)},
         interpret=interpret,
     )
     return fused
@@ -322,13 +344,16 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                       wetting=False, interpret=False):
     """Fused binary free-energy step (reference lb_binary_fluid.mako):
-    fused(f0, f1, phi_field[, mask][, orient]) -> (f0', f1').
+    fused(f0, f1, glo0, glo1, ghi0, ghi1, phi_field[, mask][, orient])
+    -> (f0', f1').
 
     ``phi_field`` is the post-stream order parameter (rho pre-pass on
     f1); the Landau chemical potential, isotropic laplacian/gradient
     stencils (with the wall-wetting phi mirror when ``wetting``), the
     phi-interpolated relaxation time, and both equilibria are evaluated
-    in-VMEM per y-block."""
+    in-VMEM per y-block. Outputs alias (f0, f1) -- in-place HBM update
+    (see pallas_step.make_kernel_3d) -- so the y-wrap blocks arrive as
+    the materialized ghost inputs."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -357,6 +382,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     def kernel(*refs):
         idx = 0
         f_hbm = [refs[idx], refs[idx + 1]]; idx += 2
+        glo_hbm = [refs[idx], refs[idx + 1]]; idx += 2
+        ghi_hbm = [refs[idx], refs[idx + 1]]; idx += 2
         phi_hbm = refs[idx]; idx += 1
         mask_hbm = orient_hbm = None
         if has_mask:
@@ -372,51 +399,52 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             mask_buf = refs[idx]; idx += 1
         if wetting:
             orient_buf = refs[idx]; idx += 1
-        in_sems = refs[idx]; idx += 1      # DMA (4, 2Q+3)
+        in_sems = refs[idx]; idx += 1      # DMA (4, 5)
         out_sems = refs[idx]; idx += 1     # DMA (2, 2)
 
         k = pl.program_id(0)
 
-        def start_block(b, slot):
+        def start_block(b, slot, fsrc=None):
+            # one strided DMA per component set (see the SC kernel);
+            # fsrc = ghost inputs for the wrap blocks (in-place safety)
             bm = jax.lax.rem(b + NB, NB)
             for c in range(2):
-                for i in range(Q):
-                    pltpu.make_async_copy(
-                        f_hbm[c].at[i, pl.ds(bm * by, by)],
-                        blk_buf.at[slot, c * Q + i],
-                        in_sems.at[slot, c * Q + i]).start()
+                if fsrc is not None:
+                    src = fsrc[c]
+                else:
+                    src = f_hbm[c].at[:, pl.ds(bm * by, by)]
+                pltpu.make_async_copy(
+                    src, blk_buf.at[slot, pl.ds(c * Q, Q)],
+                    in_sems.at[slot, c]).start()
             pltpu.make_async_copy(
                 phi_hbm.at[pl.ds(bm * by, by)], phi_buf.at[slot, 0],
-                in_sems.at[slot, 2 * Q]).start()
+                in_sems.at[slot, 2]).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(bm * by, by)],
-                    mask_buf.at[slot, 0], in_sems.at[slot, 2 * Q + 1]
-                ).start()
+                    mask_buf.at[slot, 0], in_sems.at[slot, 3]).start()
             if wetting:
                 pltpu.make_async_copy(
                     orient_hbm.at[pl.ds(bm * by, by)],
-                    orient_buf.at[slot, 0], in_sems.at[slot, 2 * Q + 2]
-                ).start()
+                    orient_buf.at[slot, 0], in_sems.at[slot, 4]).start()
 
         def wait_block(slot):
             for c in range(2):
-                for i in range(Q):
-                    pltpu.make_async_copy(
-                        f_hbm[0].at[0, pl.ds(0, by)],
-                        blk_buf.at[slot, c * Q + i],
-                        in_sems.at[slot, c * Q + i]).wait()
+                pltpu.make_async_copy(
+                    f_hbm[0].at[:, pl.ds(0, by)],
+                    blk_buf.at[slot, pl.ds(c * Q, Q)],
+                    in_sems.at[slot, c]).wait()
             pltpu.make_async_copy(phi_hbm.at[pl.ds(0, by)],
                                   phi_buf.at[slot, 0],
-                                  in_sems.at[slot, 2 * Q]).wait()
+                                  in_sems.at[slot, 2]).wait()
             if has_mask:
                 pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
                                       mask_buf.at[slot, 0],
-                                      in_sems.at[slot, 2 * Q + 1]).wait()
+                                      in_sems.at[slot, 3]).wait()
             if wetting:
                 pltpu.make_async_copy(orient_hbm.at[pl.ds(0, by)],
                                       orient_buf.at[slot, 0],
-                                      in_sems.at[slot, 2 * Q + 2]).wait()
+                                      in_sems.at[slot, 4]).wait()
 
         def wait_out(oslot):
             for c in range(2):
@@ -433,15 +461,19 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
 
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3))
+            start_block(-1, jnp.int32(3), fsrc=glo_hbm)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
-        @pl.when(k + 2 <= NB)
+        @pl.when(k + 2 < NB)
         def _():
             start_block(k + 2, s_pref)
+
+        @pl.when(k + 2 == NB)
+        def _():
+            start_block(k + 2, s_pref, fsrc=ghi_hbm)
 
         wait_block(s_next)
 
@@ -621,7 +653,7 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
             wait_out(jax.lax.rem(k + 1, 2))
 
-    n_in = 3 + (1 if has_mask else 0) + (1 if wetting else 0)
+    n_in = 7 + (1 if has_mask else 0) + (1 if wetting else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
     scratch = [
         pltpu.VMEM((4, 2 * Q, by, X), dtype),
@@ -632,7 +664,7 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
     if wetting:
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((4, 2 * Q + 3)))
+    scratch.append(pltpu.SemaphoreType.DMA((4, 5)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
 
     return pl.pallas_call(
@@ -645,6 +677,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                    jax.ShapeDtypeStruct((Q, Y, X), dtype)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # in-place component updates (see the SC kernel note)
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )
 
@@ -678,7 +712,11 @@ class PallasStepFE2D:
 
     def step(self, state, it=0):
         f0, f1 = state
-        args = [f0, f1, self.rho_kernel(f1)]
+        # wrap blocks as materialized ghosts (the kernel writes the f
+        # buffers in place)
+        by = self.by
+        args = [f0, f1, f0[:, -by:], f1[:, -by:], f0[:, :by],
+                f1[:, :by], self.rho_kernel(f1)]
         if self.has_mask:
             args.append(self.mask)
         if self.wetting:
@@ -726,7 +764,10 @@ class PallasStepSCMulti2D:
                                              interpret=interpret)
 
     def step(self, state, it=0):
+        by = self.by
         args = list(state)
+        args += [f[:, -by:] for f in state]    # glo wrap ghosts
+        args += [f[:, :by] for f in state]     # ghi wrap ghosts
         args += [self.rho_kernel(f) for f in state]
         if self.has_mask:
             args.append(self.mask)

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sailfish_tpu.equilibrium import signed_sum
 from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
-                                          classify_nodes,
+                                          classify_nodes, cz_groups,
                                           make_rho_kernel_3d)
 
 #: stay under the ~16 MB/core VMEM budget (plus compiler headroom)
@@ -57,6 +57,9 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
     basis = g.basis
     opp = [int(o) for o in g.opposite]
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
+    # cz-grouped Q layout (pallas_step.cz_groups): state arrives
+    # permuted; math runs in standard direction order via ipos
+    perm, ipos, groups = cz_groups(g)
     taus = [float(t) for t in mbuilder.taus]
     couplings = {k: float(v) for k, v in mbuilder.couplings.items()
                  if v != 0.0}
@@ -95,41 +98,43 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
 
         def start_gathers(plane_z, s):
             for c in range(K):
-                for i in range(Q):
-                    cz = int(basis[i][2])
-                    ch = c * Q + i
+                for gi, (cz, st, cnt) in enumerate(groups):
+                    dst = fs_buf.at[s, pl.ds(c * Q + st, cnt)]
+                    sem = in_sems.at[s, c * len(groups) + gi]
                     if cz == 0:
                         pltpu.make_async_copy(
-                            f_hbm[c].at[i, plane_z], fs_buf.at[s, ch],
-                            in_sems.at[s, ch]).start()
+                            f_hbm[c].at[pl.ds(st, cnt), plane_z], dst,
+                            sem).start()
                     elif cz == 1:
                         @pl.when(plane_z == 0)
-                        def _(c=c, i=i, ch=ch, s=s):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem):
                             pltpu.make_async_copy(
-                                glo_hbm[c].at[i], fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                glo_hbm[c].at[pl.ds(st, cnt)], dst,
+                                sem).start()
 
                         @pl.when(plane_z > 0)
-                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem,
+                              plane_z=plane_z):
                             pltpu.make_async_copy(
-                                f_hbm[c].at[i, plane_z - 1],
-                                fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                f_hbm[c].at[pl.ds(st, cnt),
+                                            plane_z - 1],
+                                dst, sem).start()
                     else:
                         @pl.when(plane_z == Z - 1)
-                        def _(c=c, i=i, ch=ch, s=s):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem):
                             pltpu.make_async_copy(
-                                ghi_hbm[c].at[i], fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                ghi_hbm[c].at[pl.ds(st, cnt)], dst,
+                                sem).start()
 
                         @pl.when(plane_z < Z - 1)
-                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem,
+                              plane_z=plane_z):
                             pltpu.make_async_copy(
-                                f_hbm[c].at[i, plane_z + 1],
-                                fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                f_hbm[c].at[pl.ds(st, cnt),
+                                            plane_z + 1],
+                                dst, sem).start()
                 for j, dz in enumerate((-1, 0, 1)):
-                    sem = in_sems.at[s, K * Q + c * 3 + j]
+                    sem = in_sems.at[s, K * len(groups) + c * 3 + j]
                     dst = rho_buf.at[s, c * 3 + j]
                     if dz == 0:
                         pltpu.make_async_copy(
@@ -150,21 +155,44 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[plane_z], mask_buf.at[s, 0],
-                    in_sems.at[s, K * Q + 3 * K]).start()
+                    in_sems.at[s, K * (len(groups) + 3)]).start()
+
+        def wait_gather_plus(s):
+            """Wait only the cz=+1 groups (reading source plane z-1)."""
+            NG = len(groups)
+            for c in range(K):
+                for gi, (cz, st, cnt) in enumerate(groups):
+                    if cz != 1:
+                        continue
+                    pltpu.make_async_copy(
+                        f_hbm[0].at[pl.ds(st, cnt), 0],
+                        fs_buf.at[s, pl.ds(c * Q + st, cnt)],
+                        in_sems.at[s, c * NG + gi]).wait()
 
         def wait_gathers(s):
-            for ch in range(K * Q):
-                pltpu.make_async_copy(f_hbm[0].at[0, 0],
-                                      fs_buf.at[s, ch],
-                                      in_sems.at[s, ch]).wait()
+            # the cz=+1 groups were drained by the predecessor before
+            # its in-place write (see pre_write_waits), except plane 0
+            NG = len(groups)
+            for c in range(K):
+                for gi, (cz, st, cnt) in enumerate(groups):
+                    if cz == 1:
+                        continue
+                    pltpu.make_async_copy(
+                        f_hbm[0].at[pl.ds(st, cnt), 0],
+                        fs_buf.at[s, pl.ds(c * Q + st, cnt)],
+                        in_sems.at[s, c * NG + gi]).wait()
+
+            @pl.when(z0 == 0)
+            def _():
+                wait_gather_plus(s)
             for j in range(3 * K):
                 pltpu.make_async_copy(rho_hbm[0].at[0],
                                       rho_buf.at[s, j],
-                                      in_sems.at[s, K * Q + j]).wait()
+                                      in_sems.at[s, K * NG + j]).wait()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[0], mask_buf.at[s, 0],
-                    in_sems.at[s, K * Q + 3 * K]).wait()
+                    in_sems.at[s, K * (NG + 3)]).wait()
 
         def wait_out(s):
             for c in range(K):
@@ -185,12 +213,13 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
 
         wait_gathers(slot)
 
-        # in-plane periodic shifts of the pull
+        # in-plane periodic shifts of the pull; channel c*Q+ipos[i]
+        # holds standard direction i of component c
         for c in range(K):
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
                 if cy or cx:
-                    ch = c * Q + i
+                    ch = c * Q + ipos[i]
                     plane = fs_buf[slot, ch]
                     if cy:
                         plane = pltpu.roll(plane, cy % Y, axis=0)
@@ -198,7 +227,7 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                         plane = pltpu.roll(plane, cx % X, axis=1)
                     fs_buf[slot, ch] = plane
 
-        fsl = [[fs_buf[slot, c * Q + i] for i in range(Q)]
+        fsl = [[fs_buf[slot, c * Q + ipos[i]] for i in range(Q)]
                for c in range(K)]
 
         # common velocity u' = (sum mom_k/tau_k) / (sum rho_k/tau_k)
@@ -310,7 +339,13 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                                        jnp.where(is_keep, fd, vd))
                     outs.append((d, vd))
                 for d, vd in outs:
-                    fs_buf[slot, c * Q + d] = vd
+                    fs_buf[slot, c * Q + ipos[d]] = vd
+
+        # in-place safety: the successor plane's cz=+1 gathers read the
+        # OLD plane z0 -- drain them before overwriting it
+        @pl.when(z0 + 1 < Z)
+        def _():
+            wait_gather_plus(nslot)
 
         for c in range(K):
             pltpu.make_async_copy(
@@ -331,7 +366,7 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
     ]
     if has_mask:
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, K * Q + 3 * K + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, K * (len(cz_groups(mbuilder.grid)[2]) + 3) + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
 
     return pl.pallas_call(
@@ -344,6 +379,10 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                         for _ in range(K)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # in-place component updates (pallas_step.make_kernel_3d has
+        # the bandwidth measurement); correct un-aliased too -- the
+        # kernel never reads out_hbm
+        input_output_aliases={c: c for c in range(K)},
         interpret=interpret,
     )
 
@@ -367,6 +406,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     dtype = mbuilder.dtype
     basis = g.basis
     opp = [int(o) for o in g.opposite]
+    # cz-grouped Q layout (pallas_step.cz_groups)
+    perm, ipos, groups = cz_groups(g)
     tau_a, tau_b = mbuilder.tau_a, mbuilder.tau_b
     tau_phi = mbuilder.tau_phi
     A_c, kappa, Gamma = mbuilder.A, mbuilder.kappa, mbuilder.Gamma
@@ -440,74 +481,99 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                 pzc = jnp.clip(pz, 0, Z - 1)
                 pltpu.make_async_copy(src.at[pzc], dst, sem).start()
 
+        NG = len(groups)
+
         def start_gathers(plane_z, s):
             for c in range(2):
-                for i in range(Q):
-                    cz = int(basis[i][2])
-                    ch = c * Q + i
+                for gi, (cz, st, cnt) in enumerate(groups):
+                    dst = fs_buf.at[s, pl.ds(c * Q + st, cnt)]
+                    sem = in_sems.at[s, c * NG + gi]
                     if cz == 0:
                         pltpu.make_async_copy(
-                            f_hbm[c].at[i, plane_z], fs_buf.at[s, ch],
-                            in_sems.at[s, ch]).start()
+                            f_hbm[c].at[pl.ds(st, cnt), plane_z], dst,
+                            sem).start()
                     elif cz == 1:
                         @pl.when(plane_z == 0)
-                        def _(c=c, i=i, ch=ch, s=s):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem):
                             pltpu.make_async_copy(
-                                glo_hbm[c].at[i], fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                glo_hbm[c].at[pl.ds(st, cnt)], dst,
+                                sem).start()
 
                         @pl.when(plane_z > 0)
-                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem,
+                              plane_z=plane_z):
                             pltpu.make_async_copy(
-                                f_hbm[c].at[i, plane_z - 1],
-                                fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                f_hbm[c].at[pl.ds(st, cnt),
+                                            plane_z - 1],
+                                dst, sem).start()
                     else:
                         @pl.when(plane_z == Z - 1)
-                        def _(c=c, i=i, ch=ch, s=s):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem):
                             pltpu.make_async_copy(
-                                ghi_hbm[c].at[i], fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                ghi_hbm[c].at[pl.ds(st, cnt)], dst,
+                                sem).start()
 
                         @pl.when(plane_z < Z - 1)
-                        def _(c=c, i=i, ch=ch, s=s, plane_z=plane_z):
+                        def _(c=c, st=st, cnt=cnt, dst=dst, sem=sem,
+                              plane_z=plane_z):
                             pltpu.make_async_copy(
-                                f_hbm[c].at[i, plane_z + 1],
-                                fs_buf.at[s, ch],
-                                in_sems.at[s, ch]).start()
+                                f_hbm[c].at[pl.ds(st, cnt),
+                                            plane_z + 1],
+                                dst, sem).start()
             for j, dz in enumerate(range(-2, 3)):
                 copy_z_periodic(phi_hbm, phi_ghosts,
                                 phi_buf.at[s, j],
-                                in_sems.at[s, 2 * Q + j],
+                                in_sems.at[s, 2 * NG + j],
                                 plane_z + dz, 2, 2)
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[plane_z], mask_buf.at[s, 0],
-                    in_sems.at[s, 2 * Q + 5]).start()
+                    in_sems.at[s, 2 * NG + 5]).start()
             if wetting:
                 for j, dz in enumerate((-1, 0, 1)):
                     copy_z_periodic(orient_hbm, (orient_lo, orient_hi),
                                     orient_buf.at[s, j],
-                                    in_sems.at[s, 2 * Q + 6 + j],
+                                    in_sems.at[s, 2 * NG + 6 + j],
                                     plane_z + dz, 1, 1)
 
+        def wait_gather_plus(s):
+            """Wait only the cz=+1 groups (reading source plane z-1)."""
+            for c in range(2):
+                for gi, (cz, st, cnt) in enumerate(groups):
+                    if cz != 1:
+                        continue
+                    pltpu.make_async_copy(
+                        f_hbm[0].at[pl.ds(st, cnt), 0],
+                        fs_buf.at[s, pl.ds(c * Q + st, cnt)],
+                        in_sems.at[s, c * NG + gi]).wait()
+
         def wait_gathers(s):
-            for ch in range(2 * Q):
-                pltpu.make_async_copy(f_hbm[0].at[0, 0],
-                                      fs_buf.at[s, ch],
-                                      in_sems.at[s, ch]).wait()
+            # cz=+1 groups drained by the predecessor before its
+            # in-place write, except plane 0 (see pallas_step)
+            for c in range(2):
+                for gi, (cz, st, cnt) in enumerate(groups):
+                    if cz == 1:
+                        continue
+                    pltpu.make_async_copy(
+                        f_hbm[0].at[pl.ds(st, cnt), 0],
+                        fs_buf.at[s, pl.ds(c * Q + st, cnt)],
+                        in_sems.at[s, c * NG + gi]).wait()
+
+            @pl.when(z0 == 0)
+            def _():
+                wait_gather_plus(s)
             for j in range(5):
                 pltpu.make_async_copy(phi_hbm.at[0], phi_buf.at[s, j],
-                                      in_sems.at[s, 2 * Q + j]).wait()
+                                      in_sems.at[s, 2 * NG + j]).wait()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[0], mask_buf.at[s, 0],
-                    in_sems.at[s, 2 * Q + 5]).wait()
+                    in_sems.at[s, 2 * NG + 5]).wait()
             if wetting:
                 for j in range(3):
                     pltpu.make_async_copy(
                         orient_hbm.at[0], orient_buf.at[s, j],
-                        in_sems.at[s, 2 * Q + 6 + j]).wait()
+                        in_sems.at[s, 2 * NG + 6 + j]).wait()
 
         def wait_out(s):
             for c in range(2):
@@ -532,7 +598,7 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
                 if cy or cx:
-                    ch = c * Q + i
+                    ch = c * Q + ipos[i]
                     plane = fs_buf[slot, ch]
                     if cy:
                         plane = pltpu.roll(plane, cy % Y, axis=0)
@@ -540,7 +606,7 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                         plane = pltpu.roll(plane, cx % X, axis=1)
                     fs_buf[slot, ch] = plane
 
-        fsl = [[fs_buf[slot, c * Q + i] for i in range(Q)]
+        fsl = [[fs_buf[slot, c * Q + ipos[i]] for i in range(Q)]
                for c in range(2)]
 
         rho = fsl[0][0]
@@ -693,8 +759,14 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         # all reads above are from materialized values; safe to
         # overwrite the cache in place now
         for i in range(Q):
-            fs_buf[slot, i] = v0s[i]
-            fs_buf[slot, Q + i] = v1s[i]
+            fs_buf[slot, ipos[i]] = v0s[i]
+            fs_buf[slot, Q + ipos[i]] = v1s[i]
+
+        # in-place safety: drain the successor's cz=+1 gathers (they
+        # read the OLD plane z0) before overwriting it
+        @pl.when(z0 + 1 < Z)
+        def _():
+            wait_gather_plus(nslot)
 
         for c in range(2):
             pltpu.make_async_copy(
@@ -717,7 +789,7 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if wetting:
         scratch.append(pltpu.VMEM((2, 3, Y, X), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, 2 * Q + 9)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2 * len(cz_groups(mbuilder.grid)[2]) + 9)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
 
     return pl.pallas_call(
@@ -730,6 +802,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                    jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # in-place component updates (see the SC-multi kernel note)
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )
 
@@ -765,6 +839,21 @@ class PallasStepSCMulti3D:
             interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Zs, Ys, Xs,
                                              interpret=interpret)
+        qperm, qinv, _ = cz_groups(mbuilder.grid)
+        self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
+        self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
+
+    @property
+    def padded(self):
+        """Kernel layout (cz-grouped Q order) differs from the public
+        layout; the runner wraps step loops in pad_state/crop_state."""
+        return True
+
+    def pad_state(self, state):
+        return tuple(f[self._qperm] for f in state)
+
+    def crop_state(self, state):
+        return tuple(f[self._qinv] for f in state)
 
     def step(self, state, it=0):
         fs = list(state)
@@ -776,8 +865,10 @@ class PallasStepSCMulti3D:
         return tuple(self.kernel(*args))
 
     def run_steps(self, state, n, it0=0):
-        return jax.lax.fori_loop(
+        state = self.pad_state(state)
+        state = jax.lax.fori_loop(
             0, n, lambda i, sc: self.step(sc, it0 + i), state)
+        return self.crop_state(state)
 
 
 class PallasStepFE3D:
@@ -807,6 +898,21 @@ class PallasStepFE3D:
             wetting=self.wetting, interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Zs, Ys, Xs,
                                              interpret=interpret)
+        qperm, qinv, _ = cz_groups(mbuilder.grid)
+        self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
+        self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
+
+    @property
+    def padded(self):
+        """Kernel layout (cz-grouped Q order) differs from the public
+        layout; the runner wraps step loops in pad_state/crop_state."""
+        return True
+
+    def pad_state(self, state):
+        return tuple(f[self._qperm] for f in state)
+
+    def crop_state(self, state):
+        return tuple(f[self._qinv] for f in state)
 
     def step(self, state, it=0):
         f0, f1 = state
@@ -820,5 +926,7 @@ class PallasStepFE3D:
         return tuple(self.kernel(*args))
 
     def run_steps(self, state, n, it0=0):
-        return jax.lax.fori_loop(
+        state = self.pad_state(state)
+        state = jax.lax.fori_loop(
             0, n, lambda i, sc: self.step(sc, it0 + i), state)
+        return self.crop_state(state)

@@ -26,22 +26,28 @@ from jax.experimental.pallas import tpu as pltpu
 from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import classify_nodes, window_shifted, \
-    _collide_pair, _collide_prepass, _moments, _sc_psi, _sc_shift_moments
+    _collide_elbm, _collide_pair, _collide_prepass, _moments, _sc_psi, \
+    _sc_shift_moments
 
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
-                   interpret=False, sharded=False, dyn_patches=False,
+                   interpret=False, dyn_patches=False,
                    max_patches=0, sc=False):
-    """fused(f[, ghost_lo, ghost_hi], mask?, patch...?) -> out,
+    """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
     ``patch_blocks``: y-block indices overlaid from the XLA prologue.
-    With ``sharded=True`` the y-wrap blocks come from two ghost inputs
-    (Q, by, X) -- the neighbor shards' boundary blocks, ppermute'd by
-    the caller -- instead of the local periodic wrap. ``dyn_patches``
-    selects patch blocks at run time from an int32 (NB,) SMEM map plus
-    a (Q, max_patches, by, X) plane input (one traced program serves
-    every shard; see the 3D kernel's dynamic mode).
+    The y-wrap blocks ALWAYS come from the two (Q, by, X) ghost inputs:
+    the local periodic wrap of ``f`` (single device) or the neighbor
+    shards' boundary blocks, ppermute'd by the caller (sharded). They
+    must be materialized copies -- the kernel updates ``f`` IN PLACE
+    (out aliases input 0; in-place HBM streams ~1.8x faster than
+    fresh-buffer writes on TPU), so by the time the last programs need
+    the wrap rows, block 0 already holds post-collision values.
+    ``dyn_patches`` selects patch blocks at run time from an int32
+    (NB,) SMEM map plus a (Q, max_patches, by, X) plane input (one
+    traced program serves every shard; see the 3D kernel's dynamic
+    mode).
     """
     g = builder.grid
     Q = g.Q
@@ -61,10 +67,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     def kernel(*refs):
         idx = 0
         f_hbm = refs[idx]; idx += 1
-        glo_hbm = ghi_hbm = None
-        if sharded:
-            glo_hbm = refs[idx]; idx += 1
-            ghi_hbm = refs[idx]; idx += 1
+        glo_hbm = refs[idx]; idx += 1
+        ghi_hbm = refs[idx]; idx += 1
         rho_hbm = None
         if sc:
             rho_hbm = refs[idx]; idx += 1
@@ -96,39 +100,39 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             """DMA block (b mod NB) into cache slot ``slot``; b may be -1
             (the wrap-below block) or NB (the wrap-above block). With
             ``src`` set, the (Q, by, X) ghost input is loaded instead
-            (sharded wrap)."""
+            (sharded wrap). All Q dists read the SAME y-range (shifts
+            are assembled in VMEM), so the whole set moves as ONE
+            strided DMA -- per-dist copies are DMA-issue-bound, not
+            bandwidth-bound."""
             bm = jax.lax.rem(b + NB, NB)
-            for i in range(Q):
-                if src is not None:
-                    pltpu.make_async_copy(
-                        src.at[i], blk_buf.at[slot, i],
-                        in_sems.at[slot, i]).start()
-                else:
-                    pltpu.make_async_copy(
-                        f_hbm.at[i, pl.ds(bm * by, by)],
-                        blk_buf.at[slot, i], in_sems.at[slot, i]).start()
+            if src is not None:
+                pltpu.make_async_copy(
+                    src, blk_buf.at[slot], in_sems.at[slot, 0]).start()
+            else:
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(bm * by, by)],
+                    blk_buf.at[slot], in_sems.at[slot, 0]).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(bm * by, by)],
-                    mask_buf.at[slot, 0], in_sems.at[slot, Q]).start()
+                    mask_buf.at[slot, 0], in_sems.at[slot, 1]).start()
             if sc:
                 pltpu.make_async_copy(
                     rho_hbm.at[pl.ds(bm * by, by)],
-                    rho_buf.at[slot, 0], in_sems.at[slot, Q + 1]).start()
+                    rho_buf.at[slot, 0], in_sems.at[slot, 2]).start()
 
         def wait_block(slot):
-            for i in range(Q):
-                pltpu.make_async_copy(f_hbm.at[0, pl.ds(0, by)],
-                                      blk_buf.at[slot, i],
-                                      in_sems.at[slot, i]).wait()
+            pltpu.make_async_copy(f_hbm.at[:, pl.ds(0, by)],
+                                  blk_buf.at[slot],
+                                  in_sems.at[slot, 0]).wait()
             if has_mask:
                 pltpu.make_async_copy(mask_hbm.at[pl.ds(0, by)],
                                       mask_buf.at[slot, 0],
-                                      in_sems.at[slot, Q]).wait()
+                                      in_sems.at[slot, 1]).wait()
             if sc:
                 pltpu.make_async_copy(rho_hbm.at[pl.ds(0, by)],
                                       rho_buf.at[slot, 0],
-                                      in_sems.at[slot, Q + 1]).wait()
+                                      in_sems.at[slot, 2]).wait()
 
         def wait_out(oslot):
             pltpu.make_async_copy(out_buf.at[oslot],
@@ -144,27 +148,26 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         s_pref = jax.lax.rem(k + 2, 4)
         oslot = jax.lax.rem(k, 2)
 
-        # warmup: program 0 loads blocks -1 (=NB-1 or the ghost-below
-        # block under sharding), 0, 1
+        # warmup: program 0 loads blocks -1 (the ghost-below input),
+        # 0, 1
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3),
-                        src=glo_hbm if sharded else None)
+            start_block(-1, jnp.int32(3), src=glo_hbm)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
-        # steady prefetch of block k+2 (b == NB means the wrap block 0,
-        # or the ghost-above block under sharding)
+        # steady prefetch of block k+2 (b == NB means the ghost-above
+        # input -- reading the wrap from f_hbm would race the in-place
+        # write of block 0 by program 0)
         @pl.when(k + 2 < NB)
         def _():
             start_block(k + 2, s_pref)
 
         @pl.when(k + 2 == NB)
         def _():
-            start_block(k + 2, s_pref,
-                        src=ghi_hbm if sharded else None)
+            start_block(k + 2, s_pref, src=ghi_hbm)
 
         # block k+1 was started by program k-1 (or warmup)
         wait_block(s_next)
@@ -223,11 +226,25 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
 
                 mom_u = _sc_shift_moments(builder, mom_u, psi_of,
                                           (by, X))
-            extra = _collide_prepass(builder, fs, mom_u)
             if has_mask:
                 m = mask_buf[s_cur, 0]
                 is_dry = m == 1
                 is_keep = m == 2
+
+            if builder.model == 'elbm':
+                fpost = _collide_elbm(builder, fs, mom_u)
+                for i in range(Q):
+                    vi = fpost[i]
+                    if has_mask:
+                        vi = jnp.where(is_dry, fs[opp[i]],
+                                       jnp.where(is_keep, fs[i], vi))
+                    out_buf[oslot, i] = vi
+                pltpu.make_async_copy(out_buf.at[oslot],
+                                      out_hbm.at[:, pl.ds(k * by, by)],
+                                      out_sems.at[oslot]).start()
+                return
+
+            extra = _collide_prepass(builder, fs, mom_u)
             for i, o in pairs:
                 fo = fs[o] if o != i else None
                 vi, vo = _collide_pair(builder, fs[i], fo, mom_u, i, o,
@@ -306,9 +323,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 if (NB - 2) not in patch_blocks:
                     wait_out(jax.lax.rem(k + 1, 2))
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-    if sharded:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     if sc:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch = [
@@ -325,7 +340,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-    scratch.append(pltpu.SemaphoreType.DMA((4, Q + 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((4, 3)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     fused = pl.pallas_call(
@@ -336,6 +351,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         out_shape=jax.ShapeDtypeStruct((Q, Y, X), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # in-place update (see the 3D kernel for the measurement); the
+        # kernel never reads out_hbm and each block's single HBM read
+        # (its prefetch) completes a full program before its write, so
+        # aliasing needs no extra in-kernel ordering
+        input_output_aliases={0: 0},
         interpret=interpret,
     )
     return fused
@@ -358,16 +378,14 @@ def make_rho_kernel_2d(builder, Y, X, by=32, interpret=False):
 
         def start_block(b, slot):
             bm = jax.lax.rem(b + NB, NB)
-            for i in range(Q):
-                pltpu.make_async_copy(
-                    f_hbm.at[i, pl.ds(bm * by, by)],
-                    blk_buf.at[slot, i], in_sems.at[slot, i]).start()
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(bm * by, by)],
+                blk_buf.at[slot], in_sems.at[slot, 0]).start()
 
         def wait_block(slot):
-            for i in range(Q):
-                pltpu.make_async_copy(f_hbm.at[0, pl.ds(0, by)],
-                                      blk_buf.at[slot, i],
-                                      in_sems.at[slot, i]).wait()
+            pltpu.make_async_copy(f_hbm.at[:, pl.ds(0, by)],
+                                  blk_buf.at[slot],
+                                  in_sems.at[slot, 0]).wait()
 
         def wait_out(oslot):
             pltpu.make_async_copy(out_buf.at[oslot],
@@ -432,7 +450,7 @@ def make_rho_kernel_2d(builder, Y, X, by=32, interpret=False):
         out_shape=jax.ShapeDtypeStruct((Y, X), dtype),
         scratch_shapes=[pltpu.VMEM((4, Q, by, X), dtype),
                         pltpu.VMEM((2, by, X), dtype),
-                        pltpu.SemaphoreType.DMA((4, Q)),
+                        pltpu.SemaphoreType.DMA((4, 1)),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -531,7 +549,9 @@ class PallasStep2D:
         return jnp.stack(blocks, axis=1)
 
     def step(self, f, it=0):
-        args = [f]
+        # periodic wrap blocks as materialized ghost copies (the kernel
+        # writes f in place; see make_kernel_2d)
+        args = [f, f[:, -self.by:], f[:, :self.by]]
         if self.sc:
             args.append(self._post_stream_rho(f))
         if self.has_mask:

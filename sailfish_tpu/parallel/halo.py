@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sailfish_tpu.ops.pallas_step import (
     PallasStep3D, check_plane_tiling, classify_nodes,
-    compute_patch_plane, make_kernel_3d)
+    compute_patch_plane, cz_groups, make_kernel_3d)
 
 
 class ShardedPallasStep3D:
@@ -91,6 +91,12 @@ class ShardedPallasStep3D:
             builder, Z_loc, Y, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
             max_patches=self.P)
+        # the kernel expects the cz-grouped Q layout (pallas_step.
+        # cz_groups); the sharded state lives permuted between steps
+        qperm, qinv, _ = cz_groups(builder.grid)
+        self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
+        self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
+        self._qinv_np = np.asarray(qinv, np.int32)
 
         up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
         down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
@@ -129,18 +135,33 @@ class ShardedPallasStep3D:
         planes = {}
         for r, box, sub in self.patch_subs:
             planes[self._slot_of_row[r]] = compute_patch_plane(
-                g, sub, f, r, Z, Y, X, it)
+                g, sub, f, r, Z, Y, X, it, qinv=self._qinv_np)
 
         zero = jnp.zeros((g.Q, Y, X), f.dtype)
         cols = []
         for s in range(self.nshards):
             slots = [planes.get((s, j), zero) for j in range(self.P)]
             cols.append(jnp.stack(slots, axis=1))     # (Q, P, Y, X)
-        out = jnp.stack(cols, axis=1)                 # (Q, S, P, Y, X)
+        # kernel layout on the Q axis (patch DMAs copy raw channels)
+        out = jnp.stack(cols, axis=1)[self._qperm]    # (Q, S, P, Y, X)
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(self.mesh, P(None, 'z', None, None, None)))
 
+    @property
+    def padded(self):
+        """The kernel layout (cz-grouped Q order) differs from the
+        public state layout; callers wrap step loops in
+        pad_state/crop_state (the runner does this once per chunk)."""
+        return True
+
+    def pad_state(self, f):
+        return f[self._qperm]
+
+    def crop_state(self, f):
+        return f[self._qinv]
+
     def step(self, f, it=0):
+        """One sharded step on kernel-layout state (see pad_state)."""
         args = [f]
         if self.has_mask:
             args.append(self.mask_global)
@@ -150,8 +171,10 @@ class ShardedPallasStep3D:
         return self._sharded_step(*args)
 
     def run_steps(self, f, n, it0=0):
-        return jax.lax.fori_loop(
+        f = self.pad_state(f)
+        f = jax.lax.fori_loop(
             0, n, lambda i, fc: self.step(fc, it0 + i), f)
+        return self.crop_state(f)
 
 
 class ShardedPallasStep2D:
@@ -218,7 +241,7 @@ class ShardedPallasStep2D:
 
         self.kernel = make_kernel_2d(
             builder, Y_loc, X, by=by, has_mask=self.has_mask,
-            interpret=interpret, sharded=True,
+            interpret=interpret,
             dyn_patches=self.has_patches, max_patches=self.P)
 
         up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]

@@ -240,7 +240,7 @@ class SubdomainRunner:
             # Pallas patch path hands sub-builders window-local arrays
             and snt.NTExtendedCopy.id not in b.maps.present_types
             and dtype == jnp.float32
-            and b.model in ('bgk', 'mrt', 'trt')
+            and b.model in ('bgk', 'mrt', 'trt', 'elbm')
             # single-component Shan-Chen: in-kernel psi forcing, single
             # device, BGK (the XLA pre-pass supplies post-stream rho)
             and (b.sc_coupling == 0.0 or

@@ -111,3 +111,15 @@ def test_pallas2d_shan_chen_matches_xla():
     engine, rho_b, _ = _run(SCSim, 'pallas', **cfg)
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+
+
+def test_pallas2d_elbm_matches_xla():
+    """Entropic collision (product feq + series/Newton alpha) through
+    the fused kernel, incl. the lid patch block."""
+    from ldc_2d_entropic import EntropicLDCSim
+    cfg = dict(lat_nx=128, lat_ny=128, max_iters=25, every=25)
+    _, rho_a, vx_a = _run(EntropicLDCSim, 'xla', **cfg)
+    engine, rho_b, vx_b = _run(EntropicLDCSim, 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 1e-5
+    assert np.max(np.abs(vx_a - vx_b)) < 1e-6
