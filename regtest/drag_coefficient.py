@@ -9,11 +9,15 @@ Cd(Re) = 24/Re (1 + 0.15 Re^0.687), with a generous tolerance for wall
 blockage at these domain sizes.
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, 'examples')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (REPO, os.path.join(REPO, 'examples')):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 
 def run(n=64, visc=0.05, accel=2e-6, iters=6000):

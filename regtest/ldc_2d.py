@@ -13,7 +13,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, 'examples')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (REPO, os.path.join(REPO, 'examples')):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 from ldc_2d import LDCBlock, LDCSim  # noqa: E402
 from sailfish_tpu.controller import LBSimulationController  # noqa: E402

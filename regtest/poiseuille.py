@@ -7,11 +7,15 @@ types and reports the max relative error of the velocity profile vs the
 analytic parabola. Exits nonzero if any error exceeds tolerance.
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, 'examples')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (REPO, os.path.join(REPO, 'examples')):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 from poiseuille import PoiseuilleSim, PoiseuilleSubdomain  # noqa: E402
 from sailfish_tpu.controller import LBSimulationController  # noqa: E402

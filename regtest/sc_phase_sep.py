@@ -5,11 +5,15 @@ coupling must demix into two phases with conserved mass, and the phase
 densities must match the Maxwell construction of the classic potential
 to within discrete-interface tolerance."""
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, 'examples')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (REPO, os.path.join(REPO, 'examples')):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 
 def run(n=128, iters=4000):

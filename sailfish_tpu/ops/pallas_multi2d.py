@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.equilibrium import signed_sum
 from sailfish_tpu.ops.pallas_step import classify_nodes
+from sailfish_tpu.ops.pallas_step import check_plane_tiling
 from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
     pick_block_size
 
@@ -696,6 +697,7 @@ class PallasStepFE2D:
             raise NotImplementedError(
                 'the fused FE kernel covers walls/obstacles only; '
                 'complex-BC scenes use the XLA engine')
+        check_plane_tiling(Ys, Xs, interpret, dim=2)
         by = pick_block_size(mbuilder.grid.Q * 2, Ys, Xs)
         self.by = by
         self.has_mask = bool((mask_np != 0).any())
@@ -752,6 +754,7 @@ class PallasStepSCMulti2D:
                 raise NotImplementedError(
                     'multi-component fused kernel is BGK-only')
         # a smaller block keeps K cached component sets within VMEM
+        check_plane_tiling(Ys, Xs, interpret, dim=2)
         by = pick_block_size(mbuilder.grid.Q * len(mbuilder.components),
                              Ys, Xs)
         self.by = by

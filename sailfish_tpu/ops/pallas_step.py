@@ -886,17 +886,21 @@ def compute_patch_plane(g, sub, f, r, Z, Y, X, it=0, qinv=None,
     return fpost.reshape(g.Q, Y, X)
 
 
-def check_plane_tiling(Y, X, interpret=False):
+def check_plane_tiling(Y, X, interpret=False, dim=3):
     """Mosaic DMAs slice whole (Y, X) planes out of (sublane, lane)-tiled
     (8, 128) buffers; partial-tile plane shapes are rejected by the
     compiler ("slice shape must be aligned to tiling"). Refuse early so
     the auto engine falls back to XLA instead of failing a remote
-    compile. Interpret mode (CPU tests) has no tiling."""
+    compile. Interpret mode (CPU tests) has no tiling. The 2D kernels
+    (dim=2) block the sublane dim themselves, so only the lane (X)
+    constraint applies there."""
     if interpret:
         return
-    if X % 128 != 0 or Y % 8 != 0:
+    if X % 128 != 0 or (dim == 3 and Y % 8 != 0):
+        need = 'X % 128 == 0 and Y % 8 == 0' if dim == 3 \
+            else 'X % 128 == 0'
         raise NotImplementedError(
-            f'the fused 3D kernel needs X % 128 == 0 and Y % 8 == 0 '
+            f'the fused {dim}D kernel needs {need} '
             f'(got Y={Y}, X={X}); use the XLA engine for this domain')
 
 

@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
-from sailfish_tpu.ops.pallas_step import classify_nodes, window_shifted, \
+from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
+    classify_nodes, window_shifted, \
     _collide_elbm, _collide_pair, _collide_prepass, _moments, _sc_psi, \
     _sc_shift_moments
 
@@ -504,6 +505,7 @@ class PallasStep2D:
         self.builder = builder
         Ys, Xs = domain_shape
         self.shape = domain_shape
+        check_plane_tiling(Ys, Xs, interpret, dim=2)
         if by is None:
             by = pick_block_size(builder.grid.Q, Ys, Xs)
         self.by = by

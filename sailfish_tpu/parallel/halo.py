@@ -200,6 +200,7 @@ class ShardedPallasStep2D:
         self.shape = domain_shape
 
         # same block-size policy as the single-device path
+        check_plane_tiling(Y_loc, X, interpret, dim=2)
         by = pick_block_size(builder.grid.Q, Y_loc, X)
         self.by = by
         NB_loc = Y_loc // by

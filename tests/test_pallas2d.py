@@ -123,3 +123,21 @@ def test_pallas2d_elbm_matches_xla():
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 1e-5
     assert np.max(np.abs(vx_a - vx_b)) < 1e-6
+
+
+def test_pallas2d_lane_tiling_gate():
+    """On real TPU (interpret=False) the fused 2D kernel refuses
+    domains whose X is not lane-aligned (Mosaic rejects partial-tile
+    plane DMAs at compile time); the auto engine then falls back to
+    XLA instead of failing a remote compile."""
+    from sailfish_tpu import lattice
+    from sailfish_tpu.ops.pallas_step2d import PallasStep2D
+    from sailfish_tpu.ops.step import StepBuilder
+    from sailfish_tpu.subdomain import NodeMaps
+
+    b = StepBuilder(lattice.D2Q9, NodeMaps((64, 64), 2), visc=0.1)
+    with pytest.raises(NotImplementedError, match='X % 128'):
+        PallasStep2D(b, (64, 64), interpret=False)
+    # lane-aligned X passes the gate (construction only; no compile)
+    b2 = StepBuilder(lattice.D2Q9, NodeMaps((64, 128), 2), visc=0.1)
+    PallasStep2D(b2, (64, 128), interpret=False)
