@@ -100,8 +100,18 @@ def run_case(name, iters, warmup):
     module, dim, overrides = CASES[name]
     for sub in ('examples', 'examples/turbulence',
                 'examples/binary_fluid', 'examples/ternary_fluid'):
-        sys.path.insert(0, os.path.join(REPO, sub))
-    mod = importlib.import_module(module.split('.')[-1])
+        p = os.path.join(REPO, sub)
+        if p not in sys.path:
+            sys.path.append(p)  # for intra-example imports only
+    # import by file path: flat-name imports would collide on duplicate
+    # example filenames (sc_drop_2d.py exists in binary_fluid/ AND
+    # ternary_fluid/)
+    rel = module.replace('.', '/') + '.py'
+    spec = importlib.util.spec_from_file_location(
+        'zoo_' + module.replace('.', '_'),
+        os.path.join(REPO, 'examples', rel))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
     sim_cls = getattr(mod, SIM_CLASSES[module])
 
     ctrl = LBSimulationController(sim_cls, default_config=dict(

@@ -63,8 +63,16 @@ def divergence_free_noise(shape, smooth, seed):
     pot = [gaussian_filter(
         rng.standard_normal(shape).astype(np.float32), smooth,
         mode='wrap') for _ in range(3)]
+
+    def periodic_gradient(a):
+        # roll-based central differences: periodic on every axis, so the
+        # curl cancellation (solenoidality) holds on the wrap planes too
+        # (np.gradient's one-sided edge stencils would break it there)
+        return [(np.roll(a, -1, axis=ax) - np.roll(a, 1, axis=ax)) / 2.0
+                for ax in range(a.ndim)]
+
     # gradients in array order (z, y, x)
-    dA = [np.gradient(a) for a in pot]
+    dA = [periodic_gradient(a) for a in pot]
     # curl components: indices are array axes (0=z, 1=y, 2=x)
     wx = dA[1][0] - dA[0][1]   # dAy/dz - dAz/dy
     wy = dA[0][2] - dA[2][0]   # dAz/dx - dAx/dz

@@ -31,7 +31,15 @@ def make_divfree_field(nx, ny, nz, smooth, seed=SEED):
     pot = [gaussian_filter(
         rng.standard_normal(shape).astype(np.float32), smooth,
         mode='wrap') for _ in range(3)]
-    dA = [np.gradient(a) for a in pot]
+
+    def periodic_gradient(a):
+        # roll-based central differences: periodic on every axis, so
+        # solenoidality holds on the wrap planes too (np.gradient's
+        # one-sided edge stencils would break it there)
+        return [(np.roll(a, -1, axis=ax) - np.roll(a, 1, axis=ax)) / 2.0
+                for ax in range(a.ndim)]
+
+    dA = [periodic_gradient(a) for a in pot]
     # array axes: 0 = z, 1 = y, 2 = x
     wx = dA[1][0] - dA[0][1]
     wy = dA[0][2] - dA[2][0]

@@ -134,8 +134,6 @@ class NPYOutput(LBOutput):
                 self._error = e
             finally:
                 self._queue.task_done()
-            if item is None:
-                break
 
     _error = None
 

@@ -1040,6 +1040,15 @@ class PallasStep3D:
         if not interpret:
             pad_y = (-Ys) % 8
             pad_x = (-Xs) % 128
+            if (pad_y or pad_x) and builder.sc_coupling != 0.0:
+                # the padding-safety argument covers streaming/bounce-back
+                # only: the Shan-Chen psi stencil rolls over the PADDED
+                # extent, so edge wall nodes would sample pad columns
+                # instead of the periodic wrap the XLA engine uses
+                raise NotImplementedError(
+                    f'domain (Y={Ys}, X={Xs}) needs tile padding, which '
+                    'the Shan-Chen psi stencil does not support; use '
+                    'the XLA engine')
             if pad_y or pad_x:
                 wet = np.isin(
                     builder.maps.type_map,
@@ -1164,10 +1173,6 @@ class PallasStep3D:
         if self.pad_y or self.pad_x:
             f = f[:, :, :self.shape[1], :self.shape[2]]
         return f[self._qinv]
-
-    # backwards-compatible name used by profiling scripts
-    def step_padded(self, f, it=0):
-        return self.step(f, it)
 
     def run_steps(self, f, n, it0=0):
         """(Q, Z, Y, X) unpadded in/out; jit-friendly."""

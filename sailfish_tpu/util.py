@@ -164,7 +164,17 @@ def cluster_env_spec():
         return (None, int(env['OMPI_COMM_WORLD_SIZE']),
                 int(env['OMPI_COMM_WORLD_RANK']))
 
-    # PBS: the node file lists one line per allocated slot
+    # generic PMI rank (set by pbsdsh/blaunch/mpiexec process managers);
+    # a scheduler allocation alone carries no per-process rank, so
+    # without one of these the caller must pass --process_id explicitly
+    def pmi_rank():
+        for var in ('PMIX_RANK', 'PMI_RANK'):
+            if var in env:
+                return int(env[var])
+        return None
+
+    # PBS: the node file lists one line per allocated slot; rank comes
+    # from pbsdsh (PBS_TASKNUM/PBS_VNODENUM) or the PMI layer
     if 'PBS_NODEFILE' in env:
         try:
             with open(env['PBS_NODEFILE']) as nf:
@@ -173,14 +183,22 @@ def cluster_env_spec():
             hosts = []
         if hosts:
             num = len(hosts)
-            pid = int(env.get('PBS_TASKNUM', env.get('PBS_VNODENUM', 0)))
+            pid = pmi_rank()
+            for var in ('PBS_TASKNUM', 'PBS_VNODENUM'):
+                if pid is None and var in env:
+                    pid = int(env[var])
+            if pid is None:
+                return hosts[0] + ':8476', num, None
             return hosts[0] + ':8476', num, pid
 
-    # LSF
+    # LSF: one LSB_HOSTS entry per slot; blaunch sets LSF_PM_TASKID
+    # (1-based)
     if 'LSB_HOSTS' in env:
         hosts = env['LSB_HOSTS'].split()
         if hosts:
-            pid = int(env.get('LS_JOBPID_RANK', 0))
+            pid = pmi_rank()
+            if pid is None and 'LSF_PM_TASKID' in env:
+                pid = int(env['LSF_PM_TASKID']) - 1
             return hosts[0] + ':8476', len(hosts), pid
 
     return None, None, None
@@ -202,6 +220,12 @@ def init_distributed(config, log=None):
         coord = coord or auto[0]
         num = num if num is not None else auto[1]
         pid = pid if pid is not None else auto[2]
+    if num is not None and num > 1 and pid is None:
+        raise RuntimeError(
+            'multi-host launch detected (%d processes) but no per-process '
+            'rank: the scheduler allocation carries no PMI rank variable. '
+            'Launch through a process manager (srun/mpiexec/pbsdsh/'
+            'blaunch) or pass --process_id explicitly.' % num)
     kwargs = {}
     if coord is not None:
         kwargs['coordinator_address'] = coord

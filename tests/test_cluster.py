@@ -35,6 +35,49 @@ def test_pbs_nodefile_autodetect(monkeypatch, tmp_path):
     assert coord == 'nodeA:8476' and num == 3 and pid == 1
 
 
+def test_lsf_blaunch_autodetect(monkeypatch):
+    for k in ('SLURM_PROCID', 'SLURM_NTASKS', 'OMPI_COMM_WORLD_SIZE',
+              'PBS_NODEFILE'):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv('LSB_HOSTS', 'nodeA nodeA nodeB nodeB')
+    monkeypatch.setenv('LSF_PM_TASKID', '3')  # blaunch ranks are 1-based
+    coord, num, pid = util.cluster_env_spec()
+    assert coord == 'nodeA:8476' and num == 4 and pid == 2
+
+
+def test_pbs_pmi_rank_fallback(monkeypatch, tmp_path):
+    """Without pbsdsh vars the PMI layer supplies the rank."""
+    for k in ('SLURM_PROCID', 'SLURM_NTASKS', 'OMPI_COMM_WORLD_SIZE',
+              'PBS_TASKNUM', 'PBS_VNODENUM'):
+        monkeypatch.delenv(k, raising=False)
+    nf = tmp_path / 'nodes'
+    nf.write_text('nodeA\nnodeB\n')
+    monkeypatch.setenv('PBS_NODEFILE', str(nf))
+    monkeypatch.setenv('PMIX_RANK', '1')
+    coord, num, pid = util.cluster_env_spec()
+    assert coord == 'nodeA:8476' and num == 2 and pid == 1
+
+
+def test_init_distributed_missing_rank_raises(monkeypatch, tmp_path):
+    """A multi-process allocation without any per-process rank must fail
+    loudly, not initialize every process as rank 0."""
+    import pytest
+    for k in ('SLURM_PROCID', 'SLURM_NTASKS', 'OMPI_COMM_WORLD_SIZE',
+              'PBS_TASKNUM', 'PBS_VNODENUM', 'PMIX_RANK', 'PMI_RANK'):
+        monkeypatch.delenv(k, raising=False)
+    nf = tmp_path / 'nodes'
+    nf.write_text('nodeA\nnodeB\n')
+    monkeypatch.setenv('PBS_NODEFILE', str(nf))
+
+    class Cfg:
+        coordinator_address = ''
+        num_processes = 0
+        process_id = -1
+
+    with pytest.raises(RuntimeError, match='no per-process rank'):
+        util.init_distributed(Cfg())
+
+
 def test_init_distributed_flag_override(monkeypatch):
     """Explicit flags win over env; the hook passes them to
     jax.distributed.initialize."""

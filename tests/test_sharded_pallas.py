@@ -256,6 +256,39 @@ def test_pallas3d_tile_padding_unaligned_domain():
     assert np.max(np.abs(f1[:, wet] - f2[:, wet])) < 1e-6
 
 
+def test_pallas3d_padding_rejects_shan_chen():
+    """Tile padding is unsafe for the nonlocal psi stencil (edge wall
+    nodes would sample pad columns instead of the periodic wrap): the
+    fused path must refuse, not silently diverge from the XLA engine."""
+    import pytest
+
+    from sailfish_tpu.models.single import LBSingleFluidShanChen
+    from sailfish_tpu.node_type import NTFullBBWall
+    from sailfish_tpu.ops.pallas_step import PallasStep3D
+    from sailfish_tpu.ops.step import StepBuilder
+    from sailfish_tpu.subdomain import Subdomain3D, SubdomainSpec3D
+
+    class Dom(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            self.set_node((hy == 0) | (hy == self.gy - 1), NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+
+    from sailfish_tpu.controller import LBSimulationController
+    ctrl = LBSimulationController(
+        type('S', (LBSingleFluidShanChen,), {'subdomain': Dom}),
+        default_config=dict(
+            lat_nx=128, lat_ny=12, lat_nz=8, max_iters=0, quiet=True,
+            periodic_x=True, periodic_z=True, G=-5.0))
+    ctrl.run(ignore_cmdline=True)
+    b = ctrl._runner.builder
+    assert b.sc_coupling != 0.0
+    # interpret=False takes the padding branch (lat_ny=12 -> pad_y=4)
+    with pytest.raises(NotImplementedError, match='psi stencil'):
+        PallasStep3D(b, (8, 12, 128), interpret=False)
+
+
 def test_pallas3d_elbm_matches_xla():
     """Entropic collision (product feq + alpha dispatch) in the fused
     3D kernel vs the XLA engine, incl. the LDC lid patch plane."""
