@@ -72,6 +72,12 @@ def main():
         'ldc_3d 128^3 bgk', ldc_3d.LDCSim, ('rho', 'vx', 'vz'),
         lat_nx=128, lat_ny=128, lat_nz=128,
         max_iters=args.iters3d, every=args.iters3d)
+    # 64^3 exercises tile padding (X 64->128) + the k-plane slab
+    # pipeline (pick_slab_k -> 8) on real hardware
+    ok &= compare(
+        'ldc_3d 64^3 bgk padded', ldc_3d.LDCSim, ('rho', 'vx', 'vz'),
+        lat_nx=64, lat_ny=64, lat_nz=64,
+        max_iters=args.iters3d, every=args.iters3d)
     ok &= compare(
         'ldc_2d 1024^2 bgk', ldc_2d.LDCSim, ('rho', 'vx', 'vy'),
         lat_nx=1024, lat_ny=1024,

@@ -80,6 +80,10 @@ class LBSimulationController:
                            action='store_true', default=False)
         group.add_argument('--compress_intersubdomain_data',
                            action='store_true', default=False)
+        group.add_argument('--profile_trace', type=str, default='',
+                           help='write a jax.profiler device trace '
+                           '(XPlane/TensorBoard) of the main loop to '
+                           'this directory')
         group.add_argument('--mesh', type=str, default='',
                            help='device mesh shape, e.g. "4" or "2x2"; '
                                 'empty = single device')

@@ -422,10 +422,13 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
         cx, cy = int(g.basis[i][0]), int(g.basis[i][1])
         if g.dim == 3:
             p = psi_at(int(g.basis[i][2]))
-            rolls = ((cy, 0, shape_yx[0]), (cx, 1, shape_yx[1]))
+            # in-plane axes counted from the END: psi windows may carry
+            # a leading slab dim ((k, Y, X) in the k-batched 3D kernel)
+            rolls = ((cy, p.ndim - 2, shape_yx[0]),
+                     (cx, p.ndim - 1, shape_yx[1]))
         else:
             p = psi_at(cy)
-            rolls = ((cx, 1, shape_yx[1]),)
+            rolls = ((cx, p.ndim - 1, shape_yx[1]),)
         for c, ax, n in rolls:
             if c:
                 # psi at x + c: roll by -c (sample semantics)
@@ -451,14 +454,39 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
     return rho, u, usq, uF
 
 
+def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
+                budget=24 * 2 ** 20):
+    """Largest slab depth k (8/4/2, dividing Z, pipeline depth >= 4
+    programs) whose double-buffered VMEM working set fits the budget;
+    1 otherwise. Batching k z-planes per program amortizes the ~2-5 us
+    per-program DMA-issue/control overhead that dominates small
+    domains (64^3 measured 652 MLUPS at k=1 vs the ~5400 streaming
+    roofline); large domains are bandwidth-bound and keep k=1."""
+    for k in (8, 4, 2):
+        if Z % k or Z // k < 4:
+            continue
+        b = 2 * Q * k * Y * X * 4
+        if has_mask:
+            b += 2 * k * Y * X * 4
+        if sc:
+            b += 2 * (k + 2) * Y * X * 4
+        if b <= budget:
+            return k
+    return 1
+
+
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
-                   sc=False):
+                   sc=False, k=1):
     """Fused step kernel, software-pipelined across the z grid: gathers
-    for plane z+1 are prefetched into the other buffer slot while plane z
-    computes (double buffering; pallas_guide.md 'Double Buffering'), the
-    collision runs pairwise in place (halving VMEM), and the output write
-    is asynchronous, drained before its slot is reused.
+    for the next slab of k z-planes are prefetched into the other buffer
+    slot while the current slab computes (double buffering;
+    pallas_guide.md 'Double Buffering'), the collision runs pairwise in
+    place (halving VMEM), and the output write is asynchronous, drained
+    before its slot is reused. ``k`` > 1 batches k consecutive planes
+    per grid program (one strided window DMA per c_z group regardless of
+    k), amortizing per-program overhead on small domains
+    (pick_slab_k).
 
     State is UNPADDED (Q, Z, Y, X); the z-neighbor planes beyond the local
     extent come in as separate ghost inputs (Q, Y, X). On one device the
@@ -492,12 +520,21 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     basis = g.basis  # (Q, 3) as (cx, cy, cz)
     patch_rows = tuple(int(r) for r in patch_rows)
     assert not (patch_rows and dyn_patches)
+    assert Z % k == 0, (Z, k)
+    B = Z // k
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
     # cz-grouped Q layout: state/ghosts/patches arrive PERMUTED (see
     # cz_groups); in-kernel math uses standard indices via ipos
     perm, ipos, groups = cz_groups(g)
+    # slabs containing complex-BC rows drain their own output write (the
+    # patch overlay must follow it); every other slab is drained by the
+    # successor's prefetch or the epilogue
+    patch_slabs = sorted({r // k for r in patch_rows})
+
+    def slab_has_patch_static(b):
+        return b in patch_slabs
 
     def kernel(*refs):
         idx = 0
@@ -520,217 +557,287 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx]; idx += 1
-        fs_buf = refs[idx]; idx += 1       # (2, Q, Y, X)
+        fs_buf = refs[idx]; idx += 1       # (2, Q, k, Y, X)
         mask_buf = None
         if has_mask:
-            mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
+            mask_buf = refs[idx]; idx += 1  # (2, k, Y, X)
         rho_buf = None
         if sc:
-            rho_buf = refs[idx]; idx += 1   # (2, 3, Y, X)
+            rho_buf = refs[idx]; idx += 1   # (2, k+2, Y, X)
         in_sems = refs[idx]; idx += 1       # DMA (2, Q+4)
         out_sems = refs[idx]; idx += 1      # DMA (2,)
 
-        z0 = pl.program_id(0)
-        slot = jax.lax.rem(z0, 2)
-        nslot = jax.lax.rem(z0 + 1, 2)
+        b0 = pl.program_id(0)
+        base = b0 * k
+        slot = jax.lax.rem(b0, 2)
+        nslot = jax.lax.rem(b0 + 1, 2)
 
-        is_patch = None
-        for r in patch_rows:
-            cond = z0 == r
-            is_patch = cond if is_patch is None else (is_patch | cond)
-        if dyn_patches:
-            is_patch = pmap_ref[z0] >= 0
+        def slab_has_patch_dyn(base_expr):
+            """Traced any-patch-row-in-slab predicate (dyn mode)."""
+            got = None
+            for j in range(k):
+                c = pmap_ref[base_expr + j] >= 0
+                got = c if got is None else (got | c)
+            return got
 
-        def start_gathers(plane_z, s):
-            """Start the input DMAs for plane ``plane_z`` into slot
-            ``s``: ONE strided group-DMA per c_z value (pull source for
-            direction i is plane_z - c_z; sources beyond the local
-            extent read the ghost inputs)."""
+        def start_gathers(slab_b, slab_base, s):
+            """Start the input DMAs for slab [slab_base, slab_base+k)
+            into slot ``s``: ONE strided k-plane window DMA per c_z
+            value, starting at slab_base - c_z (pull source for
+            direction i at plane z is z - c_z; edge slabs split off the
+            one plane that reads a ghost input)."""
             for gi, (cz, st, cnt) in enumerate(groups):
                 dst = fs_buf.at[s, pl.ds(st, cnt)]
                 sem = in_sems.at[s, gi]
                 if cz == 0:
                     pltpu.make_async_copy(
-                        f_hbm.at[pl.ds(st, cnt), plane_z], dst,
-                        sem).start()
+                        f_hbm.at[pl.ds(st, cnt), pl.ds(slab_base, k)],
+                        dst, sem).start()
                 elif cz == 1:
-                    @pl.when(plane_z == 0)
-                    def _(st=st, cnt=cnt, dst=dst, sem=sem):
+                    @pl.when(slab_b == 0)
+                    def _(st=st, cnt=cnt, sem=sem):
                         pltpu.make_async_copy(
-                            glo_hbm.at[pl.ds(st, cnt)], dst,
+                            glo_hbm.at[pl.ds(st, cnt)],
+                            fs_buf.at[s, pl.ds(st, cnt), 0],
                             sem).start()
+                        if k > 1:
+                            pltpu.make_async_copy(
+                                f_hbm.at[pl.ds(st, cnt),
+                                         pl.ds(0, k - 1)],
+                                fs_buf.at[s, pl.ds(st, cnt),
+                                          pl.ds(1, k - 1)],
+                                sem).start()
 
-                    @pl.when(plane_z > 0)
+                    @pl.when(slab_b > 0)
                     def _(st=st, cnt=cnt, dst=dst, sem=sem,
-                          plane_z=plane_z):
+                          slab_base=slab_base):
                         pltpu.make_async_copy(
-                            f_hbm.at[pl.ds(st, cnt), plane_z - 1],
+                            f_hbm.at[pl.ds(st, cnt),
+                                     pl.ds(slab_base - 1, k)],
                             dst, sem).start()
                 else:
-                    @pl.when(plane_z == Z - 1)
-                    def _(st=st, cnt=cnt, dst=dst, sem=sem):
+                    @pl.when(slab_b == B - 1)
+                    def _(st=st, cnt=cnt, sem=sem, slab_base=slab_base):
+                        if k > 1:
+                            pltpu.make_async_copy(
+                                f_hbm.at[pl.ds(st, cnt),
+                                         pl.ds(slab_base + 1, k - 1)],
+                                fs_buf.at[s, pl.ds(st, cnt),
+                                          pl.ds(0, k - 1)],
+                                sem).start()
                         pltpu.make_async_copy(
-                            ghi_hbm.at[pl.ds(st, cnt)], dst,
+                            ghi_hbm.at[pl.ds(st, cnt)],
+                            fs_buf.at[s, pl.ds(st, cnt), k - 1],
                             sem).start()
 
-                    @pl.when(plane_z < Z - 1)
+                    @pl.when(slab_b < B - 1)
                     def _(st=st, cnt=cnt, dst=dst, sem=sem,
-                          plane_z=plane_z):
+                          slab_base=slab_base):
                         pltpu.make_async_copy(
-                            f_hbm.at[pl.ds(st, cnt), plane_z + 1],
+                            f_hbm.at[pl.ds(st, cnt),
+                                     pl.ds(slab_base + 1, k)],
                             dst, sem).start()
             if has_mask:
                 pltpu.make_async_copy(
-                    mask_hbm.at[plane_z], mask_buf.at[s, 0],
+                    mask_hbm.at[pl.ds(slab_base, k)], mask_buf.at[s],
                     in_sems.at[s, Q]).start()
             if sc:
-                # rho planes plane_z-1, plane_z, plane_z+1 (periodic
-                # edges read the ghost inputs)
-                for j, dz in enumerate((-1, 0, 1)):
-                    pz = plane_z + dz
-                    if dz == 0:
-                        pltpu.make_async_copy(
-                            rho_hbm.at[plane_z], rho_buf.at[s, 1],
-                            in_sems.at[s, Q + 2]).start()
-                        continue
+                # rho rows slab_base-1 .. slab_base+k (periodic edges
+                # read the ghost inputs)
+                pltpu.make_async_copy(
+                    rho_hbm.at[pl.ds(slab_base, k)],
+                    rho_buf.at[s, pl.ds(1, k)],
+                    in_sems.at[s, Q + 2]).start()
 
-                    ghost = rglo_hbm if dz < 0 else rghi_hbm
-                    edge = (plane_z == 0) if dz < 0 else \
-                        (plane_z == Z - 1)
+                @pl.when(slab_b == 0)
+                def _():
+                    pltpu.make_async_copy(rglo_hbm, rho_buf.at[s, 0],
+                                          in_sems.at[s, Q + 1]).start()
 
-                    @pl.when(edge)
-                    def _(j=j, s=s, ghost=ghost):
-                        pltpu.make_async_copy(
-                            ghost, rho_buf.at[s, j],
-                            in_sems.at[s, Q + 1 + j]).start()
+                @pl.when(slab_b > 0)
+                def _(slab_base=slab_base):
+                    pltpu.make_async_copy(
+                        rho_hbm.at[slab_base - 1], rho_buf.at[s, 0],
+                        in_sems.at[s, Q + 1]).start()
 
-                    @pl.when(jnp.logical_not(edge))
-                    def _(j=j, s=s, pz=pz):
-                        pltpu.make_async_copy(
-                            rho_hbm.at[pz], rho_buf.at[s, j],
-                            in_sems.at[s, Q + 1 + j]).start()
+                @pl.when(slab_b == B - 1)
+                def _():
+                    pltpu.make_async_copy(rghi_hbm,
+                                          rho_buf.at[s, k + 1],
+                                          in_sems.at[s, Q + 3]).start()
 
-        def wait_gather_plus(s):
-            """Wait only the cz=+1 group of slot ``s`` (the gather that
-            reads source plane z-1)."""
+                @pl.when(slab_b < B - 1)
+                def _(slab_base=slab_base):
+                    pltpu.make_async_copy(
+                        rho_hbm.at[slab_base + k],
+                        rho_buf.at[s, k + 1],
+                        in_sems.at[s, Q + 3]).start()
+
+        def wait_gather_plus(slab_b, s):
+            """Wait only the cz=+1 group of slot ``s``. Mirrors the
+            start structure (slab 0 split the window into ghost +
+            remainder; the waits must match those copies)."""
             for gi, (cz, st, cnt) in enumerate(groups):
                 if cz != 1:
                     continue
-                pltpu.make_async_copy(
-                    f_hbm.at[pl.ds(st, cnt), 0],
-                    fs_buf.at[s, pl.ds(st, cnt)],
-                    in_sems.at[s, gi]).wait()
+                sem = in_sems.at[s, gi]
+
+                @pl.when(slab_b == 0)
+                def _(st=st, cnt=cnt, sem=sem):
+                    pltpu.make_async_copy(
+                        glo_hbm.at[pl.ds(st, cnt)],
+                        fs_buf.at[s, pl.ds(st, cnt), 0], sem).wait()
+                    if k > 1:
+                        pltpu.make_async_copy(
+                            f_hbm.at[pl.ds(st, cnt), pl.ds(0, k - 1)],
+                            fs_buf.at[s, pl.ds(st, cnt),
+                                      pl.ds(1, k - 1)], sem).wait()
+
+                @pl.when(slab_b > 0)
+                def _(st=st, cnt=cnt, sem=sem):
+                    pltpu.make_async_copy(
+                        f_hbm.at[pl.ds(st, cnt), pl.ds(0, k)],
+                        fs_buf.at[s, pl.ds(st, cnt)], sem).wait()
 
         def wait_gathers(s):
-            # the cz=+1 group of plane z0 (reading old plane z0-1) was
-            # already drained by the PREDECESSOR program before it
-            # overwrote plane z0-1 in place -- except for plane 0,
-            # whose gathers started in this very program's prologue
+            # the cz=+1 group of slab b0 (reading the old last row of
+            # slab b0-1) was already drained by the PREDECESSOR program
+            # before it overwrote that row in place -- except for slab
+            # 0, whose gathers started in this very program's prologue
             for gi, (cz, st, cnt) in enumerate(groups):
                 if cz == 1:
                     continue
-                pltpu.make_async_copy(
-                    f_hbm.at[pl.ds(st, cnt), 0],
-                    fs_buf.at[s, pl.ds(st, cnt)],
-                    in_sems.at[s, gi]).wait()
+                sem = in_sems.at[s, gi]
+                if cz == 0:
+                    pltpu.make_async_copy(
+                        f_hbm.at[pl.ds(st, cnt), pl.ds(0, k)],
+                        fs_buf.at[s, pl.ds(st, cnt)], sem).wait()
+                    continue
 
-            @pl.when(z0 == 0)
+                # cz=-1: the last slab split the window (remainder +
+                # ghost); the waits must match those copies
+                @pl.when(b0 == B - 1)
+                def _(st=st, cnt=cnt, sem=sem):
+                    if k > 1:
+                        pltpu.make_async_copy(
+                            f_hbm.at[pl.ds(st, cnt), pl.ds(0, k - 1)],
+                            fs_buf.at[s, pl.ds(st, cnt),
+                                      pl.ds(0, k - 1)], sem).wait()
+                    pltpu.make_async_copy(
+                        ghi_hbm.at[pl.ds(st, cnt)],
+                        fs_buf.at[s, pl.ds(st, cnt), k - 1], sem).wait()
+
+                @pl.when(b0 < B - 1)
+                def _(st=st, cnt=cnt, sem=sem):
+                    pltpu.make_async_copy(
+                        f_hbm.at[pl.ds(st, cnt), pl.ds(0, k)],
+                        fs_buf.at[s, pl.ds(st, cnt)], sem).wait()
+
+            @pl.when(b0 == 0)
             def _():
-                wait_gather_plus(s)
+                wait_gather_plus(b0, s)
             if has_mask:
-                pltpu.make_async_copy(mask_hbm.at[0], mask_buf.at[s, 0],
+                pltpu.make_async_copy(mask_hbm.at[pl.ds(0, k)],
+                                      mask_buf.at[s],
                                       in_sems.at[s, Q]).wait()
             if sc:
-                for j in range(3):
-                    pltpu.make_async_copy(rho_hbm.at[0],
-                                          rho_buf.at[s, j],
-                                          in_sems.at[s, Q + 1 + j]).wait()
+                pltpu.make_async_copy(rho_hbm.at[pl.ds(0, k)],
+                                      rho_buf.at[s, pl.ds(1, k)],
+                                      in_sems.at[s, Q + 2]).wait()
+                pltpu.make_async_copy(rho_hbm.at[0], rho_buf.at[s, 0],
+                                      in_sems.at[s, Q + 1]).wait()
+                pltpu.make_async_copy(rho_hbm.at[0],
+                                      rho_buf.at[s, k + 1],
+                                      in_sems.at[s, Q + 3]).wait()
 
         def pre_write_waits():
-            """In-place safety (out aliases f): the successor plane's
-            cz=+1 gather reads the OLD plane z0; it must have landed in
-            VMEM before this program's write overwrites plane z0."""
+            """In-place safety (out aliases f): the successor slab's
+            cz=+1 gather reads the OLD last row of this slab; it must
+            have landed in VMEM before this program's write overwrites
+            that row."""
 
-            @pl.when(z0 + 1 < Z)
+            @pl.when(b0 + 1 < B)
             def _():
-                wait_gather_plus(nslot)
+                wait_gather_plus(b0 + 1, nslot)
 
         def wait_out(s):
-            pltpu.make_async_copy(fs_buf.at[s], out_hbm.at[:, 0],
+            pltpu.make_async_copy(fs_buf.at[s],
+                                  out_hbm.at[:, pl.ds(0, k)],
                                   out_sems.at[s]).wait()
 
         # -- pipeline bookkeeping ------------------------------------------
-        # Each row's output write is drained exactly once: by the
-        # successor's prefetch reusing the slot, by the row itself for
-        # patch rows, or by the Z-1 epilogue for the last two rows.
+        # Each slab's output write is drained exactly once: by the
+        # successor's prefetch reusing the slot, by the slab itself when
+        # it overlays patch rows, or by the B-1 epilogue for the last
+        # two slabs.
         prev_drained_own = None
-        for r in patch_rows:
-            cond = z0 - 1 == r
+        for b in patch_slabs:
+            cond = b0 - 1 == b
             prev_drained_own = cond if prev_drained_own is None else \
                 (prev_drained_own | cond)
         if dyn_patches:
-            prev_drained_own = (z0 >= 1) & \
-                (pmap_ref[jnp.maximum(z0 - 1, 0)] >= 0)
+            prev_drained_own = (b0 >= 1) & slab_has_patch_dyn(
+                jnp.maximum(b0 - 1, 0) * k)
 
-        @pl.when(z0 == 0)
+        @pl.when(b0 == 0)
         def _():
-            start_gathers(z0, slot)
+            start_gathers(b0, base, slot)
 
-        @pl.when(z0 + 1 < Z)
+        @pl.when(b0 + 1 < B)
         def _():
-            do_wait = z0 >= 1
+            do_wait = b0 >= 1
             if prev_drained_own is not None:
                 do_wait = do_wait & jnp.logical_not(prev_drained_own)
 
             @pl.when(do_wait)
             def _():
                 wait_out(nslot)
-            start_gathers(z0 + 1, nslot)
+            start_gathers(b0 + 1, base + k, nslot)
 
-        def normal_body():
-            wait_gathers(slot)
-            # roll each plane in place (y/x periodic shifts of the pull);
-            # buffer channel ipos[i] holds standard direction i
+        # -- compute (every slab; complex-BC rows are overlaid after) ------
+        wait_gathers(slot)
+        # roll each slab in place (y/x periodic shifts of the pull);
+        # buffer channel ipos[i] holds standard direction i
+        for i in range(Q):
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            if cy or cx:
+                sl = fs_buf[slot, ipos[i]]          # (k, Y, X)
+                if cy:
+                    sl = pltpu.roll(sl, cy % Y, axis=1)
+                if cx:
+                    sl = pltpu.roll(sl, cx % X, axis=2)
+                fs_buf[slot, ipos[i]] = sl
+
+        # moments (read all slabs before any in-place overwrite)
+        fsl = [fs_buf[slot, ipos[i]] for i in range(Q)]
+        mom_u = _moments(builder, fsl)
+        if sc:
+            psi_cache = {}
+
+            def psi_of(dz):
+                if dz not in psi_cache:
+                    psi_cache[dz] = _sc_psi(
+                        builder, rho_buf[slot, pl.ds(1 + dz, k)])
+                return psi_cache[dz]
+
+            mom_u = _sc_shift_moments(builder, mom_u, psi_of, (Y, X))
+        if has_mask:
+            m = mask_buf[slot]
+            is_dry = m == 1
+            is_keep = m == 2
+
+        if builder.model == 'elbm':
+            fpost = _collide_elbm(builder, fsl, mom_u)
             for i in range(Q):
-                cx, cy = int(basis[i][0]), int(basis[i][1])
-                if cy or cx:
-                    plane = fs_buf[slot, ipos[i]]
-                    if cy:
-                        plane = pltpu.roll(plane, cy % Y, axis=0)
-                    if cx:
-                        plane = pltpu.roll(plane, cx % X, axis=1)
-                    fs_buf[slot, ipos[i]] = plane
-
-            # moments (read all planes before any in-place overwrite)
-            fsl = [fs_buf[slot, ipos[i]] for i in range(Q)]
-            mom_u = _moments(builder, fsl)
-            if sc:
-                psi = [_sc_psi(builder, rho_buf[slot, j])
-                       for j in range(3)]
-                mom_u = _sc_shift_moments(
-                    builder, mom_u, lambda dz: psi[1 + dz], (Y, X))
-            if has_mask:
-                m = mask_buf[slot, 0]
-                is_dry = m == 1
-                is_keep = m == 2
-
-            if builder.model == 'elbm':
-                fpost = _collide_elbm(builder, fsl, mom_u)
-                for i in range(Q):
-                    vi = fpost[i]
-                    if has_mask:
-                        vi = jnp.where(is_dry, fsl[opp[i]],
-                                       jnp.where(is_keep, fsl[i], vi))
-                    fs_buf[slot, ipos[i]] = vi
-                pre_write_waits()
-                pltpu.make_async_copy(fs_buf.at[slot],
-                                      out_hbm.at[:, z0],
-                                      out_sems.at[slot]).start()
-                return
-
+                vi = fpost[i]
+                if has_mask:
+                    vi = jnp.where(is_dry, fsl[opp[i]],
+                                   jnp.where(is_keep, fsl[i], vi))
+                fs_buf[slot, ipos[i]] = vi
+        else:
             extra = _collide_prepass(builder, fsl, mom_u)
             # pairwise collide+store in place: out_i depends only on
-            # fs_i/fs_opp (+ whole-plane moments), both read before
+            # fs_i/fs_opp (+ whole-slab moments), both read before
             # either is overwritten within a pair
             for i, o in pairs:
                 fi = fs_buf[slot, ipos[i]]
@@ -748,72 +855,86 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 fs_buf[slot, ipos[i]] = vi
                 fs_buf[slot, ipos[o]] = vo
 
-            pre_write_waits()
-            pltpu.make_async_copy(fs_buf.at[slot], out_hbm.at[:, z0],
-                                  out_sems.at[slot]).start()
+        pre_write_waits()
+        pltpu.make_async_copy(fs_buf.at[slot],
+                              out_hbm.at[:, pl.ds(base, k)],
+                              out_sems.at[slot]).start()
 
-        def patch_body():
-            wait_gathers(slot)   # keep the pipeline balanced
-            pre_write_waits()
+        # -- patch overlay: complex-BC rows computed exactly by the XLA
+        # machinery replace the in-kernel values (which are garbage
+        # there but never read by anyone: successors gather OLD values,
+        # pre_write_waits orders the one hazard) ------------------------
+        def overlay_patches():
+            wait_out(slot)   # overlay must follow the slab write
             if dyn_patches:
-                j = jnp.maximum(pmap_ref[z0], 0)
-                c = pltpu.make_async_copy(patch_hbm.at[:, j],
-                                          out_hbm.at[:, z0],
-                                          out_sems.at[slot])
-                c.start()
-                c.wait()
+                for j in range(k):
+                    @pl.when(pmap_ref[base + j] >= 0)
+                    def _(j=j):
+                        p = jnp.maximum(pmap_ref[base + j], 0)
+                        c = pltpu.make_async_copy(
+                            patch_hbm.at[:, p],
+                            out_hbm.at[:, base + j],
+                            out_sems.at[slot])
+                        c.start()
+                        c.wait()
                 return
-            for j, r in enumerate(patch_rows):
-                @pl.when(z0 == r)
-                def _(j=j):
-                    c = pltpu.make_async_copy(patch_hbm.at[:, j],
-                                              out_hbm.at[:, z0],
+            for jp, r in enumerate(patch_rows):
+                @pl.when(b0 == r // k)
+                def _(jp=jp, r=r):
+                    c = pltpu.make_async_copy(patch_hbm.at[:, jp],
+                                              out_hbm.at[:, r],
                                               out_sems.at[slot])
                     c.start()
                     c.wait()
 
-        if patch_rows or dyn_patches:
-            @pl.when(is_patch)
-            def _():
-                patch_body()
-
-            @pl.when(jnp.logical_not(is_patch))
-            def _():
-                normal_body()
-        else:
-            normal_body()
-
-        # epilogue: drain the last two rows' writes (no successor
-        # prefetch exists for them)
         if dyn_patches:
-            @pl.when(z0 == Z - 1)
+            @pl.when(slab_has_patch_dyn(base))
             def _():
-                @pl.when(pmap_ref[Z - 1] < 0)
+                overlay_patches()
+        elif patch_slabs:
+            cond = None
+            for b in patch_slabs:
+                c = (b0 == b)
+                cond = c if cond is None else (cond | c)
+
+            @pl.when(cond)
+            def _():
+                overlay_patches()
+
+        # epilogue: drain the last two slabs' writes (no successor
+        # prefetch exists for them; patch slabs already drained their
+        # own)
+        if dyn_patches:
+            @pl.when(b0 == B - 1)
+            def _():
+                @pl.when(jnp.logical_not(
+                        slab_has_patch_dyn((B - 1) * k)))
                 def _():
                     wait_out(slot)
-                if Z >= 2:
-                    @pl.when(pmap_ref[Z - 2] < 0)
+                if B >= 2:
+                    @pl.when(jnp.logical_not(
+                            slab_has_patch_dyn((B - 2) * k)))
                     def _():
                         wait_out(nslot)
         else:
-            @pl.when(z0 == Z - 1)
+            @pl.when(b0 == B - 1)
             def _():
-                if (Z - 1) not in patch_rows:
+                if not slab_has_patch_static(B - 1):
                     wait_out(slot)
-                if Z >= 2 and (Z - 2) not in patch_rows:
+                if B >= 2 and not slab_has_patch_static(B - 2):
                     wait_out(nslot)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     if sc:
         in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
     scratch = [
-        pltpu.VMEM((2, Q, Y, X), dtype),
+        pltpu.VMEM((2, Q, k, Y, X), dtype),
     ]
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
+        scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
     if sc:
-        scratch.append(pltpu.VMEM((2, 3, Y, X), dtype))
+        scratch.append(pltpu.VMEM((2, k + 2, Y, X), dtype))
     if patch_rows:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     if dyn_patches:
@@ -822,14 +943,25 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 4)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
+    # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
+    # v5e has headroom, so request what the buffers need plus margin
+    vmem_need = 2 * Q * k * Y * X * 4
+    if has_mask:
+        vmem_need += 2 * k * Y * X * 4
+    if sc:
+        vmem_need += 2 * (k + 2) * Y * X * 4
+    vmem_limit = min(max(16 * 2 ** 20, vmem_need + 4 * 2 ** 20),
+                     100 * 2 ** 20)
+
     fused = pl.pallas_call(
         kernel,
-        grid=(Z,),
+        grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit),
         # in-place update: TPU HBM streams ~1.8x faster when the write
         # lands in the read buffer (measured 513 vs 283 GB/s on v5e for
         # the same copy kernel). The kernel never reads out_hbm, and
@@ -1024,7 +1156,7 @@ class PallasStep3D:
     MAX_PATCH_FRACTION = 0.25
 
     def __init__(self, builder, domain_shape, interpret=False,
-                 require_no_patches=False):
+                 require_no_patches=False, slab_k=None):
         self.builder = builder
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
@@ -1088,10 +1220,16 @@ class PallasStep3D:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC planes needs global psi '
                 'sampling in the patch windows; use the XLA engine')
+        if slab_k is None:
+            slab_k = pick_slab_k(builder.grid.Q, Zs, Ys, Xs, sc=self.sc,
+                                 has_mask=self.has_mask)
+        assert Zs % slab_k == 0, (Zs, slab_k)
+        self.slab_k = slab_k
         self.kernel = make_kernel_3d(builder, Zs, Ys, Xs,
                                      patch_rows=patch_rows,
                                      has_mask=self.has_mask,
-                                     interpret=interpret, sc=self.sc)
+                                     interpret=interpret, sc=self.sc,
+                                     k=slab_k)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(builder, Zs, Ys, Xs,

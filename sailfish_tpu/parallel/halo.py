@@ -87,10 +87,13 @@ class ShardedPallasStep3D:
                 self.patch_subs.append(
                     (r, box, builder.for_window(box, flatten=True)))
 
+        from sailfish_tpu.ops.pallas_step import pick_slab_k
+        self.slab_k = pick_slab_k(builder.grid.Q, Z_loc, Y, X,
+                                  has_mask=self.has_mask)
         self.kernel = make_kernel_3d(
             builder, Z_loc, Y, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
-            max_patches=self.P)
+            max_patches=self.P, k=self.slab_k)
         # the kernel expects the cz-grouped Q layout (pallas_step.
         # cz_groups); the sharded state lives permuted between steps
         qperm, qinv, _ = cz_groups(builder.grid)

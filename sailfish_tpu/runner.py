@@ -418,6 +418,13 @@ class SubdomainRunner:
                 self.device_hook_state = jax.tree.unflatten(
                     treedef, [jnp.asarray(p, dtype=l.dtype)
                               for p, l in zip(pending, leaves)])
+        trace_dir = getattr(self.config, 'profile_trace', '')
+        if trace_dir:
+            # device-level tracing (the counterpart of the reference's
+            # CUDA-event phase brackets, profile.py:122-132): writes an
+            # XPlane/TensorBoard trace with per-kernel device timing
+            with jax.profiler.trace(trace_dir):
+                return self.main()
         return self.main()
 
     def _block_until_ready(self):
