@@ -131,6 +131,11 @@ def run_case(name, iters, warmup):
     nodes = int(np.prod(runner._domain_shape()))
     from sailfish_tpu.util import materialize as sync
 
+    # fixed work target per measurement: a single short chunk through
+    # the remote-device tunnel measures round-trip latency, not the
+    # kernel (a 50-step chunk at 128^3 showed 799 "MLUPS" for a kernel
+    # that sustains 3448)
+    iters = max(iters, int(1e9 / nodes))
     f = runner._run_steps(runner.f, warmup, 0)
     sync(f)
     t0 = time.perf_counter()

@@ -54,6 +54,11 @@ def run_case(grid, n, iters, warmup, engine='auto'):
 
     from sailfish_tpu.util import materialize as sync
 
+    # scale the measured chunk to a fixed work target: a single short
+    # chunk through the remote-device tunnel measures round-trip
+    # latency (~100 ms), not the kernel -- small domains need many more
+    # iterations per sync
+    iters = max(iters, int(2e9 / nodes))
     f = runner._run_steps(runner.f, warmup, 0)
     sync(f)
     t0 = time.perf_counter()

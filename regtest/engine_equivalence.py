@@ -33,21 +33,28 @@ def run(sim_cls, engine, **cfg):
     ctrl.run(ignore_cmdline=True)
     r = ctrl._runner
     r._fields_to_host()
-    return r.engine, r.sim
+    return r.engine, r.sim, r
 
 
 def compare(name, sim_cls, fields, tol=1e-5, **cfg):
-    _, sim_x = run(sim_cls, 'xla', **cfg)
+    import sailfish_tpu.node_type as snt
+    _, sim_x, rx = run(sim_cls, 'xla', **cfg)
     ref = {f: np.array(getattr(sim_x, f)) for f in fields}
-    eng, sim_p = run(sim_cls, 'pallas', **cfg)
+    eng, sim_p, _ = run(sim_cls, 'pallas', **cfg)
     assert eng == 'pallas', f'{name}: pallas engine not selected'
+    # WET nodes only: dry/solid bookkeeping values legitimately differ
+    # between engines (e.g. walls adjacent to tile padding see
+    # different wrap sources) and carry no physics
+    wet = np.isin(rx.maps.type_map,
+                  [t for t in rx.maps.present_types
+                   if snt.get_node_type(t).wet_node])
     worst = 0.0
     for f in fields:
         cur = np.array(getattr(sim_p, f))
-        assert np.isfinite(cur).all(), f'{name}: non-finite {f}'
-        worst = max(worst, float(np.max(np.abs(cur - ref[f]))))
+        assert np.isfinite(cur[wet]).all(), f'{name}: non-finite {f}'
+        worst = max(worst, float(np.max(np.abs((cur - ref[f])[wet]))))
     status = 'ok' if worst < tol else 'MISMATCH'
-    print(f'{name:<28s} max field diff {worst:.3g}  {status}')
+    print(f'{name:<28s} max wet-field diff {worst:.3g}  {status}')
     return worst < tol
 
 

@@ -47,16 +47,34 @@ from sailfish_tpu import node_type as nt
 
 # -- node classification -----------------------------------------------------
 
-def classify_nodes(maps):
+#: BC families whose whole phase chain (macro solve -> reconstruction ->
+#: collide) is elementwise on the node -- no neighbor sampling, so the
+#: 3D kernel can run them natively on their rows instead of paying the
+#: per-step XLA patch-plane prologue (which costs ~constant time and
+#: dominates small domains; see BASELINE notes). The outflow family,
+#: link-tagged walls and TMS sample neighbors or the node's own
+#: pre-stream state and stay on the patch path.
+NATIVE_BC_TYPES = (nt.NTEquilibriumVelocity, nt.NTEquilibriumDensity,
+                   nt.NTZouHeVelocity, nt.NTZouHeDensity,
+                   nt.NTRegularizedVelocity, nt.NTRegularizedDensity)
+
+
+def classify_nodes(maps, native_bc=False):
     """Split nodes into kernel-native vs patch-requiring classes.
 
-    Returns (mask, patch_rows): mask is int32 (*S) with 0 = collide,
-    1 = dry reflect (NTFullBBWall), 2 = keep (excluded nodes);
+    Returns (mask, patch_rows[, bc_instances]): mask is int32 (*S) with
+    0 = collide, 1 = dry reflect (NTFullBBWall), 2 = keep (excluded
+    nodes), 3+j = native-BC instance j (``native_bc=True`` only);
     patch_rows is the sorted list of z-planes containing any node type
-    the kernel does not handle natively."""
+    the kernel does not handle natively; bc_instances is a list of
+    (type_id, orientation_code) in mask-code order. A NATIVE_BC_TYPES
+    node that shares a row with a patch-requiring node keeps mask 0 --
+    the patch overlay recomputes the whole row anyway."""
     tm = maps.type_map
     mask = np.zeros(tm.shape, dtype=np.int32)
     patch_needed = np.zeros(tm.shape, dtype=bool)
+    native_sels = []
+    native_ids = {c.id for c in NATIVE_BC_TYPES} if native_bc else set()
     for tid in maps.present_types:
         cls = nt.get_node_type(tid)
         sel = tm == tid
@@ -66,10 +84,30 @@ def classify_nodes(maps):
             mask[sel] = 1
         elif cls.excluded or cls.propagation_only:
             mask[sel] = 2
+        elif tid in native_ids:
+            for k in np.unique(maps.orientation[sel]):
+                if k == 0:
+                    # orientation could not be detected; fall back
+                    patch_needed |= sel & (maps.orientation == 0)
+                    continue
+                native_sels.append(
+                    (tid, int(k), sel & (maps.orientation == int(k))))
         else:
             patch_needed |= sel
     rows = sorted(int(z) for z in
                   np.unique(np.nonzero(patch_needed)[0]))
+    bc_instances = []
+    if native_bc:
+        for tid, k, sel in native_sels:
+            # native nodes on patch rows are covered by the row overlay
+            sel = sel.copy()
+            if rows:
+                sel[rows] = False
+            if not sel.any():
+                continue
+            mask[sel] = 3 + len(bc_instances)
+            bc_instances.append((tid, k, sel))
+        return mask, rows, bc_instances
     return mask, rows
 
 
@@ -375,6 +413,149 @@ def _collide_elbm(builder, fs, mom):
     return fpost
 
 
+def _bc_row_values(builder, instances, fsl, mask_row, bcp):
+    """Native-BC phase chain for one row, elementwise on the (Y, X)
+    plane: macroscopic solve (ops/step._solve_macro_bc), distribution
+    reconstruction (_pre_collision_bc) and collision, mirroring the XLA
+    engine's formulas with per-direction SCALAR-constant loops (Pallas
+    kernels cannot capture (Q,)-shaped constants, so the stacked-weight
+    eq/co helpers are off limits; op order differs from ops/step.py only
+    at summation-tree level, i.e. fp32 ulps). ``fsl`` holds the row's
+    post-stream planes in STANDARD direction order; ``bcp`` is the
+    (1 + dim, Y, X) parameter plane [rho_bc, vel...]; ``instances`` is
+    the (type_id, orientation) list in mask-code order (mask 3 + idx).
+    Returned values are only meaningful where mask_row >= 3."""
+    g = builder.grid
+    dtype = fsl[0].dtype
+    opp = [int(o) for o in g.opposite]
+    pairs = [(i, opp[i]) for i in range(g.Q) if i <= opp[i]]
+
+    # raw macroscopic (XLA: eq.macroscopic -- sum + signed_sum / rho)
+    rho = fsl[0]
+    for i in range(1, g.Q):
+        rho = rho + fsl[i]
+    u = [eq.signed_sum(g.basis[:, a], fsl) / rho for a in range(g.dim)]
+
+    rho_bc = bcp[0]
+    vel_bc = [bcp[1 + a] for a in range(g.dim)]
+    insts = [(nt.get_node_type(tid), k, mask_row == (3 + idx))
+             for idx, (tid, k) in enumerate(instances)]
+
+    # -- macro solve (instance masks are disjoint: order-independent) --
+    for cls, k, m in insts:
+        n = g.orientation_vectors[k - 1]
+        cn = g.basis @ n
+        s0 = eq.signed_sum((cn == 0).astype(int), fsl)
+        sin = eq.signed_sum((cn < 0).astype(int), fsl)
+        if 'velocity' in cls.param_names:
+            un = eq.signed_sum(n, vel_bc)
+            rho_s = (s0 + 2.0 * sin) / (1.0 - un)
+            rho = jnp.where(m, rho_s, rho)
+            u = [jnp.where(m, vel_bc[a], u[a]) for a in range(g.dim)]
+        else:
+            un = 1.0 - (s0 + 2.0 * sin) / rho_bc
+            rho = jnp.where(m, rho_bc, rho)
+            u = [jnp.where(m, un * float(n[a]), u[a])
+                 for a in range(g.dim)]
+
+    def feq_full(rho_, u_):
+        """Per-direction bgk equilibrium (matches eq.bgk_equilibrium /
+        the kernel's _feq_i formula)."""
+        usq_ = u_[0] * u_[0]
+        for a in range(1, g.dim):
+            usq_ = usq_ + u_[a] * u_[a]
+        return [_feq_i(builder, rho_, usq_, eq.signed_sum(g.basis[i], u_),
+                       i) for i in range(g.Q)]
+
+    def noneq_bb(fs, feqp, unknown):
+        """Unknown f_i <- f_opp + feq_i - feq_opp (sym.noneq_bb)."""
+        return [fs[opp[i]] + feqp[i] - feqp[opp[i]] if unknown[i]
+                else fs[i] for i in range(g.Q)]
+
+    # -- reconstruction (_pre_collision_bc) --
+    fs2 = list(fsl)
+    for cls, k, m in insts:
+        n = g.orientation_vectors[k - 1]
+        unknown = g.unknown_mask(n)
+        if cls in (nt.NTEquilibriumVelocity, nt.NTEquilibriumDensity):
+            feqp = feq_full(rho, u)
+            fs2 = [jnp.where(m, feqp[i], fs2[i]) for i in range(g.Q)]
+        elif cls in (nt.NTZouHeVelocity, nt.NTZouHeDensity):
+            feqp = feq_full(rho, u)
+            fz = noneq_bb(fs2, feqp, unknown)
+            mom_z = [eq.signed_sum(g.basis[:, a], fz)
+                     for a in range(g.dim)]
+            naxis = (k - 1) // 2
+            for a in range(g.dim):
+                if a == naxis:
+                    continue
+                coeff = np.where(unknown, g.basis[:, a], 0)
+                denom = float(np.sum(coeff * g.basis[:, a]))
+                if denom == 0.0:
+                    continue
+                dj = rho * u[a] - mom_z[a]
+                fz = [fz[i] + (float(coeff[i]) / denom) * dj
+                      if coeff[i] else fz[i] for i in range(g.Q)]
+            fs2 = [jnp.where(m, fz[i], fs2[i]) for i in range(g.Q)]
+        elif cls in (nt.NTRegularizedVelocity, nt.NTRegularizedDensity):
+            feqp = feq_full(rho, u)
+            fnb = noneq_bb(fs2, feqp, unknown)
+            fneq = [fnb[i] - feqp[i] for i in range(g.Q)]
+            c = g.basis.astype(np.float64)
+            cs2 = g.cs2
+            pi = {}
+            for a in range(g.dim):
+                for b in range(a, g.dim):
+                    pi[(a, b)] = eq.signed_sum(c[:, a] * c[:, b], fneq)
+            freg = []
+            for i in range(g.Q):
+                acc = None
+                for a in range(g.dim):
+                    for b in range(g.dim):
+                        coef = c[i, a] * c[i, b] - \
+                            (cs2 if a == b else 0.0)
+                        if abs(coef) < 1e-14:
+                            continue
+                        t = coef * pi[(min(a, b), max(a, b))]
+                        acc = t if acc is None else acc + t
+                w = float(g.weights[i])
+                term = 0.0 if acc is None else \
+                    jnp.asarray(w / (2.0 * cs2 * cs2), dtype) * acc
+                freg.append(feqp[i] + term)
+            fs2 = [jnp.where(m, freg[i], fs2[i]) for i in range(g.Q)]
+
+    # -- collision: the kernel's own pairwise machinery with the
+    # overridden macros (the fluid path this mirrors is
+    # equivalence-tested against ops/step._collide) --
+    uF = None
+    u_c = list(u)
+    if builder.force_dev is not None and builder.force_model == 'guo':
+        fvec = np.asarray(builder.body_force, np.float64).reshape(-1)
+        u_c = [ua + jnp.asarray(0.5 * fvec[a], dtype)
+               for a, ua in enumerate(u_c)]
+        uF = u_c[0] * jnp.asarray(fvec[0], dtype)
+        for a in range(1, g.dim):
+            uF = uF + u_c[a] * jnp.asarray(fvec[a], dtype)
+    usq = u_c[0] * u_c[0]
+    for a in range(1, g.dim):
+        usq = usq + u_c[a] * u_c[a]
+    mom = (rho, u_c, usq, uF)
+    if builder.model == 'elbm':
+        fpost = _collide_elbm(builder, fs2, mom)
+        return [fpost[i] for i in range(g.Q)]
+    extra = _collide_prepass(builder, fs2, mom)
+    out = [None] * g.Q
+    for i, o in pairs:
+        fi = fs2[i]
+        fo = fs2[o] if o != i else None
+        vi, vo = _collide_pair(builder, fi, fo, mom, i, o, extra)
+        out[i] = vi
+        if o != i:
+            out[o] = vo
+    return out
+
+
+
 def _collide_one(builder, fi, mom, i):
     """BGK relaxation (+ Guo forcing) of a single direction given the
     precomputed moments (kept for the plain-BGK fast path)."""
@@ -455,15 +636,18 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
 
 
 def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
-                budget=24 * 2 ** 20):
-    """Largest slab depth k (8/4/2, dividing Z, pipeline depth >= 4
+                budget=24 * 2 ** 20, k_max=8):
+    """Largest slab depth k (<= k_max, dividing Z, pipeline depth >= 4
     programs) whose double-buffered VMEM working set fits the budget;
     1 otherwise. Batching k z-planes per program amortizes the ~2-5 us
     per-program DMA-issue/control overhead that dominates small
     domains (64^3 measured 652 MLUPS at k=1 vs the ~5400 streaming
-    roofline); large domains are bandwidth-bound and keep k=1."""
+    roofline); large domains are bandwidth-bound and keep k=1. Models
+    with a heavy whole-slab prepass (MRT/TRT conserved moments, LES
+    strain) lose a few %% at k=8 (measured 3127 vs 3449 at 128^3 MRT)
+    -- callers cap k_max=4 for those."""
     for k in (8, 4, 2):
-        if Z % k or Z // k < 4:
+        if k > k_max or Z % k or Z // k < 4:
             continue
         b = 2 * Q * k * Y * X * 4
         if has_mask:
@@ -950,7 +1134,12 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         vmem_need += 2 * k * Y * X * 4
     if sc:
         vmem_need += 2 * (k + 2) * Y * X * 4
-    vmem_limit = min(max(16 * 2 ** 20, vmem_need + 4 * 2 ** 20),
+    # margin: Mosaic stack temporaries (moments/feq/psi planes inside
+    # the collide) scale with the slab size; the limit is only a gate,
+    # not an allocation, so be generous -- two slab-sized sets plus
+    # fixed headroom
+    margin = 8 * 2 ** 20 + 2 * Q * k * Y * X * 4
+    vmem_limit = min(max(16 * 2 ** 20, vmem_need + margin),
                      100 * 2 ** 20)
 
     fused = pl.pallas_call(
@@ -971,6 +1160,126 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         interpret=interpret,
     )
     return fused
+
+
+def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
+                            interpret=False):
+    """Pallas patch-plane prologue for native-BC rows.
+
+    One tiny program per complex-BC row: pull-gathers the row's
+    post-stream distributions from the PRE-step state (3 source rows,
+    one strided DMA per c_z group), runs the full row phase chain --
+    fluid pairwise collide, the local-BC solves (_bc_row_values),
+    dry/keep handling -- and emits the (Q, R, Y, X) post-collision
+    patch planes that the main kernel's EXISTING overlay path consumes
+    (permuted Q layout). This replaces the ~40 small XLA ops of
+    compute_patch_plane for NATIVE_BC_TYPES rows while leaving the
+    main kernel untouched: tracing BC branches inside the main kernel
+    measurably slowed every grid program (~-20%% at 128^3/256^3,
+    register/VMEM pressure), whereas a separate tiny kernel costs only
+    its own ~plane-sized work.
+
+    Signature: bc(f, mask_rows, bcp, rows) -> patches (Q, R, Y, X);
+    ``f`` in the kernel's PERMUTED Q layout (padded), ``rows`` int32
+    in SMEM, ``bcp`` = (1 + 3, R, Y, X) parameter planes."""
+    g = builder.grid
+    Q = g.Q
+    dtype = builder.dtype
+    basis = g.basis
+    opp = [int(o) for o in g.opposite]
+    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
+    perm, ipos, groups = cz_groups(g)
+
+    def kernel(f_hbm, mask_hbm, bcp_hbm, rows_ref, out_hbm,
+               src_buf, mask_buf, bcp_buf, sems):
+        r = pl.program_id(0)
+        row = rows_ref[r]
+        rm1 = jax.lax.rem(row - 1 + Z, Z)
+        rp1 = jax.lax.rem(row + 1, Z)
+        # pull sources: the cz group reads row - cz (periodic)
+        for gi, (cz, st, cnt) in enumerate(groups):
+            src = row if cz == 0 else (rm1 if cz == 1 else rp1)
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(st, cnt), src],
+                src_buf.at[pl.ds(st, cnt)], sems.at[0]).start()
+        cm = pltpu.make_async_copy(mask_hbm.at[r], mask_buf,
+                                   sems.at[1])
+        cp = pltpu.make_async_copy(bcp_hbm.at[:, r], bcp_buf,
+                                   sems.at[2])
+        cm.start()
+        cp.start()
+        for gi, (cz, st, cnt) in enumerate(groups):
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(st, cnt), 0],
+                src_buf.at[pl.ds(st, cnt)], sems.at[0]).wait()
+        cm.wait()
+        cp.wait()
+
+        # assemble the post-stream planes in standard direction order
+        fsl = []
+        for i in range(Q):
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            p = src_buf[ipos[i]]
+            if cy:
+                p = pltpu.roll(p, cy % Y, axis=0)
+            if cx:
+                p = pltpu.roll(p, cx % X, axis=1)
+            fsl.append(p)
+        mrow = mask_buf[...]
+
+        # fluid pass: the main kernel's own slab machinery on the row
+        mom_u = _moments(builder, fsl)
+        if builder.model == 'elbm':
+            fpost = _collide_elbm(builder, fsl, mom_u)
+            base = [fpost[i] for i in range(Q)]
+        else:
+            extra = _collide_prepass(builder, fsl, mom_u)
+            base = [None] * Q
+            for i, o in pairs:
+                fo = fsl[o] if o != i else None
+                vi, vo = _collide_pair(builder, fsl[i], fo, mom_u,
+                                       i, o, extra)
+                base[i] = vi
+                if o != i:
+                    base[o] = vo
+
+        vals = _bc_row_values(builder, bc_instances, fsl, mrow,
+                              bcp_buf)
+        is_dry = mrow == 1
+        is_keep = mrow == 2
+        any_bc = mrow >= 3
+        for i in range(Q):
+            out = jnp.where(is_dry, fsl[opp[i]],
+                            jnp.where(is_keep, fsl[i], base[i]))
+            out = jnp.where(any_bc, vals[i], out)
+            src_buf[ipos[i]] = out   # permuted layout for the overlay
+        co = pltpu.make_async_copy(src_buf, out_hbm.at[:, r],
+                                   sems.at[0])
+        co.start()
+        co.wait()
+
+    # the row phase chain's Mosaic stack temporaries span many
+    # plane-sized intermediates: budget generously (gate, not alloc)
+    vmem_need = (3 * Q + 5) * Y * X * 4
+    return pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 +
+                 [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, R, Y, X), dtype),
+        scratch_shapes=[pltpu.VMEM((Q, Y, X), dtype),
+                        pltpu.VMEM((Y, X), jnp.int32),
+                        pltpu.VMEM((4, Y, X), dtype),
+                        pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(max(16 * 2 ** 20,
+                                     vmem_need + 8 * 2 ** 20),
+                                 100 * 2 ** 20)),
+        interpret=interpret,
+    )
+
 
 
 #: z-rows of context a patch plane's BC machinery may sample
@@ -1148,6 +1457,11 @@ def make_rho_kernel_3d(builder, Z, Y, X, interpret=False):
 
 # -- full fused step ---------------------------------------------------------
 
+#: perf/debug escape hatch: disable the in-kernel native-BC rows (fall
+#: back to the XLA patch-plane prologue for every complex-BC plane)
+NATIVE_BC_ENABLED = True
+
+
 class PallasStep3D:
     """Drop-in replacement for StepBuilder.build() (3D, single device or
     one shard of a z-sharded mesh)."""
@@ -1160,7 +1474,26 @@ class PallasStep3D:
         self.builder = builder
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
-        mask_np, patch_rows = classify_nodes(builder.maps)
+        # native in-kernel BC rows: local BC families only, and only
+        # with static parameters (DynamicValue needs per-step evaluation
+        # -- those scenes keep the exact patch-plane path)
+        # (elbm excluded: the alpha-gate amplifies the prologue's
+        # summation-tree ulps into ~1e-4 field drift vs the XLA engine;
+        # those scenes keep the exact XLA patch prologue)
+        native_ok = (NATIVE_BC_ENABLED
+                     and builder.sc_coupling == 0.0
+                     and builder.model != 'elbm'
+                     and not builder.maps.dynamic
+                     and not require_no_patches)
+        self.bc_instances = ()
+        if native_ok:
+            mask_np, patch_rows, bc_inst = classify_nodes(
+                builder.maps, native_bc=True)
+            self.bc_instances = tuple((tid, k) for tid, k, _ in bc_inst)
+        else:
+            mask_np, patch_rows = classify_nodes(builder.maps)
+        self.bc_rows = tuple(sorted(
+            int(z) for z in np.unique(np.nonzero(mask_np >= 3)[0])))
         # Mosaic rejects partial-tile plane DMAs (Y%8 / X%128). Pad the
         # in-kernel state instead of falling back, when it is safe: the
         # outermost original layers along a padded axis must hold no wet
@@ -1203,33 +1536,67 @@ class PallasStep3D:
                     mask_np, ((0, 0), (0, pad_y), (0, pad_x)),
                     constant_values=2)
         self.kshape = (Zs, Ys, Xs)
+        # native rows are cheap Pallas pre-pass patches; only the XLA
+        # prologue rows count against the refusal threshold
         if len(patch_rows) > self.MAX_PATCH_FRACTION * Zs:
             raise NotImplementedError(
                 f'{len(patch_rows)}/{Zs} z-planes need complex-BC patches; '
                 'use the XLA engine for this scene')
-        if require_no_patches and patch_rows:
+        # the main kernel overlays BOTH kinds of rows through the same
+        # patch path; the native rows' planes come from the Pallas
+        # prologue (make_bc_patch_kernel_3d), the rest from the XLA
+        # machinery
+        self.xla_patch_rows = patch_rows
+        self.patch_rows = sorted(set(patch_rows) | set(self.bc_rows))
+        if require_no_patches and self.patch_rows:
             raise NotImplementedError(
                 'the sharded fused kernel currently requires all boundary '
                 'handling to be in-kernel (walls/obstacles only); planes '
-                f'{patch_rows} need complex-BC patches')
-        self.patch_rows = patch_rows
+                f'{self.patch_rows} need complex-BC patches')
         self.has_mask = bool((mask_np != 0).any())
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
         self.sc = builder.sc_coupling != 0.0
-        if self.sc and patch_rows:
+        if self.sc and self.patch_rows:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC planes needs global psi '
                 'sampling in the patch windows; use the XLA engine')
         if slab_k is None:
+            heavy = (builder.model in ('mrt', 'trt')
+                     or builder.smagorinsky > 0.0)
             slab_k = pick_slab_k(builder.grid.Q, Zs, Ys, Xs, sc=self.sc,
-                                 has_mask=self.has_mask)
+                                 has_mask=self.has_mask,
+                                 k_max=4 if heavy else 8)
         assert Zs % slab_k == 0, (Zs, slab_k)
         self.slab_k = slab_k
         self.kernel = make_kernel_3d(builder, Zs, Ys, Xs,
-                                     patch_rows=patch_rows,
+                                     patch_rows=self.patch_rows,
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc,
                                      k=slab_k)
+        # Pallas patch prologue for the native-BC rows: parameter
+        # planes ([rho_bc, vel_*], padded with safe values -- pad nodes
+        # are masked out), the rows' mask planes, the tiny per-row
+        # kernel
+        self.bcp = None
+        self.bc_kernel = None
+        if self.bc_rows:
+            m = builder.maps
+            rows = list(self.bc_rows)
+            bcp = np.stack(
+                [m.param_rho[rows]] +
+                [m.param_vel[a][rows] for a in range(3)]).astype(
+                    builder.dtype)
+            if self.pad_y or self.pad_x:
+                bcp = np.pad(
+                    bcp, ((0, 0), (0, 0), (0, self.pad_y),
+                          (0, self.pad_x)),
+                    constant_values=1.0)
+            self.bcp = jnp.asarray(bcp)
+            self._bc_mask_rows = jnp.asarray(mask_np[rows])
+            self._bc_rows_dev = jnp.asarray(rows, dtype=jnp.int32)
+            self.bc_kernel = make_bc_patch_kernel_3d(
+                builder, Zs, len(rows), Ys, Xs, self.bc_instances,
+                interpret=interpret)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(builder, Zs, Ys, Xs,
@@ -1248,27 +1615,40 @@ class PallasStep3D:
         return self.rho_kernel(f, f[:, -1], f[:, 0])
 
     def _make_patch_builders(self):
+        # XLA window sub-builders only for the rows the Pallas patch
+        # prologue does not cover
         self.patch_subs = []
-        for r in self.patch_rows:
+        for r in self.xla_patch_rows:
             box = (slice(r, r + 1), slice(0, self.shape[1]),
                    slice(0, self.shape[2]))
             self.patch_subs.append(
                 (box, self.builder.for_window(box, flatten=True)))
 
     def _compute_patches(self, f, it=0):
-        """Exact XLA recompute of the patched planes from the
-        kernel-layout state -> (Q, P, Y, X) in kernel layout."""
+        """Patch planes (Q, P, Y, X) in kernel layout, ordered like
+        self.patch_rows: native-BC rows from the Pallas prologue
+        kernel, everything else recomputed exactly by the XLA window
+        machinery."""
         Z, Y, X = self.shape
-        planes = [
-            compute_patch_plane(self.builder.grid, sub, f, r, Z, Y, X,
-                                it, qinv=self._qinv_np,
-                                pad_yx=(self.pad_y, self.pad_x))
-            for (box, sub), r in zip(self.patch_subs, self.patch_rows)]
-        pv = jnp.stack(planes, axis=1)[self._qperm]
-        if self.padded:
-            pv = jnp.pad(pv, ((0, 0), (0, 0), (0, self.pad_y),
-                              (0, self.pad_x)))
-        return pv
+        xla_planes = {}
+        for (box, sub), r in zip(self.patch_subs, self.xla_patch_rows):
+            p = compute_patch_plane(self.builder.grid, sub, f, r, Z, Y,
+                                    X, it, qinv=self._qinv_np,
+                                    pad_yx=(self.pad_y, self.pad_x))
+            p = p[self._qperm]
+            if self.pad_y or self.pad_x:
+                p = jnp.pad(p, ((0, 0), (0, self.pad_y),
+                                (0, self.pad_x)))
+            xla_planes[r] = p
+        bc_planes = {}
+        if self.bc_rows:
+            pv_bc = self.bc_kernel(f, self._bc_mask_rows, self.bcp,
+                                   self._bc_rows_dev)
+            for i, r in enumerate(self.bc_rows):
+                bc_planes[r] = pv_bc[:, i]
+        return jnp.stack(
+            [bc_planes[r] if r in bc_planes else xla_planes[r]
+             for r in self.patch_rows], axis=1)
 
     def step(self, f, it=0, ghost_lo=None, ghost_hi=None):
         """One fused step on KERNEL-LAYOUT state (padded, cz-grouped;

@@ -27,8 +27,8 @@ from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
     classify_nodes, window_shifted, \
-    _collide_elbm, _collide_pair, _collide_prepass, _moments, _sc_psi, \
-    _sc_shift_moments
+    _bc_row_values, _collide_elbm, _collide_pair, _collide_prepass, \
+    _moments, _sc_psi, _sc_shift_moments
 
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
@@ -362,6 +362,134 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     return fused
 
 
+def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
+                            interpret=False):
+    """Pallas patch-block prologue for native-BC blocks (the 2D
+    counterpart of pallas_step.make_bc_patch_kernel_3d): one program
+    per block gathers the block plus its two periodic wrap rows from
+    the PRE-step state, runs the full phase chain -- fluid pairwise
+    collide, local-BC solves, dry/keep handling -- and emits the
+    (Q, R, by, X) post-collision patch blocks for the main kernel's
+    existing overlay path.
+
+    The wrap rows sit at arbitrary y offsets, but sublane-dim DMA
+    offsets must be 8-aligned (Mosaic tiling): each wrap row is
+    fetched as its aligned 8-row sliver and the row is selected with a
+    STATIC in-sliver index -- the block list is trace-time static, so
+    the whole body is specialized per block under pl.when(r == t).
+    Requires Y %% 8 == 0 (the caller gates).
+
+    Signature: bc(f, mask_blocks, bcp) -> patches (Q, R, by, X)."""
+    g = builder.grid
+    Q = g.Q
+    dtype = builder.dtype
+    basis = g.basis
+    opp = [int(o) for o in g.opposite]
+    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
+    blocks = tuple(int(b) for b in blocks)
+    R = len(blocks)
+    assert Y % 8 == 0, Y
+
+    def kernel(f_hbm, mask_hbm, bcp_hbm, out_hbm,
+               src_buf, lo_buf, hi_buf, mask_buf, bcp_buf, sems):
+        r = pl.program_id(0)
+
+        def do_block(t, blk):
+            y0 = blk * by
+            ylo = (y0 - 1) % Y
+            yhi = (y0 + by) % Y
+            lo_base, lo_off = (ylo // 8) * 8, ylo % 8
+            hi_base, hi_off = (yhi // 8) * 8, yhi % 8
+            c0 = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(lo_base, 8)], lo_buf, sems.at[0])
+            c1 = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(y0, by)], src_buf, sems.at[0])
+            c2 = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(hi_base, 8)], hi_buf, sems.at[0])
+            cm = pltpu.make_async_copy(mask_hbm.at[t], mask_buf,
+                                       sems.at[1])
+            cp = pltpu.make_async_copy(bcp_hbm.at[:, t], bcp_buf,
+                                       sems.at[2])
+            c0.start(); c1.start(); c2.start(); cm.start(); cp.start()
+            c0.wait(); c1.wait(); c2.wait(); cm.wait(); cp.wait()
+
+            # post-stream rows: pull source y - cy, then the x roll
+            fsl = []
+            for i in range(Q):
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                if cy == 1:
+                    p = jnp.concatenate(
+                        [lo_buf[i, lo_off:lo_off + 1],
+                         src_buf[i, :by - 1]], axis=0)
+                elif cy == -1:
+                    p = jnp.concatenate(
+                        [src_buf[i, 1:],
+                         hi_buf[i, hi_off:hi_off + 1]], axis=0)
+                else:
+                    p = src_buf[i]
+                if cx:
+                    p = pltpu.roll(p, cx % X, axis=1)
+                fsl.append(p)
+            mrow = mask_buf[...]
+
+            mom_u = _moments(builder, fsl)
+            if builder.model == 'elbm':
+                fpost = _collide_elbm(builder, fsl, mom_u)
+                base = [fpost[i] for i in range(Q)]
+            else:
+                extra = _collide_prepass(builder, fsl, mom_u)
+                base = [None] * Q
+                for i, o in pairs:
+                    fo = fsl[o] if o != i else None
+                    vi, vo = _collide_pair(builder, fsl[i], fo, mom_u,
+                                           i, o, extra)
+                    base[i] = vi
+                    if o != i:
+                        base[o] = vo
+
+            vals = _bc_row_values(builder, bc_instances, fsl, mrow,
+                                  bcp_buf)
+            is_dry = mrow == 1
+            is_keep = mrow == 2
+            any_bc = mrow >= 3
+            for i in range(Q):
+                out = jnp.where(is_dry, fsl[opp[i]],
+                                jnp.where(is_keep, fsl[i], base[i]))
+                out = jnp.where(any_bc, vals[i], out)
+                src_buf[i] = out
+            co = pltpu.make_async_copy(src_buf, out_hbm.at[:, t],
+                                       sems.at[0])
+            co.start()
+            co.wait()
+
+        for t, blk in enumerate(blocks):
+            @pl.when(r == t)
+            def _(t=t, blk=blk):
+                do_block(t, blk)
+
+    vmem_need = (3 * Q + 5) * (by + 16) * X * 4
+    return pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, R, by, X), dtype),
+        scratch_shapes=[pltpu.VMEM((Q, by, X), dtype),
+                        pltpu.VMEM((Q, 8, X), dtype),
+                        pltpu.VMEM((Q, 8, X), dtype),
+                        pltpu.VMEM((by, X), jnp.int32),
+                        pltpu.VMEM((3, by, X), dtype),
+                        pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(max(16 * 2 ** 20,
+                                     vmem_need + 8 * 2 ** 20),
+                                 100 * 2 ** 20)),
+        interpret=interpret,
+    )
+
+
+
 def make_rho_kernel_2d(builder, Y, X, by=32, interpret=False):
     """Post-stream density pre-pass (2D): rho(x) = sum_i f_i(x - c_i),
     via the same rotating y-block cache as the main kernel but with a
@@ -509,22 +637,63 @@ class PallasStep2D:
         if by is None:
             by = pick_block_size(builder.grid.Q, Ys, Xs)
         self.by = by
-        mask_np, patch_rows = classify_nodes(builder.maps)
-        patch_blocks = sorted({r // by for r in patch_rows})
-        if len(patch_blocks) > self.MAX_PATCH_FRACTION * (Ys // by):
+        # native-BC blocks (see pallas_step.NATIVE_BC_TYPES): their
+        # patch planes come from the Pallas prologue kernel instead of
+        # the per-step XLA window machinery; static parameters only.
+        # The aligned-sliver wrap fetch needs Y % 8 == 0.
+        import sailfish_tpu.ops.pallas_step as _ps
+        native_ok = (_ps.NATIVE_BC_ENABLED
+                     and builder.sc_coupling == 0.0
+                     and builder.model != 'elbm'
+                     and not builder.maps.dynamic
+                     and (Ys % 8 == 0 or interpret))
+        self.bc_instances = ()
+        if native_ok:
+            mask_np, patch_rows, bc_inst = classify_nodes(
+                builder.maps, native_bc=True)
+            self.bc_instances = tuple((tid, k) for tid, k, _ in bc_inst)
+        else:
+            mask_np, patch_rows = classify_nodes(builder.maps)
+        xla_patch_blocks = sorted({r // by for r in patch_rows})
+        # native rows whose BLOCK already needs an XLA overlay are
+        # covered by it (the window machinery recomputes every type)
+        self.bc_blocks = tuple(sorted(
+            {int(r) // by
+             for r in np.unique(np.nonzero(mask_np >= 3)[0])}
+            - set(xla_patch_blocks)))
+        if len(xla_patch_blocks) > self.MAX_PATCH_FRACTION * (Ys // by):
             raise NotImplementedError(
-                f'{len(patch_blocks)}/{Ys // by} y-blocks need complex-BC '
-                'patches; use the XLA engine for this scene')
-        self.patch_blocks = patch_blocks
+                f'{len(xla_patch_blocks)}/{Ys // by} y-blocks need '
+                'complex-BC patches; use the XLA engine for this scene')
+        self.xla_patch_blocks = xla_patch_blocks
+        self.patch_blocks = sorted(set(xla_patch_blocks)
+                                   | set(self.bc_blocks))
         self.has_mask = bool((mask_np != 0).any())
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
         self.sc = builder.sc_coupling != 0.0
-        if self.sc and patch_blocks:
+        if self.sc and self.patch_blocks:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC blocks needs global psi '
                 'sampling in the patch windows; use the XLA engine')
+        self.bcp = None
+        self.bc_kernel = None
+        if self.bc_blocks:
+            m = builder.maps
+            planes = []
+            for b in self.bc_blocks:
+                sl = slice(b * by, (b + 1) * by)
+                planes.append(np.stack(
+                    [m.param_rho[sl]] +
+                    [m.param_vel[a][sl] for a in range(2)]))
+            self.bcp = jnp.asarray(
+                np.stack(planes, axis=1).astype(builder.dtype))
+            self._bc_mask_blocks = jnp.asarray(np.stack(
+                [mask_np[b * by:(b + 1) * by] for b in self.bc_blocks]))
+            self.bc_kernel = make_bc_patch_kernel_2d(
+                builder, Ys, Xs, by, self.bc_blocks, self.bc_instances,
+                interpret=interpret)
         self.kernel = make_kernel_2d(builder, Ys, Xs, by=by,
-                                     patch_blocks=patch_blocks,
+                                     patch_blocks=self.patch_blocks,
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc)
         self.rho_kernel = None
@@ -537,18 +706,32 @@ class PallasStep2D:
         return self.rho_kernel(f)
 
     def _make_patch_builders(self):
+        # XLA window sub-builders only for the blocks the Pallas patch
+        # prologue does not cover
         self.patch_subs = []
-        for b in self.patch_blocks:
+        for b in self.xla_patch_blocks:
             box = (slice(b * self.by, (b + 1) * self.by),
                    slice(0, self.shape[1]))
             self.patch_subs.append(
                 (box, self.builder.for_window(box, flatten=True)))
 
     def _compute_patches(self, f, it=0):
-        blocks = [compute_patch_block_2d(self.builder.grid, sub, f, box,
-                                         self.by, self.shape[1], it)
-                  for box, sub in self.patch_subs]
-        return jnp.stack(blocks, axis=1)
+        """(Q, P, by, X) patch blocks ordered like self.patch_blocks:
+        native-BC blocks from the Pallas prologue, the rest recomputed
+        exactly by the XLA window machinery."""
+        xla = {}
+        for (box, sub), b in zip(self.patch_subs, self.xla_patch_blocks):
+            xla[b] = compute_patch_block_2d(
+                self.builder.grid, sub, f, box, self.by,
+                self.shape[1], it)
+        bc = {}
+        if self.bc_blocks:
+            pv = self.bc_kernel(f, self._bc_mask_blocks, self.bcp)
+            for i, b in enumerate(self.bc_blocks):
+                bc[b] = pv[:, i]
+        return jnp.stack(
+            [bc[b] if b in bc else xla[b] for b in self.patch_blocks],
+            axis=1)
 
     def step(self, f, it=0):
         # periodic wrap blocks as materialized ghost copies (the kernel

@@ -247,7 +247,8 @@ class SubdomainRunner:
                  (self.mesh is None and b.model == 'bgk'))
             and b.equilibrium == 'bgk'
             and (b.body_force is None
-                 or np.asarray(b.body_force).ndim == 1))
+                 or (np.asarray(b.body_force).ndim == 1
+                     and b.force_model == 'guo')))
         if choice == 'xla':
             return 'xla'
         if choice == 'pallas':

@@ -113,9 +113,63 @@ def test_pallas2d_shan_chen_matches_xla():
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
 
 
+@pytest.mark.parametrize('bc_pair', ['equilibrium', 'zouhe',
+                                     'regularized'])
+def test_pallas2d_native_bc_blocks_match_xla(bc_pair):
+    """2D native in-kernel BC blocks (velocity inlet y=0, density
+    outlet y=Y-1) vs the XLA engine."""
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import (
+        NTEquilibriumDensity, NTEquilibriumVelocity, NTFullBBWall,
+        NTRegularizedDensity, NTRegularizedVelocity, NTZouHeDensity,
+        NTZouHeVelocity)
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    vel_cls, den_cls = {
+        'equilibrium': (NTEquilibriumVelocity, NTEquilibriumDensity),
+        'zouhe': (NTZouHeVelocity, NTZouHeDensity),
+        'regularized': (NTRegularizedVelocity, NTRegularizedDensity),
+    }[bc_pair]
+
+    class Chan(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            walls = (hx == 0) | (hx == self.gx - 1)
+            self.set_node(walls, NTFullBBWall)
+            self.set_node((hy == 0) & ~walls, vel_cls((0.0, 0.03)))
+            self.set_node((hy == self.gy - 1) & ~walls, den_cls(1.0))
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.vy[:] = 0.01
+
+    class Sim(LBFluidSim):
+        subdomain = Chan
+
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(engine):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=64, lat_ny=64, max_iters=20, every=20, quiet=True,
+            engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.array(r.sim.rho), np.array(r.sim.vy)
+
+    _, rho_a, vy_a = run('xla')
+    rp, rho_b, vy_b = run('pallas')
+    assert rp.engine == 'pallas'
+    assert rp._pallas.bc_blocks  # Pallas patch prologue active
+    assert rp._pallas.xla_patch_blocks == []
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+    assert np.max(np.abs(vy_a - vy_b)) < 2e-6
+
+
 def test_pallas2d_elbm_matches_xla():
     """Entropic collision (product feq + series/Newton alpha) through
-    the fused kernel, incl. the lid patch block."""
+    the fused kernel, incl. the lid patch block (ELBM keeps the exact
+    XLA prologue: the alpha gate would amplify the native prologue's
+    summation-tree ulps)."""
     from ldc_2d_entropic import EntropicLDCSim
     cfg = dict(lat_nx=128, lat_ny=128, max_iters=25, every=25)
     _, rho_a, vx_a = _run(EntropicLDCSim, 'xla', **cfg)

@@ -256,6 +256,69 @@ def test_pallas3d_tile_padding_unaligned_domain():
     assert np.max(np.abs(f1[:, wet] - f2[:, wet])) < 1e-6
 
 
+import pytest
+
+
+@pytest.mark.parametrize('bc_pair,model', [
+    ('equilibrium', 'bgk'), ('zouhe', 'bgk'),
+    ('regularized', 'bgk'), ('regularized', 'mrt'),
+])
+def test_pallas3d_native_bc_rows_match_xla(bc_pair, model):
+    """The in-kernel native-BC path (mask codes >= 3: macro solve +
+    reconstruction + collide inside the fused kernel, replacing the
+    per-step XLA patch-plane prologue) must match the XLA engine for
+    every local BC family, velocity inlet at z=0 + density outlet at
+    z=Z-1."""
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import (
+        NTEquilibriumDensity, NTEquilibriumVelocity, NTFullBBWall,
+        NTRegularizedDensity, NTRegularizedVelocity, NTZouHeDensity,
+        NTZouHeVelocity)
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    vel_cls, den_cls = {
+        'equilibrium': (NTEquilibriumVelocity, NTEquilibriumDensity),
+        'zouhe': (NTZouHeVelocity, NTZouHeDensity),
+        'regularized': (NTRegularizedVelocity, NTRegularizedDensity),
+    }[bc_pair]
+
+    class Channel(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            walls = (hy == 0) | (hy == self.gy - 1)
+            self.set_node(walls, NTFullBBWall)
+            self.set_node((hz == 0) & ~walls,
+                          vel_cls((0.0, 0.0, 0.03)))
+            self.set_node((hz == self.gz - 1) & ~walls,
+                          den_cls(1.0))
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+            sim.vz[:] = 0.01
+
+    class Sim(LBFluidSim):
+        subdomain = Channel
+
+    def run(engine):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=32, lat_ny=16, lat_nz=16, max_iters=20, every=20,
+            quiet=True, periodic_x=True, engine=engine, model=model))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.array(r.sim.rho), np.array(r.sim.vz)
+
+    _, rho_a, vz_a = run('xla')
+    rp, rho_b, vz_b = run('pallas')
+    assert rp.engine == 'pallas'
+    # the BC rows must come from the Pallas patch prologue, not the
+    # XLA window machinery
+    assert rp._pallas.bc_rows == (0, 15)
+    assert rp._pallas.xla_patch_rows == []
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+    assert np.max(np.abs(vz_a - vz_b)) < 2e-6
+
+
 def test_pallas3d_padding_rejects_shan_chen():
     """Tile padding is unsafe for the nonlocal psi stencil (edge wall
     nodes would sample pad columns instead of the periodic wrap): the
