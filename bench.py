@@ -24,7 +24,7 @@ def main():
 
     n = 256
     warmup = 20
-    iters = 100
+    iters = 200
 
     ctrl = LBSimulationController(LDCSim, default_config={
         'lat_nx': n, 'lat_ny': n, 'lat_nz': n,
