@@ -1162,6 +1162,41 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     return fused
 
 
+def _bc_patch_compute(builder, bc_instances, fsl, mrow, bcp):
+    """Shared full-row/block phase chain for the 2D/3D Pallas patch
+    prologues: fluid pairwise collide (the main kernel's machinery),
+    the local-BC solves (_bc_row_values), then the dry/keep/BC merge.
+    ``fsl`` holds post-stream planes in STANDARD direction order."""
+    g = builder.grid
+    Q = g.Q
+    opp = [int(o) for o in g.opposite]
+    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
+    mom_u = _moments(builder, fsl)
+    if builder.model == 'elbm':
+        fpost = _collide_elbm(builder, fsl, mom_u)
+        base = [fpost[i] for i in range(Q)]
+    else:
+        extra = _collide_prepass(builder, fsl, mom_u)
+        base = [None] * Q
+        for i, o in pairs:
+            fo = fsl[o] if o != i else None
+            vi, vo = _collide_pair(builder, fsl[i], fo, mom_u, i, o,
+                                   extra)
+            base[i] = vi
+            if o != i:
+                base[o] = vo
+    vals = _bc_row_values(builder, bc_instances, fsl, mrow, bcp)
+    is_dry = mrow == 1
+    is_keep = mrow == 2
+    any_bc = mrow >= 3
+    out = []
+    for i in range(Q):
+        v = jnp.where(is_dry, fsl[opp[i]],
+                      jnp.where(is_keep, fsl[i], base[i]))
+        out.append(jnp.where(any_bc, vals[i], v))
+    return out
+
+
 def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
                             interpret=False):
     """Pallas patch-plane prologue for native-BC rows.
@@ -1186,8 +1221,6 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
     Q = g.Q
     dtype = builder.dtype
     basis = g.basis
-    opp = [int(o) for o in g.opposite]
-    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
     perm, ipos, groups = cz_groups(g)
 
     def kernel(f_hbm, mask_hbm, bcp_hbm, rows_ref, out_hbm,
@@ -1226,33 +1259,10 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
                 p = pltpu.roll(p, cx % X, axis=1)
             fsl.append(p)
         mrow = mask_buf[...]
-
-        # fluid pass: the main kernel's own slab machinery on the row
-        mom_u = _moments(builder, fsl)
-        if builder.model == 'elbm':
-            fpost = _collide_elbm(builder, fsl, mom_u)
-            base = [fpost[i] for i in range(Q)]
-        else:
-            extra = _collide_prepass(builder, fsl, mom_u)
-            base = [None] * Q
-            for i, o in pairs:
-                fo = fsl[o] if o != i else None
-                vi, vo = _collide_pair(builder, fsl[i], fo, mom_u,
-                                       i, o, extra)
-                base[i] = vi
-                if o != i:
-                    base[o] = vo
-
-        vals = _bc_row_values(builder, bc_instances, fsl, mrow,
-                              bcp_buf)
-        is_dry = mrow == 1
-        is_keep = mrow == 2
-        any_bc = mrow >= 3
+        out = _bc_patch_compute(builder, bc_instances, fsl, mrow,
+                                bcp_buf)
         for i in range(Q):
-            out = jnp.where(is_dry, fsl[opp[i]],
-                            jnp.where(is_keep, fsl[i], base[i]))
-            out = jnp.where(any_bc, vals[i], out)
-            src_buf[ipos[i]] = out   # permuted layout for the overlay
+            src_buf[ipos[i]] = out[i]  # permuted layout for the overlay
         co = pltpu.make_async_copy(src_buf, out_hbm.at[:, r],
                                    sems.at[0])
         co.start()
@@ -1536,18 +1546,20 @@ class PallasStep3D:
                     mask_np, ((0, 0), (0, pad_y), (0, pad_x)),
                     constant_values=2)
         self.kshape = (Zs, Ys, Xs)
-        # native rows are cheap Pallas pre-pass patches; only the XLA
-        # prologue rows count against the refusal threshold
-        if len(patch_rows) > self.MAX_PATCH_FRACTION * Zs:
-            raise NotImplementedError(
-                f'{len(patch_rows)}/{Zs} z-planes need complex-BC patches; '
-                'use the XLA engine for this scene')
         # the main kernel overlays BOTH kinds of rows through the same
         # patch path; the native rows' planes come from the Pallas
         # prologue (make_bc_patch_kernel_3d), the rest from the XLA
-        # machinery
+        # machinery. The refusal threshold bounds the TOTAL overlaid
+        # fraction: a BC face normal to x or y puts a node on every
+        # z-row, and overlaying (and prologue-recomputing) the whole
+        # domain per step defeats the slab pipeline -- such scenes run
+        # on the XLA engine, as before.
         self.xla_patch_rows = patch_rows
         self.patch_rows = sorted(set(patch_rows) | set(self.bc_rows))
+        if len(self.patch_rows) > self.MAX_PATCH_FRACTION * Zs:
+            raise NotImplementedError(
+                f'{len(self.patch_rows)}/{Zs} z-planes need complex-BC '
+                'overlays; use the XLA engine for this scene')
         if require_no_patches and self.patch_rows:
             raise NotImplementedError(
                 'the sharded fused kernel currently requires all boundary '

@@ -27,7 +27,7 @@ from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
     classify_nodes, window_shifted, \
-    _bc_row_values, _collide_elbm, _collide_pair, _collide_prepass, \
+    _bc_patch_compute, _collide_elbm, _collide_pair, _collide_prepass, \
     _moments, _sc_psi, _sc_shift_moments
 
 
@@ -384,8 +384,6 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
     Q = g.Q
     dtype = builder.dtype
     basis = g.basis
-    opp = [int(o) for o in g.opposite]
-    pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
     blocks = tuple(int(b) for b in blocks)
     R = len(blocks)
     assert Y % 8 == 0, Y
@@ -431,32 +429,10 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
                     p = pltpu.roll(p, cx % X, axis=1)
                 fsl.append(p)
             mrow = mask_buf[...]
-
-            mom_u = _moments(builder, fsl)
-            if builder.model == 'elbm':
-                fpost = _collide_elbm(builder, fsl, mom_u)
-                base = [fpost[i] for i in range(Q)]
-            else:
-                extra = _collide_prepass(builder, fsl, mom_u)
-                base = [None] * Q
-                for i, o in pairs:
-                    fo = fsl[o] if o != i else None
-                    vi, vo = _collide_pair(builder, fsl[i], fo, mom_u,
-                                           i, o, extra)
-                    base[i] = vi
-                    if o != i:
-                        base[o] = vo
-
-            vals = _bc_row_values(builder, bc_instances, fsl, mrow,
-                                  bcp_buf)
-            is_dry = mrow == 1
-            is_keep = mrow == 2
-            any_bc = mrow >= 3
+            out = _bc_patch_compute(builder, bc_instances, fsl, mrow,
+                                    bcp_buf)
             for i in range(Q):
-                out = jnp.where(is_dry, fsl[opp[i]],
-                                jnp.where(is_keep, fsl[i], base[i]))
-                out = jnp.where(any_bc, vals[i], out)
-                src_buf[i] = out
+                src_buf[i] = out[i]
             co = pltpu.make_async_copy(src_buf, out_hbm.at[:, t],
                                        sems.at[0])
             co.start()
@@ -642,11 +618,13 @@ class PallasStep2D:
         # the per-step XLA window machinery; static parameters only.
         # The aligned-sliver wrap fetch needs Y % 8 == 0.
         import sailfish_tpu.ops.pallas_step as _ps
+        # (Y % 8 == 0 is implied: pick_block_size only returns by
+        # values that are multiples of 8 dividing Y, so the prologue's
+        # aligned-sliver wrap fetch is always legal here)
         native_ok = (_ps.NATIVE_BC_ENABLED
                      and builder.sc_coupling == 0.0
                      and builder.model != 'elbm'
-                     and not builder.maps.dynamic
-                     and (Ys % 8 == 0 or interpret))
+                     and not builder.maps.dynamic)
         self.bc_instances = ()
         if native_ok:
             mask_np, patch_rows, bc_inst = classify_nodes(

@@ -88,8 +88,11 @@ class ShardedPallasStep3D:
                     (r, box, builder.for_window(box, flatten=True)))
 
         from sailfish_tpu.ops.pallas_step import pick_slab_k
+        heavy = (builder.model in ('mrt', 'trt')
+                 or builder.smagorinsky > 0.0)
         self.slab_k = pick_slab_k(builder.grid.Q, Z_loc, Y, X,
-                                  has_mask=self.has_mask)
+                                  has_mask=self.has_mask,
+                                  k_max=4 if heavy else 8)
         self.kernel = make_kernel_3d(
             builder, Z_loc, Y, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,

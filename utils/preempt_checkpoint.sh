@@ -34,10 +34,12 @@ remaining_seconds() {
     [[ "$t" == *-* ]] && { days=${t%%-*}; t=${t#*-}; }
     local IFS=:
     set -- $t
+    # 10# forces base 10: squeue zero-pads fields ("09:59:30") and
+    # bash would otherwise parse 09 as invalid octal
     case $# in
-      3) echo $(( days*86400 + $1*3600 + $2*60 + $3 ));;
-      2) echo $(( days*86400 + $1*60 + $2 ));;
-      *) echo $(( days*86400 + $1 ));;
+      3) echo $(( days*86400 + 10#$1*3600 + 10#$2*60 + 10#$3 ));;
+      2) echo $(( days*86400 + 10#$1*60 + 10#$2 ));;
+      *) echo $(( days*86400 + 10#$1 ));;
     esac
   else
     echo "no PBS_JOBID or SLURM_JOB_ID in the environment" >&2
