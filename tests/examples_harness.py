@@ -81,6 +81,8 @@ EXAMPLES = {
     'turbulence/channel_cube.py': ['--H=6', '--Re_tau=60',
                                    '--buf_az=3', '--main_az=5',
                                    '--ay=2.5', '--stats_every=5'],
+    'porous_anisotropy.py': ['--lat_nx=16', '--lat_ny=16',
+                             '--lat_nz=16', '--porosity=0.75'],
 }
 
 ITERS = 20

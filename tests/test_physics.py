@@ -179,3 +179,50 @@ def test_viscosity_all_3d_grids():
         # D3Q13's residual ghost-mode anisotropy biases it ~0.5%
         tol = 0.01 if name == 'D3Q13' else 0.005
         assert abs(nu - visc) / visc < tol, (name, nu)
+
+
+def test_porous_channel_permeability():
+    """The porous-media showcase's Darcy measurement against the exact
+    parallel-plate permeability k = H^3 / (12 L_y) with the full-way
+    bounce-back wall planes at H = gy - 2 (superficial velocity
+    definition; examples/porous_anisotropy.py --geometry=channel)."""
+    import sys
+    sys.path.insert(0, 'examples')
+    from porous_anisotropy import PorousSim
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.geo import LBGeometry3D
+
+    gy = 34
+    ctrl = LBSimulationController(
+        PorousSim, LBGeometry3D, default_config=dict(
+            lat_nx=16, lat_ny=gy, lat_nz=16, geometry='channel',
+            flow_axis='z', max_iters=4000, every=4000, quiet=True,
+            accel=1e-6))
+    ctrl.run(ignore_cmdline=True)
+    k = ctrl._runner.sim.permeability(ctrl._runner)
+    H = gy - 2
+    k_exact = H ** 3 / 12.0 / gy
+    assert abs(k - k_exact) / k_exact < 0.02, (k, k_exact)
+
+
+def test_porous_anisotropy_direction():
+    """Grains elongated along z must conduct better along z than x
+    (k_z > k_x), the headline result of the showcase study."""
+    import sys
+    sys.path.insert(0, 'examples')
+    from porous_anisotropy import PorousSim
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.geo import LBGeometry3D
+
+    def k_along(axis):
+        ctrl = LBSimulationController(
+            PorousSim, LBGeometry3D, default_config=dict(
+                lat_nx=32, lat_ny=32, lat_nz=32, porosity=0.75,
+                stretch=3.0, flow_axis=axis, max_iters=2500,
+                every=2500, quiet=True, seed=7))
+        ctrl.run(ignore_cmdline=True)
+        return ctrl._runner.sim.permeability(ctrl._runner)
+
+    kz = k_along('z')
+    kx = k_along('x')
+    assert kz > 1.15 * kx, (kz, kx)
