@@ -102,7 +102,7 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
         r = jnp.where(fneq[i] < 0.0, -f[i] / fneq[i], big)
         max_alpha = r if max_alpha is None else jnp.minimum(max_alpha, r)
 
-    def body(_, alpha):
+    def step(alpha):
         ent = None
         dent = None
         for i in range(grid.Q):
@@ -119,9 +119,25 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
                               0.5 * (alpha + max_alpha), new_alpha)
         new_alpha = jnp.where(jnp.isfinite(new_alpha), new_alpha, 1.1)
         done = jnp.abs(inc) < entropy_tol
-        return jnp.where(done, alpha, new_alpha)
+        return jnp.where(done, alpha, new_alpha), done
 
-    return jax.lax.fori_loop(0, iters, body, alpha0)
+    # early exit once EVERY lane converged: iterating a converged lane
+    # is the identity (the done-freeze above), so this returns
+    # bit-identical alphas to a fixed `iters`-deep loop while typically
+    # stopping after 3-6 Newton steps -- the 20x Q logs per iteration
+    # are the entire ELBM compute bill
+    def cond(state):
+        i, _, all_done = state
+        return (i < iters) & jnp.logical_not(all_done)
+
+    def body(state):
+        i, alpha, _ = state
+        new_alpha, done = step(alpha)
+        return i + 1, new_alpha, jnp.all(done)
+
+    _, alpha, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), alpha0, jnp.bool_(False)))
+    return alpha
 
 
 def entropic_alpha(grid, f, fneq, alpha0=None):
