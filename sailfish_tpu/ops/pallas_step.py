@@ -661,7 +661,7 @@ def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
 
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
-                   sc=False, k=1):
+                   sc=False, emit_rho=False, k=1):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -697,6 +697,22 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     three neighboring rho planes and shifts the equilibrium velocity by
     tau F / rho, exactly matching the XLA engine's shan_chen_force
     (ops/collide.py:95; reference shan_chen.mako sc_calculate_force).
+
+    With ``emit_rho=True`` (requires ``sc``) the kernel additionally
+    RETURNS next step's post-stream density as a second output, making
+    the per-step rho pre-pass (make_rho_kernel_3d, ~80 B/node of HBM
+    traffic) unnecessary: after the collision the post-collision slab
+    is in VMEM, so the streamed sum sum_i f_i(x - c_i) for the next
+    step can be computed on the spot. Plane z needs post-collision
+    planes z-1..z+1, so the emission lags the pipeline by one plane (a
+    2-plane ring carries the previous slab's tail); the periodic wrap
+    planes 0 and Z-1 are emitted in the B-1 epilogue from a stash of
+    planes 0/1 taken at the first program(s). Emitted values are
+    bit-identical to the pre-pass kernel's (same source values, same
+    roll/summation order). Signature becomes fused(f, glo, ghi, rho,
+    rglo, rghi[, mask]) -> (out, rho_next), with rho aliased in place
+    like f; the caller carries (f, rho) between steps. Requires
+    Z/k >= 3.
     """
     g = builder.grid
     Q = g.Q
@@ -706,12 +722,30 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     assert not (patch_rows and dyn_patches)
     assert Z % k == 0, (Z, k)
     B = Z // k
+    if emit_rho:
+        assert sc and not patch_rows and not dyn_patches
+        assert B >= 3, (B, 'emit_rho needs >= 3 pipeline programs')
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
     # cz-grouped Q layout: state/ghosts/patches arrive PERMUTED (see
     # cz_groups); in-kernel math uses standard indices via ipos
     perm, ipos, groups = cz_groups(g)
+    # permuted-space extents of the c_z groups (used by the emit-rho
+    # ring/stash buffers, which carry only the channels emission reads)
+    n_m1 = n_p1 = 0
+    s_0 = s_p1 = Q
+    for gcz, gst, gcnt in groups:
+        if gcz == -1:
+            n_m1 = gcnt
+        elif gcz == 0:
+            s_0 = gst
+        elif gcz == 1:
+            s_p1 = gst
+            n_p1 = gcnt
+    # first program that performs the regular k-plane emission
+    # [base-1, base+k-2] (k=1 lacks the base-2 ring plane before b=2)
+    r0 = 2 if k == 1 else 1
     # slabs containing complex-BC rows drain their own output write (the
     # patch overlay must follow it); every other slab is drained by the
     # successor's prefetch or the epilogue
@@ -741,6 +775,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx]; idx += 1
+        rho_out_hbm = None
+        if emit_rho:
+            rho_out_hbm = refs[idx]; idx += 1
         fs_buf = refs[idx]; idx += 1       # (2, Q, k, Y, X)
         mask_buf = None
         if has_mask:
@@ -748,8 +785,20 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         rho_buf = None
         if sc:
             rho_buf = refs[idx]; idx += 1   # (2, k+2, Y, X)
+        ring0 = ring1 = stash0 = stash1 = remit_buf = redge_buf = None
+        if emit_rho:
+            ring0 = refs[idx]; idx += 1     # (2, n_p1, Y, X) pc base-2
+            ring1 = refs[idx]; idx += 1     # (2, Q-s_0, Y, X) pc base-1
+            stash0 = refs[idx]; idx += 1    # (s_p1, Y, X) pc plane 0
+            stash1 = refs[idx]; idx += 1    # (n_m1, Y, X) pc plane 1
+            remit_buf = refs[idx]; idx += 1  # (2, k, Y, X)
+            redge_buf = refs[idx]; idx += 1  # (2, Y, X)
         in_sems = refs[idx]; idx += 1       # DMA (2, Q+4)
         out_sems = refs[idx]; idx += 1      # DMA (2,)
+        remit_sems = redge_sems = None
+        if emit_rho:
+            remit_sems = refs[idx]; idx += 1  # DMA (2,)
+            redge_sems = refs[idx]; idx += 1  # DMA (2,)
 
         b0 = pl.program_id(0)
         base = b0 * k
@@ -1044,6 +1093,135 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                               out_hbm.at[:, pl.ds(base, k)],
                               out_sems.at[slot]).start()
 
+        # -- emit-rho: next step's post-stream density from the
+        # post-collision slab now sitting in VMEM (see docstring) ------
+        if emit_rho:
+            def pc_src(i, s):
+                """Post-collision plane base+s of direction i
+                (s in [-2, k-1]; negative planes from the ring)."""
+                ch = ipos[i]
+                if s >= 0:
+                    return fs_buf[slot, ch, s]
+                if s == -1:
+                    return ring1[nslot, ch - s_0]
+                return ring0[nslot, ch - s_p1]
+
+            def emitted_rho(src):
+                """Streamed density sum_i src_i(x-cx, y-cy); source
+                selection, roll and summation order identical to
+                make_rho_kernel_3d for bit-equality."""
+                acc = None
+                for i in range(Q):
+                    cx, cy = int(basis[i][0]), int(basis[i][1])
+                    plane = src(i)
+                    if cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    acc = plane if acc is None else acc + plane
+                return acc
+
+            def remit_copy_reg(s, base_expr):
+                return pltpu.make_async_copy(
+                    remit_buf.at[s],
+                    rho_out_hbm.at[pl.ds(base_expr - 1, k)],
+                    remit_sems.at[s])
+
+            def remit_copy_pro(s):
+                # program-0 prologue (k>=3): planes [1, k-2]
+                return pltpu.make_async_copy(
+                    remit_buf.at[s, pl.ds(0, k - 2)],
+                    rho_out_hbm.at[pl.ds(1, k - 2)],
+                    remit_sems.at[s])
+
+            def emit_planes(j_lo, j_hi):
+                for off, j in enumerate(range(j_lo, j_hi)):
+                    remit_buf[slot, off] = emitted_rho(
+                        lambda i, j=j: pc_src(
+                            i, j - int(basis[i][2])))
+
+            @pl.when(b0 >= r0)
+            def _():
+                # drain the emission that last used this staging slot
+                @pl.when(b0 >= r0 + 2)
+                def _():
+                    remit_copy_reg(slot, (b0 - 2) * k).wait()
+                if k >= 3:
+                    @pl.when(b0 == 2)
+                    def _():
+                        remit_copy_pro(slot).wait()
+                emit_planes(-1, k - 1)
+                remit_copy_reg(slot, base).start()
+
+            if k >= 3:
+                @pl.when(b0 == 0)
+                def _():
+                    emit_planes(1, k - 1)
+                    remit_copy_pro(slot).start()
+
+            # stash pc planes 0/1 for the periodic wrap emission
+            @pl.when(b0 == 0)
+            def _():
+                stash0[...] = fs_buf[slot, pl.ds(0, s_p1), 0]
+                if k >= 2:
+                    stash1[...] = fs_buf[slot, pl.ds(0, n_m1), 1]
+            if k == 1:
+                @pl.when(b0 == 1)
+                def _():
+                    stash1[...] = fs_buf[slot, pl.ds(0, n_m1), 0]
+
+            # ring update: carry this slab's last two pc planes
+            # (emission above read the PREVIOUS slab's ring via nslot)
+            if k == 1:
+                ring0[slot] = ring1[nslot, pl.ds(s_p1 - s_0, n_p1)]
+            else:
+                ring0[slot] = fs_buf[slot, pl.ds(s_p1, n_p1), k - 2]
+            ring1[slot] = fs_buf[slot, pl.ds(s_0, Q - s_0), k - 1]
+
+            @pl.when(b0 == B - 1)
+            def _():
+                # periodic wrap planes: Z-1 (needs pc Z-2, Z-1, 0) and
+                # 0 (needs pc Z-1, 0, 1)
+                def src_last(i):
+                    cz = int(basis[i][2])
+                    ch = ipos[i]
+                    if cz == 1:          # source plane Z-2
+                        if k >= 2:
+                            return fs_buf[slot, ch, k - 2]
+                        return ring0[slot, ch - s_p1]
+                    if cz == 0:          # source plane Z-1
+                        return fs_buf[slot, ch, k - 1]
+                    return stash0[ch]    # cz=-1: source plane Z -> 0
+
+                def src_first(i):
+                    cz = int(basis[i][2])
+                    ch = ipos[i]
+                    if cz == 1:          # source plane -1 -> Z-1
+                        return fs_buf[slot, ch, k - 1]
+                    if cz == 0:          # source plane 0
+                        return stash0[ch]
+                    return stash1[ch]    # cz=-1: source plane 1
+
+                redge_buf[0] = emitted_rho(src_last)
+                redge_buf[1] = emitted_rho(src_first)
+                c0 = pltpu.make_async_copy(redge_buf.at[0],
+                                           rho_out_hbm.at[Z - 1],
+                                           redge_sems.at[0])
+                c1 = pltpu.make_async_copy(redge_buf.at[1],
+                                           rho_out_hbm.at[0],
+                                           redge_sems.at[1])
+                c0.start()
+                c1.start()
+                c0.wait()
+                c1.wait()
+                # drain the outstanding slab emissions (no successor
+                # exists to recycle these staging slots)
+                remit_copy_reg(slot, base).wait()
+                if B - 2 >= r0:
+                    remit_copy_reg(nslot, (B - 2) * k).wait()
+                elif B - 2 == 0 and k >= 3:
+                    remit_copy_pro(nslot).wait()
+
         # -- patch overlay: complex-BC rows computed exactly by the XLA
         # machinery replace the in-kernel values (which are garbage
         # there but never read by anyone: successors gather OLD values,
@@ -1119,6 +1297,13 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
     if sc:
         scratch.append(pltpu.VMEM((2, k + 2, Y, X), dtype))
+    if emit_rho:
+        scratch.append(pltpu.VMEM((2, n_p1, Y, X), dtype))      # ring0
+        scratch.append(pltpu.VMEM((2, Q - s_0, Y, X), dtype))   # ring1
+        scratch.append(pltpu.VMEM((s_p1, Y, X), dtype))         # stash0
+        scratch.append(pltpu.VMEM((n_m1, Y, X), dtype))         # stash1
+        scratch.append(pltpu.VMEM((2, k, Y, X), dtype))         # remit
+        scratch.append(pltpu.VMEM((2, Y, X), dtype))            # redge
     if patch_rows:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     if dyn_patches:
@@ -1126,6 +1311,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 4)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if emit_rho:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))           # redge
 
     # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
     # v5e has headroom, so request what the buffers need plus margin
@@ -1134,6 +1322,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         vmem_need += 2 * k * Y * X * 4
     if sc:
         vmem_need += 2 * (k + 2) * Y * X * 4
+    if emit_rho:
+        vmem_need += (2 * n_p1 + 2 * (Q - s_0) + s_p1 + n_m1
+                      + 2 * k + 2) * Y * X * 4
     # margin: Mosaic stack temporaries (moments/feq/psi planes inside
     # the collide) scale with the slab size; the limit is only a gate,
     # not an allocation, so be generous -- two slab-sized sets plus
@@ -1142,21 +1333,31 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     vmem_limit = min(max(16 * 2 ** 20, vmem_need + margin),
                      100 * 2 ** 20)
 
+    out_shape = jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    # in-place update: TPU HBM streams ~1.8x faster when the write
+    # lands in the read buffer (measured 513 vs 283 GB/s on v5e for
+    # the same copy kernel). The kernel never reads out_hbm, and
+    # pre_write_waits() orders the one cross-plane hazard, so this
+    # is correct whether or not XLA honors the alias.
+    io_aliases = {0: 0}
+    if emit_rho:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((Z, Y, X), dtype)]
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.ANY)]
+        # rho updates in place too: program b writes planes <=
+        # base+k-2, every read of those planes (gathers of programs
+        # <= b+1) has already landed by emission time
+        io_aliases[3] = 1
     fused = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=vmem_limit),
-        # in-place update: TPU HBM streams ~1.8x faster when the write
-        # lands in the read buffer (measured 513 vs 283 GB/s on v5e for
-        # the same copy kernel). The kernel never reads out_hbm, and
-        # pre_write_waits() orders the one cross-plane hazard, so this
-        # is correct whether or not XLA honors the alias.
-        input_output_aliases={0: 0},
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )
     return fused
@@ -1580,10 +1781,16 @@ class PallasStep3D:
                                  k_max=4 if heavy else 8)
         assert Zs % slab_k == 0, (Zs, slab_k)
         self.slab_k = slab_k
+        # Shan-Chen: emit next step's post-stream rho from the kernel
+        # itself (carrying (f, rho) between steps) instead of paying
+        # the ~80 B/node rho pre-pass every step; needs >= 3 pipeline
+        # programs for the ring/stash carries
+        self.emit_rho = self.sc and Zs // slab_k >= 3
         self.kernel = make_kernel_3d(builder, Zs, Ys, Xs,
                                      patch_rows=self.patch_rows,
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc,
+                                     emit_rho=self.emit_rho,
                                      k=slab_k)
         # Pallas patch prologue for the native-BC rows: parameter
         # planes ([rho_bc, vel_*], padded with safe values -- pad nodes
@@ -1662,24 +1869,33 @@ class PallasStep3D:
             [bc_planes[r] if r in bc_planes else xla_planes[r]
              for r in self.patch_rows], axis=1)
 
-    def step(self, f, it=0, ghost_lo=None, ghost_hi=None):
+    def step(self, carry, it=0, ghost_lo=None, ghost_hi=None):
         """One fused step on KERNEL-LAYOUT state (padded, cz-grouped;
         see pad_state). Ghost planes default to the periodic wrap of
         ``f`` itself; a sharded caller passes ppermute'd neighbor
-        faces instead."""
+        faces instead. In emit-rho mode (Shan-Chen) the carry is
+        (f, rho) and the step returns the updated pair."""
+        if self.emit_rho:
+            f, rho = carry
+        else:
+            f = carry
         if ghost_lo is None:
             ghost_lo = f[:, -1]
         if ghost_hi is None:
             ghost_hi = f[:, 0]
         args = [f, ghost_lo, ghost_hi]
         if self.sc:
-            rho = self._post_stream_rho(f)
+            if not self.emit_rho:
+                rho = self._post_stream_rho(f)
             args += [rho, rho[-1], rho[0]]
         if self.has_mask:
             args.append(self.mask)
         if self.patch_rows:
             args.append(self._compute_patches(f, it))
-        return self.kernel(*args)
+        out = self.kernel(*args)
+        if self.emit_rho:
+            return tuple(out)
+        return out
 
     @property
     def padded(self):
@@ -1691,15 +1907,19 @@ class PallasStep3D:
     def pad_state(self, f):
         """Standard state -> kernel layout: cz-grouped Q order +
         tile-aligned Y/X (pad nodes are mask=2 'keep'); applied once
-        per chunk."""
+        per chunk. In emit-rho mode the returned carry is (f, rho)
+        with rho seeded by the pre-pass kernel."""
         f = f[self._qperm]
         if self.pad_y or self.pad_x:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, self.pad_y),
                             (0, self.pad_x)))
+        if self.emit_rho:
+            return (f, self._post_stream_rho(f))
         return f
 
-    def crop_state(self, f):
+    def crop_state(self, carry):
         """Kernel layout -> standard state."""
+        f = carry[0] if self.emit_rho else carry
         if self.pad_y or self.pad_x:
             f = f[:, :, :self.shape[1], :self.shape[2]]
         return f[self._qinv]

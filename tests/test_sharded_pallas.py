@@ -188,6 +188,64 @@ def test_pallas3d_shan_chen_matches_xla():
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
 
 
+def test_pallas3d_sc_emit_rho_bitwise():
+    """The emit-rho Shan-Chen kernel (in-kernel post-stream density
+    emission, (f, rho) carry) is bit-identical to the rho pre-pass
+    path across slab depths (k=1 exercises the 2-program ring carry,
+    k=4 the in-slab one) and with a wall mask."""
+    import jax.numpy as jnp
+
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.single import LBSingleFluidShanChen
+    from sailfish_tpu.node_type import NTFullBBWall
+    from sailfish_tpu.ops.pallas_step import PallasStep3D, make_kernel_3d
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Sep3(Subdomain3D):
+        walls = False
+
+        def boundary_conditions(self, hx, hy, hz):
+            if self.walls:
+                self.set_node((hy == 0) | (hy == self.gy - 1),
+                              NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = np.random.RandomState(7).rand(
+                *sim.rho.shape) / 100 + 0.693
+
+    class S3(LBSingleFluidShanChen):
+        subdomain = Sep3
+
+        @classmethod
+        def update_defaults(cls, d):
+            d.update(dict(G=-5.0, visc=1.0 / 6.0, periodic_x=True,
+                          periodic_y=True, periodic_z=True,
+                          sc_potential='classic', grid='D3Q19'))
+
+    for nz, walls in [(6, False), (16, False), (16, True)]:
+        Sep3.walls = walls
+        ctrl = LBSimulationController(S3, default_config=dict(
+            lat_nx=32, lat_ny=16, lat_nz=nz, max_iters=0, every=10,
+            quiet=True, engine='xla'))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        b, f0, shape = r.builder, r.f, (nz, 16, 32)
+
+        p_new = PallasStep3D(b, shape, interpret=True)
+        assert p_new.emit_rho, (nz, p_new.slab_k)
+        p_old = PallasStep3D(b, shape, interpret=True)
+        p_old.emit_rho = False
+        p_old.kernel = make_kernel_3d(
+            b, *shape, patch_rows=p_old.patch_rows,
+            has_mask=p_old.has_mask, interpret=True, sc=True,
+            k=p_old.slab_k)
+
+        fa = p_new.run_steps(jnp.asarray(f0), 7)
+        fb = p_old.run_steps(jnp.asarray(f0), 7)
+        assert np.max(np.abs(np.asarray(fa) - np.asarray(fb))) == 0.0, \
+            (nz, walls, p_new.slab_k)
+
+
 def test_pallas3d_tile_padding_unaligned_domain():
     """Domains with Y%8/X%128 != 0 but solid outer layers run on the
     fused kernel via tile padding; wet-node state matches the XLA
