@@ -33,7 +33,7 @@ from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
-                   max_patches=0, sc=False):
+                   max_patches=0, sc=False, emit_rho=False):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -49,6 +49,17 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     (NB,) SMEM map plus a (Q, max_patches, by, X) plane input (one
     traced program serves every shard; see the 3D kernel's dynamic
     mode).
+
+    ``emit_rho`` (requires ``sc``, excludes patches): emit next step's
+    post-stream density as a second output aliased onto the rho input,
+    making the per-step rho pre-pass (make_rho_kernel_2d) unnecessary
+    -- the 2D counterpart of the 3D kernel's emit-rho mode (see
+    pallas_step.make_kernel_3d). rho block p needs post-collision rows
+    of blocks p-1..p+1, and y-block DMA offsets must stay by-aligned,
+    so program p emits block p-1 whole (both out_buf slots + a 1-row
+    ring carry) and the epilogue emits blocks NB-1 and 0 from a
+    stashed pc block 0 / first row of block 1. The step carries
+    (f, rho); emitted values are bit-identical to the pre-pass.
     """
     g = builder.grid
     Q = g.Q
@@ -60,6 +71,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     NB = Y // by
     patch_blocks = tuple(int(b) for b in patch_blocks)
     assert not (patch_blocks and dyn_patches)
+    if emit_rho:
+        assert sc and not patch_blocks and not dyn_patches
 
     if NB < 4:
         raise NotImplementedError(
@@ -84,6 +97,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx]; idx += 1
+        rho_out_hbm = None
+        if emit_rho:
+            rho_out_hbm = refs[idx]; idx += 1
         blk_buf = refs[idx]; idx += 1     # (4, Q, by, X) rotating cache
         out_buf = refs[idx]; idx += 1     # (2, Q, by, X)
         mask_buf = None
@@ -92,8 +108,17 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         rho_buf = None
         if sc:
             rho_buf = refs[idx]; idx += 1   # (4, 1, by, X)
+        ring_row = stash_blk = stash_row1 = remit_buf = None
+        if emit_rho:
+            ring_row = refs[idx]; idx += 1    # (Q, 1, X) pc last row b-2
+            stash_blk = refs[idx]; idx += 1   # (Q, by, X) pc block 0
+            stash_row1 = refs[idx]; idx += 1  # (Q, 1, X) pc row of blk 1
+            remit_buf = refs[idx]; idx += 1   # (2, by, X)
         in_sems = refs[idx]; idx += 1      # DMA (4, Q+2)
         out_sems = refs[idx]; idx += 1     # DMA (2,)
+        remit_sems = None
+        if emit_rho:
+            remit_sems = refs[idx]; idx += 1  # DMA (2,)
 
         k = pl.program_id(0)
 
@@ -305,6 +330,90 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         else:
             normal_body()
 
+        # -- emit-rho: next step's post-stream density from the
+        # post-collision blocks in VMEM (see docstring) ----------------
+        if emit_rho:
+            o_prev = jax.lax.rem(k + 1, 2)
+
+            def emitted_rho_block(prev_row, blk, next_row):
+                """Streamed density over one y-block; row assembly,
+                roll and summation order identical to
+                make_rho_kernel_2d for bit-equality. prev_row/next_row:
+                fn(i) -> the pc row below/above the block."""
+                acc = None
+                for i in range(Q):
+                    cx, cy = int(basis[i][0]), int(basis[i][1])
+                    cur = blk(i)
+                    if cy == 0:
+                        plane = cur
+                    elif cy == 1:
+                        plane = jnp.concatenate(
+                            [prev_row(i), cur[:by - 1]], axis=0)
+                    else:
+                        plane = jnp.concatenate(
+                            [cur[1:], next_row(i)], axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    acc = plane if acc is None else acc + plane
+                return acc
+
+            def remit_copy(s, blk_expr):
+                return pltpu.make_async_copy(
+                    remit_buf.at[s],
+                    rho_out_hbm.at[pl.ds(blk_expr * by, by)],
+                    remit_sems.at[s])
+
+            # regular emission: block k-1 whole (k >= 2; block 0 needs
+            # the wrap row Y-1 and waits for the epilogue)
+            @pl.when(k >= 2)
+            def _():
+                @pl.when(k >= 4)
+                def _():
+                    # drain this staging slot's previous emission
+                    remit_copy(oslot, k - 3).wait()
+                remit_buf[oslot] = emitted_rho_block(
+                    lambda i: ring_row[i],
+                    lambda i: out_buf[o_prev, i],
+                    lambda i: out_buf[oslot, i, 0:1])
+                remit_copy(oslot, k - 1).start()
+
+            # stashes for the wrap-block emissions in the epilogue
+            @pl.when(k == 0)
+            def _():
+                stash_blk[...] = out_buf[oslot]
+
+            @pl.when(k == 1)
+            def _():
+                stash_row1[...] = out_buf[oslot, :, 0:1]
+
+            # ring: carry the last pc row of block k-1 for program k+1
+            # (the emission above read the old value = block k-2's)
+            @pl.when(k >= 1)
+            def _():
+                ring_row[...] = out_buf[o_prev, :, by - 1:by]
+
+            @pl.when(k == NB - 1)
+            def _():
+                # drain the outstanding regular emissions
+                remit_copy(oslot, k - 1).wait()
+                remit_copy(o_prev, k - 2).wait()
+                # block NB-1: its top row wraps to pc row 0
+                remit_buf[oslot] = emitted_rho_block(
+                    lambda i: out_buf[o_prev, i, by - 1:by],
+                    lambda i: out_buf[oslot, i],
+                    lambda i: stash_blk[i, 0:1])
+                c = remit_copy(oslot, NB - 1)
+                c.start()
+                c.wait()
+                # block 0: its bottom row wraps to pc row Y-1
+                remit_buf[oslot] = emitted_rho_block(
+                    lambda i: out_buf[oslot, i, by - 1:by],
+                    lambda i: stash_blk[i],
+                    lambda i: stash_row1[i])
+                c = remit_copy(oslot, 0)
+                c.start()
+                c.wait()
+
         # epilogue: drain the last two writes
         if dyn_patches:
             @pl.when(k == NB - 1)
@@ -336,6 +445,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
     if sc:
         scratch.append(pltpu.VMEM((4, 1, by, X), dtype))
+    if emit_rho:
+        scratch.append(pltpu.VMEM((Q, 1, X), dtype))    # ring_row
+        scratch.append(pltpu.VMEM((Q, by, X), dtype))   # stash_blk
+        scratch.append(pltpu.VMEM((Q, 1, X), dtype))    # stash_row1
+        scratch.append(pltpu.VMEM((2, by, X), dtype))   # remit
     if patch_blocks:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     if dyn_patches:
@@ -343,20 +457,31 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((4, 3)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if emit_rho:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))   # remit
 
+    out_shape = jax.ShapeDtypeStruct((Q, Y, X), dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    # in-place update (see the 3D kernel for the measurement); the
+    # kernel never reads out_hbm and each block's single HBM read
+    # (its prefetch) completes a full program before its write, so
+    # aliasing needs no extra in-kernel ordering
+    io_aliases = {0: 0}
+    if emit_rho:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((Y, X), dtype)]
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.ANY)]
+        # rho updates in place too: program p writes block p-1, whose
+        # last gather (as some program's "prev" block) landed at p-1
+        io_aliases[3] = 1
     fused = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((Q, Y, X), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        # in-place update (see the 3D kernel for the measurement); the
-        # kernel never reads out_hbm and each block's single HBM read
-        # (its prefetch) completes a full program before its write, so
-        # aliasing needs no extra in-kernel ordering
-        input_output_aliases={0: 0},
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )
     return fused
@@ -670,10 +795,16 @@ class PallasStep2D:
             self.bc_kernel = make_bc_patch_kernel_2d(
                 builder, Ys, Xs, by, self.bc_blocks, self.bc_instances,
                 interpret=interpret)
+        # Shan-Chen: emit next step's post-stream rho from the kernel
+        # itself (carrying (f, rho) between steps) instead of paying
+        # the ~40 B/node rho pre-pass every step; the regular-emission
+        # pipeline needs >= 4 y-blocks (guaranteed above)
+        self.emit_rho = self.sc and not self.patch_blocks
         self.kernel = make_kernel_2d(builder, Ys, Xs, by=by,
                                      patch_blocks=self.patch_blocks,
                                      has_mask=self.has_mask,
-                                     interpret=interpret, sc=self.sc)
+                                     interpret=interpret, sc=self.sc,
+                                     emit_rho=self.emit_rho)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_2d(builder, Ys, Xs, by=by,
@@ -711,18 +842,46 @@ class PallasStep2D:
             [bc[b] if b in bc else xla[b] for b in self.patch_blocks],
             axis=1)
 
-    def step(self, f, it=0):
+    def step(self, carry, it=0):
+        """One fused step. In emit-rho mode (Shan-Chen) the carry is
+        (f, rho) and the step returns the updated pair; otherwise the
+        carry is just f."""
+        if self.emit_rho:
+            f, rho = carry
+        else:
+            f = carry
         # periodic wrap blocks as materialized ghost copies (the kernel
         # writes f in place; see make_kernel_2d)
         args = [f, f[:, -self.by:], f[:, :self.by]]
         if self.sc:
-            args.append(self._post_stream_rho(f))
+            if not self.emit_rho:
+                rho = self._post_stream_rho(f)
+            args.append(rho)
         if self.has_mask:
             args.append(self.mask)
         if self.patch_blocks:
             args.append(self._compute_patches(f, it))
-        return self.kernel(*args)
+        out = self.kernel(*args)
+        if self.emit_rho:
+            return tuple(out)
+        return out
+
+    @property
+    def padded(self):
+        """True when the between-steps carry is (f, rho) rather than f
+        (emit-rho mode); pad_state/crop_state convert once per chunk."""
+        return self.emit_rho
+
+    def pad_state(self, f):
+        if self.emit_rho:
+            return (f, self._post_stream_rho(f))
+        return f
+
+    def crop_state(self, carry):
+        return carry[0] if self.emit_rho else carry
 
     def run_steps(self, f, n, it0=0):
-        return jax.lax.fori_loop(
+        f = self.pad_state(f)
+        f = jax.lax.fori_loop(
             0, n, lambda i, fc: self.step(fc, it0 + i), f)
+        return self.crop_state(f)
