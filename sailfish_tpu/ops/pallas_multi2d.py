@@ -34,7 +34,7 @@ from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
 
 
 def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
-                            interpret=False):
+                            interpret=False, emit_rho=False):
     """fused(f_0..f_{K-1}, glo_0..glo_{K-1}, ghi_0..ghi_{K-1},
     rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1}).
 
@@ -42,7 +42,17 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     pallas_step.make_kernel_3d for the bandwidth measurement), so the
     y-wrap blocks of each component must arrive as materialized ghost
     copies (glo = block NB-1, ghi = block 0 of the pre-step state);
-    the rho wraps read the separate pre-pass buffers and stay safe."""
+    the rho wraps read the separate pre-pass buffers and stay safe.
+
+    ``emit_rho``: additionally emit next step's post-stream densities
+    (one per component, aliased onto the rho inputs) so the step can
+    carry (fs, rhos) between iterations instead of paying K rho
+    pre-passes per step -- the multi-component version of the
+    single-fluid 2D emit-rho mode (pallas_step2d.make_kernel_2d):
+    program p emits rho block p-1 of every component from the
+    post-collision blocks still in VMEM, with a 1-row ring carry and
+    stashed block 0 / first row of block 1 for the two wrap blocks in
+    the epilogue. Emitted values are bit-identical to the pre-pass."""
     b0 = mbuilder.b0
     g = mbuilder.grid
     Q = g.Q
@@ -77,14 +87,26 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
         out_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        rho_out_hbm = None
+        if emit_rho:
+            rho_out_hbm = [refs[idx + c] for c in range(K)]; idx += K
         blk_buf = refs[idx]; idx += 1     # (4, K*Q, by, X)
         out_buf = refs[idx]; idx += 1     # (2, K*Q, by, X)
         rho_buf = refs[idx]; idx += 1     # (4, K, by, X)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
+        ring_row = stash_blk = stash_row1 = remit_buf = None
+        if emit_rho:
+            ring_row = refs[idx]; idx += 1    # (K*Q, 1, X)
+            stash_blk = refs[idx]; idx += 1   # (K*Q, by, X)
+            stash_row1 = refs[idx]; idx += 1  # (K*Q, 1, X)
+            remit_buf = refs[idx]; idx += 1   # (2, K, by, X)
         in_sems = refs[idx]; idx += 1      # DMA (4, 2*K+1)
         out_sems = refs[idx]; idx += 1     # DMA (2, K)
+        remit_sems = None
+        if emit_rho:
+            remit_sems = refs[idx]; idx += 1  # DMA (2, K)
 
         k = pl.program_id(0)
 
@@ -306,6 +328,96 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                 out_hbm[c].at[:, pl.ds(k * by, by)],
                 out_sems.at[oslot, c]).start()
 
+        # -- emit-rho: next step's post-stream densities from the
+        # post-collision blocks in VMEM (see docstring) ----------------
+        if emit_rho:
+            o_prev = jax.lax.rem(k + 1, 2)
+
+            def emitted_rho_block(c, prev_row, blk, next_row):
+                """Streamed density of component c over one y-block;
+                row assembly, roll and summation order identical to
+                make_rho_kernel_2d for bit-equality. prev_row/blk/
+                next_row: fn(ch) -> the pc rows of cache channel ch."""
+                acc = None
+                for i in range(Q):
+                    cx, cy = int(basis[i][0]), int(basis[i][1])
+                    ch = c * Q + i
+                    cur = blk(ch)
+                    if cy == 0:
+                        plane = cur
+                    elif cy == 1:
+                        plane = jnp.concatenate(
+                            [prev_row(ch), cur[:by - 1]], axis=0)
+                    else:
+                        plane = jnp.concatenate(
+                            [cur[1:], next_row(ch)], axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    acc = plane if acc is None else acc + plane
+                return acc
+
+            def remit_copy(s, c, blk_expr):
+                return pltpu.make_async_copy(
+                    remit_buf.at[s, c],
+                    rho_out_hbm[c].at[pl.ds(blk_expr * by, by)],
+                    remit_sems.at[s, c])
+
+            # regular emission: block k-1 whole (k >= 2; block 0 needs
+            # the wrap row Y-1 and waits for the epilogue)
+            @pl.when(k >= 2)
+            def _():
+                for c in range(K):
+                    @pl.when(k >= 4)
+                    def _(c=c):
+                        # drain this staging slot's previous emission
+                        remit_copy(oslot, c, k - 3).wait()
+                    remit_buf[oslot, c] = emitted_rho_block(
+                        c,
+                        lambda ch: ring_row[ch],
+                        lambda ch: out_buf[o_prev, ch],
+                        lambda ch: out_buf[oslot, ch, 0:1])
+                    remit_copy(oslot, c, k - 1).start()
+
+            # stashes for the wrap-block emissions in the epilogue
+            @pl.when(k == 0)
+            def _():
+                stash_blk[...] = out_buf[oslot]
+
+            @pl.when(k == 1)
+            def _():
+                stash_row1[...] = out_buf[oslot, :, 0:1]
+
+            # ring: carry the last pc row of block k-1 for program k+1
+            # (the emission above read the old value = block k-2's)
+            @pl.when(k >= 1)
+            def _():
+                ring_row[...] = out_buf[o_prev, :, by - 1:by]
+
+            @pl.when(k == NB - 1)
+            def _():
+                for c in range(K):
+                    # drain the outstanding regular emissions
+                    remit_copy(oslot, c, k - 1).wait()
+                    remit_copy(o_prev, c, k - 2).wait()
+                    # block NB-1: its top row wraps to pc row 0
+                    remit_buf[oslot, c] = emitted_rho_block(
+                        c,
+                        lambda ch: out_buf[o_prev, ch, by - 1:by],
+                        lambda ch: out_buf[oslot, ch],
+                        lambda ch: stash_blk[ch, 0:1])
+                    cpy = remit_copy(oslot, c, NB - 1)
+                    cpy.start()
+                    cpy.wait()
+                    # block 0: its bottom row wraps to pc row Y-1
+                    remit_buf[oslot, c] = emitted_rho_block(
+                        c,
+                        lambda ch: out_buf[oslot, ch, by - 1:by],
+                        lambda ch: stash_blk[ch],
+                        lambda ch: stash_row1[ch])
+                    cpy = remit_copy(oslot, c, 0)
+                    cpy.start()
+                    cpy.wait()
+
         @pl.when(k == NB - 1)
         def _():
             wait_out(oslot)
@@ -320,33 +432,56 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    if emit_rho:
+        scratch.append(pltpu.VMEM((K * Q, 1, X), dtype))   # ring_row
+        scratch.append(pltpu.VMEM((K * Q, by, X), dtype))  # stash_blk
+        scratch.append(pltpu.VMEM((K * Q, 1, X), dtype))   # stash_row1
+        scratch.append(pltpu.VMEM((2, K, by, X), dtype))   # remit
     scratch.append(pltpu.SemaphoreType.DMA((4, 2 * K + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
+    if emit_rho:
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # remit
 
+    n_out = 2 * K if emit_rho else K
+    out_shape = tuple(jax.ShapeDtypeStruct((Q, Y, X), dtype)
+                      for _ in range(K))
+    # in-place component updates (wrap blocks come from the ghost
+    # inputs; each interior block's single HBM read completes a full
+    # program before its write); in emit-rho mode the emitted
+    # densities alias the rho inputs the same way (rho block p-1's
+    # last prefetch read lands at program p-3; its write starts at p)
+    io_aliases = {c: c for c in range(K)}
+    if emit_rho:
+        out_shape = out_shape + tuple(
+            jax.ShapeDtypeStruct((Y, X), dtype) for _ in range(K))
+        for c in range(K):
+            io_aliases[3 * K + c] = K + c
     fused = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=in_specs,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
-                        for _ in range(K)),
-        out_shape=tuple(jax.ShapeDtypeStruct((Q, Y, X), dtype)
-                        for _ in range(K)),
+                        for _ in range(n_out)),
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        # in-place component updates (wrap blocks come from the ghost
-        # inputs; each interior block's single HBM read completes a
-        # full program before its write)
-        input_output_aliases={c: c for c in range(K)},
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )
     return fused
 
 
 def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
-                      wetting=False, interpret=False):
+                      wetting=False, interpret=False, emit_rho=False):
     """Fused binary free-energy step (reference lb_binary_fluid.mako):
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi_field[, mask][, orient])
     -> (f0', f1').
+
+    ``emit_rho``: additionally emit next step's post-stream order
+    parameter (the streamed sum of f1, aliased onto the phi input) so
+    the step carries (state, phi) between iterations instead of paying
+    the phi pre-pass every step -- same ring/stash scheme as
+    make_kernel_2d_sc_multi but for the single f1 channel set.
 
     ``phi_field`` is the post-stream order parameter (rho pre-pass on
     f1); the Landau chemical potential, isotropic laplacian/gradient
@@ -392,6 +527,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         if wetting:
             orient_hbm = refs[idx]; idx += 1
         out_hbm = [refs[idx], refs[idx + 1]]; idx += 2
+        phi_out_hbm = None
+        if emit_rho:
+            phi_out_hbm = refs[idx]; idx += 1
         blk_buf = refs[idx]; idx += 1     # (4, 2Q, by, X)
         out_buf = refs[idx]; idx += 1     # (2, 2Q, by, X)
         phi_buf = refs[idx]; idx += 1     # (4, 1, by, X)
@@ -400,8 +538,17 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             mask_buf = refs[idx]; idx += 1
         if wetting:
             orient_buf = refs[idx]; idx += 1
+        ring_row = stash_blk = stash_row1 = remit_buf = None
+        if emit_rho:
+            ring_row = refs[idx]; idx += 1    # (Q, 1, X)
+            stash_blk = refs[idx]; idx += 1   # (Q, by, X)
+            stash_row1 = refs[idx]; idx += 1  # (Q, 1, X)
+            remit_buf = refs[idx]; idx += 1   # (2, by, X)
         in_sems = refs[idx]; idx += 1      # DMA (4, 5)
         out_sems = refs[idx]; idx += 1     # DMA (2, 2)
+        remit_sems = None
+        if emit_rho:
+            remit_sems = refs[idx]; idx += 1  # DMA (2,)
 
         k = pl.program_id(0)
 
@@ -649,6 +796,91 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                 out_hbm[c].at[:, pl.ds(k * by, by)],
                 out_sems.at[oslot, c]).start()
 
+        # -- emit-rho: next step's post-stream order parameter from the
+        # post-collision f1 blocks in VMEM (see docstring; same scheme
+        # as make_kernel_2d_sc_multi with the single Q..2Q channel set)
+        if emit_rho:
+            o_prev = jax.lax.rem(k + 1, 2)
+
+            def emitted_phi_block(prev_row, blk, next_row):
+                """Streamed order parameter over one y-block; row
+                assembly, roll and summation order identical to
+                make_rho_kernel_2d for bit-equality. prev_row/blk/
+                next_row: fn(i) -> pc rows of f1 dist i."""
+                acc = None
+                for i in range(Q):
+                    cx, cy = int(basis[i][0]), int(basis[i][1])
+                    cur = blk(i)
+                    if cy == 0:
+                        plane = cur
+                    elif cy == 1:
+                        plane = jnp.concatenate(
+                            [prev_row(i), cur[:by - 1]], axis=0)
+                    else:
+                        plane = jnp.concatenate(
+                            [cur[1:], next_row(i)], axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    acc = plane if acc is None else acc + plane
+                return acc
+
+            def remit_copy(s, blk_expr):
+                return pltpu.make_async_copy(
+                    remit_buf.at[s],
+                    phi_out_hbm.at[pl.ds(blk_expr * by, by)],
+                    remit_sems.at[s])
+
+            # regular emission: block k-1 whole (k >= 2; block 0 needs
+            # the wrap row Y-1 and waits for the epilogue)
+            @pl.when(k >= 2)
+            def _():
+                @pl.when(k >= 4)
+                def _():
+                    # drain this staging slot's previous emission
+                    remit_copy(oslot, k - 3).wait()
+                remit_buf[oslot] = emitted_phi_block(
+                    lambda i: ring_row[i],
+                    lambda i: out_buf[o_prev, Q + i],
+                    lambda i: out_buf[oslot, Q + i, 0:1])
+                remit_copy(oslot, k - 1).start()
+
+            # stashes for the wrap-block emissions in the epilogue
+            @pl.when(k == 0)
+            def _():
+                stash_blk[...] = out_buf[oslot, pl.ds(Q, Q)]
+
+            @pl.when(k == 1)
+            def _():
+                stash_row1[...] = out_buf[oslot, pl.ds(Q, Q), 0:1]
+
+            # ring: carry the last pc row of block k-1 for program k+1
+            # (the emission above read the old value = block k-2's)
+            @pl.when(k >= 1)
+            def _():
+                ring_row[...] = out_buf[o_prev, pl.ds(Q, Q), by - 1:by]
+
+            @pl.when(k == NB - 1)
+            def _():
+                # drain the outstanding regular emissions
+                remit_copy(oslot, k - 1).wait()
+                remit_copy(o_prev, k - 2).wait()
+                # block NB-1: its top row wraps to pc row 0
+                remit_buf[oslot] = emitted_phi_block(
+                    lambda i: out_buf[o_prev, Q + i, by - 1:by],
+                    lambda i: out_buf[oslot, Q + i],
+                    lambda i: stash_blk[i, 0:1])
+                cpy = remit_copy(oslot, NB - 1)
+                cpy.start()
+                cpy.wait()
+                # block 0: its bottom row wraps to pc row Y-1
+                remit_buf[oslot] = emitted_phi_block(
+                    lambda i: out_buf[oslot, Q + i, by - 1:by],
+                    lambda i: stash_blk[i],
+                    lambda i: stash_row1[i])
+                cpy = remit_copy(oslot, 0)
+                cpy.start()
+                cpy.wait()
+
         @pl.when(k == NB - 1)
         def _():
             wait_out(oslot)
@@ -665,21 +897,37 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
     if wetting:
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
+    if emit_rho:
+        scratch.append(pltpu.VMEM((Q, 1, X), dtype))   # ring_row
+        scratch.append(pltpu.VMEM((Q, by, X), dtype))  # stash_blk
+        scratch.append(pltpu.VMEM((Q, 1, X), dtype))   # stash_row1
+        scratch.append(pltpu.VMEM((2, by, X), dtype))  # remit
     scratch.append(pltpu.SemaphoreType.DMA((4, 5)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+    if emit_rho:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # remit
+
+    n_out = 3 if emit_rho else 2
+    out_shape = [jax.ShapeDtypeStruct((Q, Y, X), dtype),
+                 jax.ShapeDtypeStruct((Q, Y, X), dtype)]
+    # in-place component updates (see the SC kernel note); the emitted
+    # phi aliases the phi input the same way (phi block p-1's last
+    # prefetch read lands at program p-3; its write starts at p)
+    io_aliases = {0: 0, 1: 1}
+    if emit_rho:
+        out_shape.append(jax.ShapeDtypeStruct((Y, X), dtype))
+        io_aliases[6] = 2
 
     return pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
-        out_shape=(jax.ShapeDtypeStruct((Q, Y, X), dtype),
-                   jax.ShapeDtypeStruct((Q, Y, X), dtype)),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                        for _ in range(n_out)),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        # in-place component updates (see the SC kernel note)
-        input_output_aliases={0: 0, 1: 1},
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )
 
@@ -708,26 +956,45 @@ class PallasStepFE2D:
             self.orient = mbuilder._dry_orient
         self.kernel = make_kernel_2d_fe(
             mbuilder, Ys, Xs, by=by, has_mask=self.has_mask,
-            wetting=self.wetting, interpret=interpret)
+            wetting=self.wetting, interpret=interpret, emit_rho=True)
         self.rho_kernel = make_rho_kernel_2d(b0, Ys, Xs, by=by,
                                              interpret=interpret)
 
-    def step(self, state, it=0):
-        f0, f1 = state
+    def step(self, carry, it=0):
+        """One fused step on the ((f0, f1), phi) carry (emit-rho mode;
+        see make_kernel_2d_fe -- the kernel emits next step's order
+        parameter itself instead of paying the phi pre-pass per step)."""
+        (f0, f1), phi = carry
         # wrap blocks as materialized ghosts (the kernel writes the f
         # buffers in place)
         by = self.by
         args = [f0, f1, f0[:, -by:], f1[:, -by:], f0[:, :by],
-                f1[:, :by], self.rho_kernel(f1)]
+                f1[:, :by], phi]
         if self.has_mask:
             args.append(self.mask)
         if self.wetting:
             args.append(self.orient)
-        return tuple(self.kernel(*args))
+        out = self.kernel(*args)
+        return (out[0], out[1]), out[2]
+
+    @property
+    def padded(self):
+        """The between-steps carry is (state, phi); pad_state/crop_state
+        convert once per chunk."""
+        return True
+
+    def pad_state(self, state):
+        f0, f1 = state
+        return (f0, f1), self.rho_kernel(f1)
+
+    def crop_state(self, carry):
+        return tuple(carry[0])
 
     def run_steps(self, state, n, it0=0):
-        return jax.lax.fori_loop(
-            0, n, lambda i, sc: self.step(sc, it0 + i), state)
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)
 
 
 class PallasStepSCMulti2D:
@@ -760,22 +1027,43 @@ class PallasStepSCMulti2D:
         self.by = by
         self.has_mask = bool((mask_np != 0).any())
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
+        self.K = len(mbuilder.components)
         self.kernel = make_kernel_2d_sc_multi(
             mbuilder, Ys, Xs, by=by, has_mask=self.has_mask,
-            interpret=interpret)
+            interpret=interpret, emit_rho=True)
         self.rho_kernel = make_rho_kernel_2d(b0, Ys, Xs, by=by,
                                              interpret=interpret)
 
-    def step(self, state, it=0):
+    def step(self, carry, it=0):
+        """One fused step on the (fs, rhos) carry (emit-rho mode; see
+        make_kernel_2d_sc_multi -- the kernel emits next step's
+        densities itself instead of paying K pre-passes per step)."""
+        state, rhos = carry
         by = self.by
         args = list(state)
         args += [f[:, -by:] for f in state]    # glo wrap ghosts
         args += [f[:, :by] for f in state]     # ghi wrap ghosts
-        args += [self.rho_kernel(f) for f in state]
+        args += list(rhos)
         if self.has_mask:
             args.append(self.mask)
-        return tuple(self.kernel(*args))
+        out = self.kernel(*args)
+        return tuple(out[:self.K]), tuple(out[self.K:])
+
+    @property
+    def padded(self):
+        """The between-steps carry is (fs, rhos); pad_state/crop_state
+        convert once per chunk."""
+        return True
+
+    def pad_state(self, state):
+        state = tuple(state)
+        return state, tuple(self.rho_kernel(f) for f in state)
+
+    def crop_state(self, carry):
+        return carry[0]
 
     def run_steps(self, state, n, it0=0):
-        return jax.lax.fori_loop(
-            0, n, lambda i, sc: self.step(sc, it0 + i), state)
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)
