@@ -423,14 +423,14 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
             wait_out(jax.lax.rem(k + 1, 2))
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (4 * K)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 * K)
     scratch = [
         pltpu.VMEM((4, K * Q, by, X), dtype),
         pltpu.VMEM((2, K * Q, by, X), dtype),
         pltpu.VMEM((4, K, by, X), dtype),
     ]
     if has_mask:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
     if emit_rho:
         scratch.append(pltpu.VMEM((K * Q, 1, X), dtype))   # ring_row
@@ -460,7 +460,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         kernel,
         grid=(NB,),
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
                         for _ in range(n_out)),
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -887,7 +887,7 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(jax.lax.rem(k + 1, 2))
 
     n_in = 7 + (1 if has_mask else 0) + (1 if wetting else 0)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
         pltpu.VMEM((4, 2 * Q, by, X), dtype),
         pltpu.VMEM((2, 2 * Q, by, X), dtype),
@@ -922,7 +922,7 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         kernel,
         grid=(NB,),
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
                         for _ in range(n_out)),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,

@@ -31,8 +31,10 @@ from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
                                           classify_nodes, cz_groups,
                                           make_rho_kernel_3d)
 
-#: stay under the ~16 MB/core VMEM budget (plus compiler headroom)
-VMEM_BUDGET = 13 * 2 ** 20
+#: scratch gate: the kernels request an explicit vmem_limit (up to
+#: 100 MB -- v5e headroom, see pallas_step.make_kernel_3d), so the
+#: fallback threshold only needs to leave room for Mosaic temporaries
+VMEM_BUDGET = 40 * 2 ** 20
 
 
 def _check_vmem(*plane_counts_dtypes, Y, X):
@@ -47,9 +49,35 @@ def _check_vmem(*plane_counts_dtypes, Y, X):
 
 
 def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
+                            emit_rho=False, edge_io=False,
                             interpret=False):
     """fused(f_0.., glo_0.., ghi_0.., rho_0.., rglo_0.., rghi_0..
-    [, mask]) -> (out_0..): one z-plane per program, K components."""
+    [, mask]) -> (out_0..): one z-plane per program, K components.
+
+    With ``emit_rho=True`` the kernel additionally RETURNS next step's
+    post-stream densities (one (Z, Y, X) output per component), making
+    the K per-step rho pre-passes unnecessary -- the K-component port
+    of the single-fluid 3D emission (pallas_step.make_kernel_3d
+    emit_rho): plane z's emission needs post-collision planes z-1..z+1,
+    so program z emits plane z-1 using a 2-deep per-component ring of
+    the previous programs' post-collision tails; the periodic wrap
+    planes 0 and Z-1 come from a stash of planes 0/1 in the Z-1
+    epilogue. Emitted values are bit-identical to make_rho_kernel_3d
+    (same source values, same roll/summation order). Signature gains K
+    outputs; the caller carries (fs, rhos) between steps. Requires
+    Z >= 3.
+
+    With ``edge_io=True`` (requires ``emit_rho``; the z-sharded mode)
+    the wrap epilogue is dropped -- a shard cannot emit its edge planes
+    (they need the neighbor's post-collision faces) -- and the two
+    local edge planes of each rho INPUT are read from separate
+    (Y, X) inputs ``rlo_c``/``rhi_c`` instead of the rho array (whose
+    edge planes are stale under aliasing). The sharded caller computes
+    the edge planes in XLA from the ppermuted post-collision faces
+    (parallel.halo.stream_rho_edges) with the identical summation
+    order. Signature: fused(f.., glo.., ghi.., rho.., rglo.., rghi..,
+    rlo.., rhi..[, mask]) -> (out.., rho_next..).
+    """
     g = mbuilder.grid
     Q = g.Q
     K = len(mbuilder.components)
@@ -60,6 +88,23 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
     # cz-grouped Q layout (pallas_step.cz_groups): state arrives
     # permuted; math runs in standard direction order via ipos
     perm, ipos, groups = cz_groups(g)
+    assert not (edge_io and not emit_rho)
+    if emit_rho:
+        assert Z >= 3, (Z, 'emit_rho needs >= 3 pipeline programs')
+    # permuted-space extents of the c_z groups (emit-rho ring/stash
+    # buffers carry only the channels emission reads; layout is
+    # [-1 group][0 group][+1 group])
+    n_m1 = n_p1 = 0
+    s_0 = s_p1 = Q
+    for gcz, gst, gcnt in groups:
+        if gcz == -1:
+            n_m1 = gcnt
+        elif gcz == 0:
+            s_0 = gst
+        elif gcz == 1:
+            s_p1 = gst
+            n_p1 = gcnt
+    NG1 = Q - s_0   # ring1 channels per component (cz 0 and +1)
     taus = [float(t) for t in mbuilder.taus]
     couplings = {k: float(v) for k, v in mbuilder.couplings.items()
                  if v != 0.0}
@@ -80,17 +125,39 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         rho_hbm = refs[idx:idx + K]; idx += K
         rglo_hbm = refs[idx:idx + K]; idx += K
         rghi_hbm = refs[idx:idx + K]; idx += K
+        rlo_hbm = rhi_hbm = None
+        if edge_io:
+            rlo_hbm = refs[idx:idx + K]; idx += K
+            rhi_hbm = refs[idx:idx + K]; idx += K
         mask_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
         out_hbm = refs[idx:idx + K]; idx += K
+        rho_out_hbm = None
+        if emit_rho:
+            rho_out_hbm = refs[idx:idx + K]; idx += K
         fs_buf = refs[idx]; idx += 1        # (2, K*Q, Y, X)
         rho_buf = refs[idx]; idx += 1       # (2, 3*K, Y, X)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
+        ring0 = ring1 = stash0 = stash1 = remit_buf = redge_buf = None
+        if emit_rho:
+            ring0 = refs[idx]; idx += 1     # (2, K*n_p1, Y, X) pc z0-2
+            ring1 = refs[idx]; idx += 1     # (2, K*NG1, Y, X) pc z0-1
+            if not edge_io:
+                stash0 = refs[idx]; idx += 1  # (K, s_p1, Y, X) pc 0
+                stash1 = refs[idx]; idx += 1  # (K, n_m1, Y, X) pc 1
+            remit_buf = refs[idx]; idx += 1   # (2, K, Y, X)
+            if not edge_io:
+                redge_buf = refs[idx]; idx += 1  # (2, K, Y, X)
         in_sems = refs[idx]; idx += 1       # DMA (2, K*Q + 3*K + 1)
         out_sems = refs[idx]; idx += 1      # DMA (2, K)
+        remit_sems = redge_sems = None
+        if emit_rho:
+            remit_sems = refs[idx]; idx += 1  # DMA (2, K)
+            if not edge_io:
+                redge_sems = refs[idx]; idx += 1  # DMA (2, K)
 
         z0 = pl.program_id(0)
         slot = jax.lax.rem(z0, 2)
@@ -136,22 +203,36 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 for j, dz in enumerate((-1, 0, 1)):
                     sem = in_sems.at[s, K * len(groups) + c * 3 + j]
                     dst = rho_buf.at[s, c * 3 + j]
-                    if dz == 0:
-                        pltpu.make_async_copy(
-                            rho_hbm[c].at[plane_z], dst, sem).start()
-                        continue
-                    ghost = rglo_hbm[c] if dz < 0 else rghi_hbm[c]
-                    edge = (plane_z == 0) if dz < 0 else \
-                        (plane_z == Z - 1)
-
-                    @pl.when(edge)
-                    def _(dst=dst, sem=sem, ghost=ghost):
-                        pltpu.make_async_copy(ghost, dst, sem).start()
-
-                    @pl.when(jnp.logical_not(edge))
-                    def _(c=c, dst=dst, sem=sem, pz=plane_z + dz):
+                    pz = plane_z + dz
+                    # pz routed to: rglo (-1), rghi (Z), and under
+                    # edge_io also rlo (0) / rhi (Z-1) -- the rho
+                    # array's edge planes are stale there (the sharded
+                    # caller passes fresh ones as separate inputs)
+                    specials = []
+                    if dz < 0:
+                        specials.append((pz == -1, rglo_hbm[c]))
+                    if dz > 0:
+                        specials.append((pz == Z, rghi_hbm[c]))
+                    if edge_io:
+                        if dz <= 0:
+                            specials.append((pz == 0, rlo_hbm[c]))
+                        if dz >= 0:
+                            specials.append((pz == Z - 1, rhi_hbm[c]))
+                    done = None
+                    for cond, src in specials:
+                        @pl.when(cond)
+                        def _(src=src, dst=dst, sem=sem):
+                            pltpu.make_async_copy(src, dst, sem).start()
+                        done = cond if done is None else done | cond
+                    if done is None:
                         pltpu.make_async_copy(
                             rho_hbm[c].at[pz], dst, sem).start()
+                    else:
+                        @pl.when(jnp.logical_not(done))
+                        def _(c=c, dst=dst, sem=sem, pz=pz):
+                            pzc = jnp.clip(pz, 0, Z - 1)
+                            pltpu.make_async_copy(
+                                rho_hbm[c].at[pzc], dst, sem).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[plane_z], mask_buf.at[s, 0],
@@ -352,54 +433,228 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 fs_buf.at[slot, pl.ds(c * Q, Q)], out_hbm[c].at[:, z0],
                 out_sems.at[slot, c]).start()
 
+        # -- emit-rho: next step's post-stream densities from the
+        # post-collision planes now in VMEM (see docstring). Aliasing
+        # rho_out onto rho is safe: program z writes plane z-1, whose
+        # last gather read (this program's own, planes z-1..z+1) was
+        # drained in wait_gathers above.
+        if emit_rho:
+            def pc_src(c, i, rel):
+                """Post-collision plane z0+rel of direction i, comp c
+                (rel in {-2, -1, 0}; negative planes from the rings)."""
+                ch = ipos[i]
+                if rel == 0:
+                    return fs_buf[slot, c * Q + ch]
+                if rel == -1:
+                    return ring1[nslot, c * NG1 + ch - s_0]
+                return ring0[nslot, c * n_p1 + ch - s_p1]
+
+            def emitted_rho(src):
+                """Streamed density sum_i src_i(x-cx, y-cy); source
+                selection, roll and summation order identical to
+                make_rho_kernel_3d for bit-equality."""
+                acc = None
+                for i in range(Q):
+                    cx, cy = int(basis[i][0]), int(basis[i][1])
+                    plane = src(i)
+                    if cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    acc = plane if acc is None else acc + plane
+                return acc
+
+            def remit_copy(s, c, plane_expr):
+                return pltpu.make_async_copy(
+                    remit_buf.at[s, c], rho_out_hbm[c].at[plane_expr],
+                    remit_sems.at[s, c])
+
+            @pl.when(z0 >= 2)
+            def _():
+                # drain the emission that last used this staging slot
+                @pl.when(z0 >= 4)
+                def _():
+                    for c in range(K):
+                        remit_copy(slot, c, z0 - 3).wait()
+                for c in range(K):
+                    remit_buf[slot, c] = emitted_rho(
+                        lambda i, c=c: pc_src(
+                            c, i, -1 - int(basis[i][2])))
+                for c in range(K):
+                    remit_copy(slot, c, z0 - 1).start()
+
+            # stash pc planes 0/1 for the periodic wrap emission
+            if not edge_io:
+                @pl.when(z0 == 0)
+                def _():
+                    for c in range(K):
+                        stash0[c] = fs_buf[slot, pl.ds(c * Q, s_p1)]
+
+                @pl.when(z0 == 1)
+                def _():
+                    for c in range(K):
+                        stash1[c] = fs_buf[slot, pl.ds(c * Q, n_m1)]
+
+            # ring carry: this program's pc tail for the successors
+            # (emission above read the PREVIOUS planes' rings via nslot)
+            for c in range(K):
+                ring0[slot, pl.ds(c * n_p1, n_p1)] = \
+                    ring1[nslot, pl.ds(c * NG1 + s_p1 - s_0, n_p1)]
+                ring1[slot, pl.ds(c * NG1, NG1)] = \
+                    fs_buf[slot, pl.ds(c * Q + s_0, NG1)]
+
+            if not edge_io:
+                @pl.when(z0 == Z - 1)
+                def _():
+                    # periodic wrap planes: Z-1 (needs pc Z-2, Z-1, 0)
+                    # and 0 (needs pc Z-1, 0, 1)
+                    for c in range(K):
+                        def src_last(i, c=c):
+                            cz_i = int(basis[i][2])
+                            ch = ipos[i]
+                            if cz_i == 1:    # source plane Z-2
+                                return ring0[slot,
+                                             c * n_p1 + ch - s_p1]
+                            if cz_i == 0:    # source plane Z-1
+                                return fs_buf[slot, c * Q + ch]
+                            return stash0[c, ch]   # plane Z -> 0
+
+                        def src_first(i, c=c):
+                            cz_i = int(basis[i][2])
+                            ch = ipos[i]
+                            if cz_i == 1:    # source plane -1 -> Z-1
+                                return fs_buf[slot, c * Q + ch]
+                            if cz_i == 0:    # source plane 0
+                                return stash0[c, ch]
+                            return stash1[c, ch]   # plane 1
+
+                        redge_buf[0, c] = emitted_rho(src_last)
+                        redge_buf[1, c] = emitted_rho(src_first)
+                    copies = []
+                    for c in range(K):
+                        c0 = pltpu.make_async_copy(
+                            redge_buf.at[0, c],
+                            rho_out_hbm[c].at[Z - 1],
+                            redge_sems.at[0, c])
+                        c1 = pltpu.make_async_copy(
+                            redge_buf.at[1, c], rho_out_hbm[c].at[0],
+                            redge_sems.at[1, c])
+                        c0.start()
+                        c1.start()
+                        copies += [c0, c1]
+                    for cp in copies:
+                        cp.wait()
+
+            @pl.when(z0 == Z - 1)
+            def _():
+                # drain the outstanding plane emissions (no successor
+                # exists to recycle these staging slots)
+                for c in range(K):
+                    remit_copy(slot, c, Z - 2).wait()
+                    if Z >= 4:
+                        remit_copy(nslot, c, Z - 3).wait()
+
         @pl.when(z0 == Z - 1)
         def _():
             wait_out(slot)
             if Z >= 2:
                 wait_out(nslot)
 
-    n_in = 6 * K + (1 if has_mask else 0)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    n_in = (8 * K if edge_io else 6 * K) + (1 if has_mask else 0)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
         pltpu.VMEM((2, K * Q, Y, X), dtype),
         pltpu.VMEM((2, 3 * K, Y, X), dtype),
     ]
     if has_mask:
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, K * (len(cz_groups(mbuilder.grid)[2]) + 3) + 1)))
+    if emit_rho:
+        scratch.append(pltpu.VMEM((2, K * n_p1, Y, X), dtype))  # ring0
+        scratch.append(pltpu.VMEM((2, K * NG1, Y, X), dtype))   # ring1
+        if not edge_io:
+            scratch.append(pltpu.VMEM((K, s_p1, Y, X), dtype))  # stash0
+            scratch.append(pltpu.VMEM((K, n_m1, Y, X), dtype))  # stash1
+        scratch.append(pltpu.VMEM((2, K, Y, X), dtype))         # remit
+        if not edge_io:
+            scratch.append(pltpu.VMEM((2, K, Y, X), dtype))     # redge
+    scratch.append(pltpu.SemaphoreType.DMA((2, K * (len(groups) + 3) + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
+    if emit_rho:
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))         # remit
+        if not edge_io:
+            scratch.append(pltpu.SemaphoreType.DMA((2, K)))     # redge
+
+    # in-place component updates (pallas_step.make_kernel_3d has the
+    # bandwidth measurement); correct un-aliased too -- the kernel
+    # never reads out_hbm. Emitted rho aliases the rho input the same
+    # way (write-after-last-read ordering argued in the kernel).
+    io_aliases = {c: c for c in range(K)}
+    out_shape = [jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)
+                 for _ in range(K)]
+    if emit_rho:
+        out_shape += [jax.ShapeDtypeStruct((Z, Y, X), dtype)
+                      for _ in range(K)]
+        for c in range(K):
+            io_aliases[3 * K + c] = K + c
+
+    # scratch exceeds the default 16 MB scoped-vmem gate at larger
+    # planes; v5e has headroom (pallas_step.make_kernel_3d note)
+    plane_b = Y * X * np.dtype(np.float32).itemsize
+    vmem_need = (2 * K * Q + 2 * 3 * K) * plane_b
+    if has_mask:
+        vmem_need += 2 * plane_b
+    if emit_rho:
+        vmem_need += (2 * K * (n_p1 + NG1) + 4 * K) * plane_b
+        if not edge_io:
+            vmem_need += K * (s_p1 + n_m1) * plane_b
+    vmem_limit = int(min(max(16 * 2 ** 20,
+                             vmem_need + 8 * 2 ** 20 + K * Q * plane_b),
+                         100 * 2 ** 20))
 
     return pl.pallas_call(
         kernel,
         grid=(Z,),
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
-                        for _ in range(K)),
-        out_shape=tuple(jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)
-                        for _ in range(K)),
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in range(len(out_shape))),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        # in-place component updates (pallas_step.make_kernel_3d has
-        # the bandwidth measurement); correct un-aliased too -- the
-        # kernel never reads out_hbm
-        input_output_aliases={c: c for c in range(K)},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit),
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )
 
 
 def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
-                      interpret=False):
+                      emit_phi=False, edge_io=False, interpret=False):
     """Fused binary free-energy 3D step:
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi, phi_lo2, phi_lo1,
-    phi_hi1, phi_hi2[, mask][, orient, orient_lo, orient_hi])
-    -> (f0', f1').
+    phi_hi1, phi_hi2[, pedge_lo, pedge_hi][, mask]
+    [, orient, orient_lo, orient_hi]) -> (f0', f1'[, phi_next]).
 
     ``phi`` is the post-stream order parameter (rho pre-pass on f1) with
     TWO periodic ghost planes per side: the wetting mirror shifts the
     stencil's phi samples by up to one more plane. Landau chemical
     potential, 3D isotropic laplacian/gradient (ops/multigrid.
     laplacian_and_grad dim==3), phi-interpolated tau, and both
-    equilibria are evaluated per plane in VMEM."""
+    equilibria are evaluated per plane in VMEM.
+
+    With ``emit_phi=True`` the kernel additionally RETURNS next step's
+    post-stream order parameter (the single-component emission of
+    make_kernel_3d_sc_multi applied to component 1), replacing the
+    per-step phi pre-pass; the caller carries ((f0, f1), phi). Unlike
+    the SC kernels the emitted phi is NOT aliased in place: the phi
+    stencil reaches two planes, so the successor's prefetch of plane
+    z-1 is still in flight when program z would overwrite it; the
+    4 B/node phi write is too small for in-place streaming to matter.
+    Requires Z >= 3.
+
+    With ``edge_io=True`` (requires ``emit_phi``; the z-sharded mode)
+    the wrap epilogue is dropped and the two stale local edge planes of
+    the phi INPUT are read from separate (Y, X) inputs
+    ``pedge_lo``/``pedge_hi`` (the sharded caller computes them in XLA
+    from ppermuted post-collision faces, identical summation order)."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -408,6 +663,20 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     opp = [int(o) for o in g.opposite]
     # cz-grouped Q layout (pallas_step.cz_groups)
     perm, ipos, groups = cz_groups(g)
+    assert not (edge_io and not emit_phi)
+    if emit_phi:
+        assert Z >= 3, (Z, 'emit_phi needs >= 3 pipeline programs')
+    n_m1 = n_p1 = 0
+    s_0 = s_p1 = Q
+    for gcz, gst, gcnt in groups:
+        if gcz == -1:
+            n_m1 = gcnt
+        elif gcz == 0:
+            s_0 = gst
+        elif gcz == 1:
+            s_p1 = gst
+            n_p1 = gcnt
+    NG1 = Q - s_0
     tau_a, tau_b = mbuilder.tau_a, mbuilder.tau_b
     tau_phi = mbuilder.tau_phi
     A_c, kappa, Gamma = mbuilder.A, mbuilder.kappa, mbuilder.Gamma
@@ -430,6 +699,10 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         ghi_hbm = refs[idx:idx + 2]; idx += 2
         phi_hbm = refs[idx]; idx += 1
         phi_ghosts = refs[idx:idx + 4]; idx += 4   # lo2, lo1, hi1, hi2
+        pedge_lo = pedge_hi = None
+        if edge_io:
+            pedge_lo = refs[idx]; idx += 1
+            pedge_hi = refs[idx]; idx += 1
         mask_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
@@ -439,6 +712,9 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             orient_lo = refs[idx]; idx += 1
             orient_hi = refs[idx]; idx += 1
         out_hbm = refs[idx:idx + 2]; idx += 2
+        phi_out_hbm = None
+        if emit_phi:
+            phi_out_hbm = refs[idx]; idx += 1
         fs_buf = refs[idx]; idx += 1        # (2, 2Q, Y, X)
         phi_buf = refs[idx]; idx += 1       # (2, 5, Y, X): z0-2..z0+2
         mask_buf = None
@@ -447,18 +723,35 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         orient_buf = None
         if wetting:
             orient_buf = refs[idx]; idx += 1  # (2, 3, Y, X)
+        ring0 = ring1 = stash0 = stash1 = remit_buf = redge_buf = None
+        if emit_phi:
+            ring0 = refs[idx]; idx += 1     # (2, n_p1, Y, X) pc1 z0-2
+            ring1 = refs[idx]; idx += 1     # (2, NG1, Y, X) pc1 z0-1
+            if not edge_io:
+                stash0 = refs[idx]; idx += 1  # (s_p1, Y, X) pc1 0
+                stash1 = refs[idx]; idx += 1  # (n_m1, Y, X) pc1 1
+            remit_buf = refs[idx]; idx += 1   # (2, Y, X)
+            if not edge_io:
+                redge_buf = refs[idx]; idx += 1  # (2, Y, X)
         in_sems = refs[idx]; idx += 1       # DMA (2, 2Q + 5 + 1 + 3)
         out_sems = refs[idx]; idx += 1      # DMA (2, 2)
+        remit_sems = redge_sems = None
+        if emit_phi:
+            remit_sems = refs[idx]; idx += 1  # DMA (2,)
+            if not edge_io:
+                redge_sems = refs[idx]; idx += 1  # DMA (2,)
 
         z0 = pl.program_id(0)
         slot = jax.lax.rem(z0, 2)
         nslot = jax.lax.rem(z0 + 1, 2)
 
         def copy_z_periodic(src, ghosts, dst, sem, pz, lo_reach,
-                            hi_reach):
+                            hi_reach, edges=None):
             """DMA plane ``pz`` of (Z,..) array ``src`` into ``dst``,
             reading ghost inputs past either end. ghosts = (lo planes
-            ordered -lo_reach..-1, hi planes ordered Z..Z-1+hi_reach)."""
+            ordered -lo_reach..-1, hi planes ordered Z..Z-1+hi_reach).
+            ``edges`` (edge_io): (lo, hi) planes replacing the stale
+            array planes 0 and Z-1."""
             done = None
             for off in range(1, lo_reach + 1):
                 cond = pz == -off
@@ -474,6 +767,13 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                 def _(gh=ghosts[lo_reach + off]):
                     pltpu.make_async_copy(gh, dst, sem).start()
                 done = cond if done is None else done | cond
+            if edges is not None:
+                for cond, gh in ((pz == 0, edges[0]),
+                                 (pz == Z - 1, edges[1])):
+                    @pl.when(cond)
+                    def _(gh=gh):
+                        pltpu.make_async_copy(gh, dst, sem).start()
+                    done = cond if done is None else done | cond
 
             @pl.when(jnp.logical_not(done) if done is not None
                      else pz == pz)
@@ -524,7 +824,9 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                 copy_z_periodic(phi_hbm, phi_ghosts,
                                 phi_buf.at[s, j],
                                 in_sems.at[s, 2 * NG + j],
-                                plane_z + dz, 2, 2)
+                                plane_z + dz, 2, 2,
+                                edges=((pedge_lo, pedge_hi)
+                                       if edge_io else None))
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[plane_z], mask_buf.at[s, 0],
@@ -773,14 +1075,108 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                 fs_buf.at[slot, pl.ds(c * Q, Q)], out_hbm[c].at[:, z0],
                 out_sems.at[slot, c]).start()
 
+        # -- emit-phi: next step's post-stream order parameter from
+        # component 1's post-collision planes (see docstring; phi_out
+        # is NOT aliased, so the only ordering needed is the staging
+        # buffer reuse drain)
+        if emit_phi:
+            def pc_src(i, rel):
+                ch = ipos[i]
+                if rel == 0:
+                    return fs_buf[slot, Q + ch]
+                if rel == -1:
+                    return ring1[nslot, ch - s_0]
+                return ring0[nslot, ch - s_p1]
+
+            def emitted_phi(src):
+                """Same source/roll/summation order as
+                make_rho_kernel_3d for bit-equality."""
+                acc = None
+                for i in range(Q):
+                    cx, cy = int(basis[i][0]), int(basis[i][1])
+                    plane = src(i)
+                    if cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
+                    acc = plane if acc is None else acc + plane
+                return acc
+
+            def remit_copy(s, plane_expr):
+                return pltpu.make_async_copy(
+                    remit_buf.at[s], phi_out_hbm.at[plane_expr],
+                    remit_sems.at[s])
+
+            @pl.when(z0 >= 2)
+            def _():
+                @pl.when(z0 >= 4)
+                def _():
+                    remit_copy(slot, z0 - 3).wait()
+                remit_buf[slot] = emitted_phi(
+                    lambda i: pc_src(i, -1 - int(basis[i][2])))
+                remit_copy(slot, z0 - 1).start()
+
+            if not edge_io:
+                @pl.when(z0 == 0)
+                def _():
+                    stash0[...] = fs_buf[slot, pl.ds(Q, s_p1)]
+
+                @pl.when(z0 == 1)
+                def _():
+                    stash1[...] = fs_buf[slot, pl.ds(Q, n_m1)]
+
+            ring0[slot] = ring1[nslot, pl.ds(s_p1 - s_0, n_p1)]
+            ring1[slot] = fs_buf[slot, pl.ds(Q + s_0, NG1)]
+
+            if not edge_io:
+                @pl.when(z0 == Z - 1)
+                def _():
+                    def src_last(i):
+                        cz_i = int(basis[i][2])
+                        ch = ipos[i]
+                        if cz_i == 1:      # source plane Z-2
+                            return ring0[slot, ch - s_p1]
+                        if cz_i == 0:      # source plane Z-1
+                            return fs_buf[slot, Q + ch]
+                        return stash0[ch]  # plane Z -> 0
+
+                    def src_first(i):
+                        cz_i = int(basis[i][2])
+                        ch = ipos[i]
+                        if cz_i == 1:      # source plane -1 -> Z-1
+                            return fs_buf[slot, Q + ch]
+                        if cz_i == 0:      # source plane 0
+                            return stash0[ch]
+                        return stash1[ch]  # plane 1
+
+                    redge_buf[0] = emitted_phi(src_last)
+                    redge_buf[1] = emitted_phi(src_first)
+                    c0 = pltpu.make_async_copy(redge_buf.at[0],
+                                               phi_out_hbm.at[Z - 1],
+                                               redge_sems.at[0])
+                    c1 = pltpu.make_async_copy(redge_buf.at[1],
+                                               phi_out_hbm.at[0],
+                                               redge_sems.at[1])
+                    c0.start()
+                    c1.start()
+                    c0.wait()
+                    c1.wait()
+
+            @pl.when(z0 == Z - 1)
+            def _():
+                remit_copy(slot, Z - 2).wait()
+                if Z >= 4:
+                    remit_copy(nslot, Z - 3).wait()
+
         @pl.when(z0 == Z - 1)
         def _():
             wait_out(slot)
             if Z >= 2:
                 wait_out(nslot)
 
-    n_in = 11 + (1 if has_mask else 0) + (3 if wetting else 0)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    n_in = (11 + (2 if edge_io else 0) + (1 if has_mask else 0)
+            + (3 if wetting else 0))
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
         pltpu.VMEM((2, 2 * Q, Y, X), dtype),
         pltpu.VMEM((2, 5, Y, X), dtype),
@@ -789,19 +1185,52 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if wetting:
         scratch.append(pltpu.VMEM((2, 3, Y, X), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, 2 * len(cz_groups(mbuilder.grid)[2]) + 9)))
+    if emit_phi:
+        scratch.append(pltpu.VMEM((2, n_p1, Y, X), dtype))      # ring0
+        scratch.append(pltpu.VMEM((2, NG1, Y, X), dtype))       # ring1
+        if not edge_io:
+            scratch.append(pltpu.VMEM((s_p1, Y, X), dtype))     # stash0
+            scratch.append(pltpu.VMEM((n_m1, Y, X), dtype))     # stash1
+        scratch.append(pltpu.VMEM((2, Y, X), dtype))            # remit
+        if not edge_io:
+            scratch.append(pltpu.VMEM((2, Y, X), dtype))        # redge
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2 * len(groups) + 9)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+    if emit_phi:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
+        if not edge_io:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))       # redge
+
+    out_shape = [jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
+                 jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)]
+    if emit_phi:
+        # NOT aliased (see docstring)
+        out_shape.append(jax.ShapeDtypeStruct((Z, Y, X), dtype))
+
+    plane_b = Y * X * np.dtype(np.float32).itemsize
+    vmem_need = (4 * Q + 10) * plane_b
+    if has_mask:
+        vmem_need += 2 * plane_b
+    if wetting:
+        vmem_need += 6 * plane_b
+    if emit_phi:
+        vmem_need += (2 * (n_p1 + NG1) + 4) * plane_b
+        if not edge_io:
+            vmem_need += (s_p1 + n_m1) * plane_b
+    vmem_limit = int(min(max(16 * 2 ** 20,
+                             vmem_need + 8 * 2 ** 20 + 2 * Q * plane_b),
+                         100 * 2 ** 20))
 
     return pl.pallas_call(
         kernel,
         grid=(Z,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
-        out_shape=(jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
-                   jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)),
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in range(len(out_shape))),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit),
         # in-place component updates (see the SC-multi kernel note)
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
@@ -830,13 +1259,27 @@ class PallasStepSCMulti3D:
                 'obstacles only; complex-BC scenes use the XLA engine')
         check_plane_tiling(Ys, Xs, interpret)
         self.has_mask = bool((mask_np != 0).any())
+        self.K = K
+        # in-kernel rho emission replaces the K per-step pre-passes
+        # (carrying (fs, rhos) between steps); needs >= 3 pipeline
+        # programs for the ring/stash carries
+        self.emit_rho = Zs >= 3
+        Q = mbuilder.grid.Q
+        _, _, groups = cz_groups(mbuilder.grid)
+        n_m1 = sum(c for cz, _, c in groups if cz == -1)
+        n_p1 = sum(c for cz, _, c in groups if cz == 1)
+        s_0 = next(st for cz, st, c in groups if cz == 0)
+        s_p1 = next(st for cz, st, c in groups if cz == 1)
         isz = np.dtype(np.float32).itemsize
-        _check_vmem((2 * K * mbuilder.grid.Q, isz), (2 * 3 * K, isz),
+        emit_planes = (2 * K * (n_p1 + (Q - s_0)) + 4 * K
+                       + K * (s_p1 + n_m1)) if self.emit_rho else 0
+        _check_vmem((2 * K * Q, isz), (2 * 3 * K, isz),
+                    (emit_planes, isz),
                     (2 if self.has_mask else 0, 4), Y=Ys, X=Xs)
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
         self.kernel = make_kernel_3d_sc_multi(
             mbuilder, Zs, Ys, Xs, has_mask=self.has_mask,
-            interpret=interpret)
+            emit_rho=self.emit_rho, interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Zs, Ys, Xs,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
@@ -846,29 +1289,44 @@ class PallasStepSCMulti3D:
     @property
     def padded(self):
         """Kernel layout (cz-grouped Q order) differs from the public
-        layout; the runner wraps step loops in pad_state/crop_state."""
+        layout; the runner wraps step loops in pad_state/crop_state.
+        In emit-rho mode the between-steps carry is (fs, rhos)."""
         return True
 
+    def _post_stream_rhos(self, fs):
+        return tuple(self.rho_kernel(f, f[:, -1], f[:, 0]) for f in fs)
+
     def pad_state(self, state):
-        return tuple(f[self._qperm] for f in state)
+        fs = tuple(f[self._qperm] for f in state)
+        if self.emit_rho:
+            return fs, self._post_stream_rhos(fs)
+        return fs
 
-    def crop_state(self, state):
-        return tuple(f[self._qinv] for f in state)
+    def crop_state(self, carry):
+        fs = carry[0] if self.emit_rho else carry
+        return tuple(f[self._qinv] for f in fs)
 
-    def step(self, state, it=0):
-        fs = list(state)
-        rhos = [self.rho_kernel(f, f[:, -1], f[:, 0]) for f in fs]
+    def step(self, carry, it=0):
+        if self.emit_rho:
+            fs, rhos = carry
+            fs, rhos = list(fs), list(rhos)
+        else:
+            fs = list(carry)
+            rhos = list(self._post_stream_rhos(fs))
         args = (fs + [f[:, -1] for f in fs] + [f[:, 0] for f in fs]
                 + rhos + [r[-1] for r in rhos] + [r[0] for r in rhos])
         if self.has_mask:
             args.append(self.mask)
-        return tuple(self.kernel(*args))
+        out = self.kernel(*args)
+        if self.emit_rho:
+            return tuple(out[:self.K]), tuple(out[self.K:])
+        return tuple(out)
 
     def run_steps(self, state, n, it0=0):
-        state = self.pad_state(state)
-        state = jax.lax.fori_loop(
-            0, n, lambda i, sc: self.step(sc, it0 + i), state)
-        return self.crop_state(state)
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)
 
 
 class PallasStepFE3D:
@@ -887,15 +1345,27 @@ class PallasStepFE3D:
         check_plane_tiling(Ys, Xs, interpret)
         self.has_mask = bool((mask_np != 0).any())
         self.wetting = bool(mbuilder._has_dry_nodes)
+        # in-kernel phi emission replaces the per-step pre-pass
+        # (carrying ((f0, f1), phi) between steps)
+        self.emit_phi = Zs >= 3
+        Q = mbuilder.grid.Q
+        _, _, groups = cz_groups(mbuilder.grid)
+        n_m1 = sum(c for cz, _, c in groups if cz == -1)
+        n_p1 = sum(c for cz, _, c in groups if cz == 1)
+        s_0 = next(st for cz, st, c in groups if cz == 0)
+        s_p1 = next(st for cz, st, c in groups if cz == 1)
         isz = np.dtype(np.float32).itemsize
-        _check_vmem((4 * mbuilder.grid.Q, isz), (10, isz),
+        emit_planes = (2 * (n_p1 + (Q - s_0)) + 4
+                       + s_p1 + n_m1) if self.emit_phi else 0
+        _check_vmem((4 * Q, isz), (10, isz), (emit_planes, isz),
                     (2 if self.has_mask else 0, 4),
                     (6 if self.wetting else 0, 4), Y=Ys, X=Xs)
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
         self.orient = mbuilder._dry_orient if self.wetting else None
         self.kernel = make_kernel_3d_fe(
             mbuilder, Zs, Ys, Xs, has_mask=self.has_mask,
-            wetting=self.wetting, interpret=interpret)
+            wetting=self.wetting, emit_phi=self.emit_phi,
+            interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Zs, Ys, Xs,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
@@ -905,28 +1375,42 @@ class PallasStepFE3D:
     @property
     def padded(self):
         """Kernel layout (cz-grouped Q order) differs from the public
-        layout; the runner wraps step loops in pad_state/crop_state."""
+        layout; the runner wraps step loops in pad_state/crop_state.
+        In emit-phi mode the between-steps carry is ((f0, f1), phi)."""
         return True
 
+    def _post_stream_phi(self, f1):
+        return self.rho_kernel(f1, f1[:, -1], f1[:, 0])
+
     def pad_state(self, state):
-        return tuple(f[self._qperm] for f in state)
+        fs = tuple(f[self._qperm] for f in state)
+        if self.emit_phi:
+            return fs, self._post_stream_phi(fs[1])
+        return fs
 
-    def crop_state(self, state):
-        return tuple(f[self._qinv] for f in state)
+    def crop_state(self, carry):
+        fs = carry[0] if self.emit_phi else carry
+        return tuple(f[self._qinv] for f in fs)
 
-    def step(self, state, it=0):
-        f0, f1 = state
-        phi = self.rho_kernel(f1, f1[:, -1], f1[:, 0])
+    def step(self, carry, it=0):
+        if self.emit_phi:
+            (f0, f1), phi = carry
+        else:
+            f0, f1 = carry
+            phi = self._post_stream_phi(f1)
         args = [f0, f1, f0[:, -1], f1[:, -1], f0[:, 0], f1[:, 0],
                 phi, phi[-2], phi[-1], phi[0], phi[1]]
         if self.has_mask:
             args.append(self.mask)
         if self.wetting:
             args += [self.orient, self.orient[-1], self.orient[0]]
-        return tuple(self.kernel(*args))
+        out = self.kernel(*args)
+        if self.emit_phi:
+            return (out[0], out[1]), out[2]
+        return tuple(out)
 
     def run_steps(self, state, n, it0=0):
-        state = self.pad_state(state)
-        state = jax.lax.fori_loop(
-            0, n, lambda i, sc: self.step(sc, it0 + i), state)
-        return self.crop_state(state)
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)

@@ -1286,14 +1286,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 if B >= 2 and not slab_has_patch_static(B - 2):
                     wait_out(nslot)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     if sc:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
     scratch = [
         pltpu.VMEM((2, Q, k, Y, X), dtype),
     ]
     if has_mask:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
     if sc:
         scratch.append(pltpu.VMEM((2, k + 2, Y, X), dtype))
@@ -1305,10 +1305,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         scratch.append(pltpu.VMEM((2, k, Y, X), dtype))         # remit
         scratch.append(pltpu.VMEM((2, Y, X), dtype))            # redge
     if patch_rows:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 4)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
@@ -1334,7 +1334,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                      100 * 2 ** 20)
 
     out_shape = jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)
-    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
     # in-place update: TPU HBM streams ~1.8x faster when the write
     # lands in the read buffer (measured 513 vs 283 GB/s on v5e for
     # the same copy kernel). The kernel never reads out_hbm, and
@@ -1343,7 +1343,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     io_aliases = {0: 0}
     if emit_rho:
         out_shape = [out_shape, jax.ShapeDtypeStruct((Z, Y, X), dtype)]
-        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.ANY)]
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
         # rho updates in place too: program b writes planes <=
         # base+k-2, every read of those planes (gathers of programs
         # <= b+1) has already landed by emission time
@@ -1475,9 +1475,9 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
     return pl.pallas_call(
         kernel,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 +
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
                  [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, R, Y, X), dtype),
         scratch_shapes=[pltpu.VMEM((Q, Y, X), dtype),
                         pltpu.VMEM((Y, X), jnp.int32),
@@ -1654,8 +1654,8 @@ def make_rho_kernel_3d(builder, Z, Y, X, interpret=False):
     return pl.pallas_call(
         kernel,
         grid=(Z,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Z, Y, X), dtype),
         scratch_shapes=[pltpu.VMEM((2, Q, Y, X), dtype),
                         pltpu.VMEM((2, Y, X), dtype),

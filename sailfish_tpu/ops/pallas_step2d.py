@@ -433,15 +433,15 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 if (NB - 2) not in patch_blocks:
                     wait_out(jax.lax.rem(k + 1, 2))
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     if sc:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch = [
         pltpu.VMEM((4, Q, by, X), dtype),
         pltpu.VMEM((2, Q, by, X), dtype),
     ]
     if has_mask:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
     if sc:
         scratch.append(pltpu.VMEM((4, 1, by, X), dtype))
@@ -451,17 +451,17 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.VMEM((Q, 1, X), dtype))    # stash_row1
         scratch.append(pltpu.VMEM((2, by, X), dtype))   # remit
     if patch_blocks:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((4, 3)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # remit
 
     out_shape = jax.ShapeDtypeStruct((Q, Y, X), dtype)
-    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
     # in-place update (see the 3D kernel for the measurement); the
     # kernel never reads out_hbm and each block's single HBM read
     # (its prefetch) completes a full program before its write, so
@@ -469,7 +469,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     io_aliases = {0: 0}
     if emit_rho:
         out_shape = [out_shape, jax.ShapeDtypeStruct((Y, X), dtype)]
-        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.ANY)]
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
         # rho updates in place too: program p writes block p-1, whose
         # last gather (as some program's "prev" block) landed at p-1
         io_aliases[3] = 1
@@ -572,8 +572,8 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
     return pl.pallas_call(
         kernel,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, R, by, X), dtype),
         scratch_shapes=[pltpu.VMEM((Q, by, X), dtype),
                         pltpu.VMEM((Q, 8, X), dtype),
@@ -675,8 +675,8 @@ def make_rho_kernel_2d(builder, Y, X, by=32, interpret=False):
     return pl.pallas_call(
         kernel,
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Y, X), dtype),
         scratch_shapes=[pltpu.VMEM((4, Q, by, X), dtype),
                         pltpu.VMEM((2, by, X), dtype),

@@ -26,7 +26,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sailfish_tpu.ops.pallas_step import (
@@ -130,7 +130,7 @@ class ShardedPallasStep3D:
             in_specs.append(P(None, 'z', None, None, None))
         self._sharded_step = shard_map(
             local_step, mesh=mesh, in_specs=tuple(in_specs),
-            out_specs=P(None, 'z', None, None), check_rep=False)
+            out_specs=P(None, 'z', None, None), check_vma=False)
 
     def _compute_patches_padded(self, f, it=0):
         """Exact XLA recompute of every patched GLOBAL plane, packed as
@@ -275,7 +275,7 @@ class ShardedPallasStep2D:
             in_specs.append(P(None, 'y', None, None, None))
         self._sharded_step = shard_map(
             local_step, mesh=mesh, in_specs=tuple(in_specs),
-            out_specs=P(None, 'y', None), check_rep=False)
+            out_specs=P(None, 'y', None), check_vma=False)
 
     def _compute_patches_padded(self, f, it=0):
         g = self.builder.grid

@@ -143,6 +143,29 @@ def test_binary_sc3d_fused_matches_xla():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+def test_binary_sc3d_emitted_rho_bitwise():
+    """The in-kernel rho emission must be bit-identical to the
+    pre-pass kernel recomputed from the carried state (the invariant
+    the sharded edge-fixup path also relies on)."""
+    import jax
+    import numpy as np
+    from sc_separation_3d import SeparationSCSim
+    np.random.seed(7)
+    ctrl = LBSimulationController(SeparationSCSim, default_config=dict(
+        quiet=True, engine='pallas', lat_nx=32, lat_ny=16, lat_nz=12,
+        max_iters=0, every=0))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    p = r._pallas
+    assert p.emit_rho
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 5, lambda i, c: p.step(c, i), carry)
+    fs, rhos = carry
+    ref = p._post_stream_rhos(fs)
+    for c in range(p.K):
+        assert np.array_equal(np.asarray(rhos[c]), np.asarray(ref[c]))
+
+
 def test_binary_sc3d_fused_walls():
     """3D binary SC with bounce-back walls (in-kernel mask)."""
     from sc_separation_3d_walls import WalledSeparationSim
@@ -163,6 +186,26 @@ def test_binary_fe3d_fused_matches_xla():
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 5e-6
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+def test_binary_fe3d_emitted_phi_bitwise():
+    """In-kernel phi emission vs the pre-pass kernel, bit-exact."""
+    import jax
+    import numpy as np
+    from fe_separation_3d import SeparationFESim3D
+    np.random.seed(7)
+    ctrl = LBSimulationController(SeparationFESim3D, default_config=dict(
+        quiet=True, engine='pallas', lat_nx=32, lat_ny=16, lat_nz=12,
+        max_iters=0, every=0))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    p = r._pallas
+    assert p.emit_phi
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 5, lambda i, c: p.step(c, i), carry)
+    (f0, f1), phi = carry
+    ref = p._post_stream_phi(f1)
+    assert np.array_equal(np.asarray(phi), np.asarray(ref))
 
 
 def test_binary_fe3d_fused_walls_wetting_force():
