@@ -1,20 +1,30 @@
 """Physical <-> lattice unit and coordinate conversion.
 
 API-compatible counterpart of the reference's ``sailfish/converter.py``
-(CoordinateConverter :13, UnitConverter :95): same configuration keys and
-property surface, so voxelizer-produced .config files and user scripts
-port unchanged.
+(CoordinateConverter :13, UnitConverter :95): the configuration keys
+(fixed by the voxelizer .config format) and the property surface match,
+so voxelizer-produced geometry and user scripts port unchanged. The
+internals differ: coordinates go through a precomputed per-axis affine
+map, and the unit systems share one similarity-completion solver.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+
 
 class CoordinateConverter:
     """Maps physical positions to lattice node indices and back.
 
-    Config keys (matching the voxelizer output; reference converter.py:16):
+    The map is affine per axis: ``lb = phys * scale + shift``, with an
+    axis permutation between the physical (x, y, z) order and the LB
+    memory (z, y, x) order. ``scale``/``shift`` fold together the
+    voxelizer's bounding box, the padding it added and the cuts it
+    removed.
+
+    Config keys (the voxelizer .config contract):
       axes: permutation of 'xyz' describing the physical axis order.
       bounding_box: [(x0, x1), (y0, y1), (z0, z1)] physical span.
       size: lattice domain size in LB (z, y, x) order.
@@ -24,87 +34,90 @@ class CoordinateConverter:
 
     def __init__(self, config):
         ax = config['axes']
-        self.axes = [ax.index('x'), ax.index('y'), ax.index('z')]
-        self.dx = []
-        self.offset = []
-        self.phys_min_x = []
-        for i, phys_size in enumerate(config['bounding_box']):
-            offset = -config['padding'][2 * i]
-            lb_i = 2 - i
-            size = config['size'][lb_i]
-            size -= config['padding'][2 * i]
-            size -= config['padding'][2 * i + 1]
-            if 'cuts' in config:
-                size += config['cuts'][i][0] + config['cuts'][i][1]
-                offset += config['cuts'][i][0]
-            self.offset.append(offset)
-            dx = (phys_size[1] - phys_size[0]) / size
-            self.dx.append(dx)
-            self.phys_min_x.append(phys_size[0])
+        # lb_axis[i]: which LB index (0=z .. 2=x in reversed order
+        # space) physical axis i lands on
+        self._to_lb_axis = np.array([2 - ax.index(c) for c in 'xyz'])
+        cuts = config.get('cuts', ((0, 0),) * 3)
+        pad = config['padding']
+        scale = np.empty(3)
+        shift = np.empty(3)
+        for i, (lo, hi) in enumerate(config['bounding_box']):
+            # grid extent as the voxelizer rasterized it: strip the
+            # post-hoc padding, restore the cut envelope
+            raw_nodes = (config['size'][2 - i] - pad[2 * i]
+                         - pad[2 * i + 1] + cuts[i][0] + cuts[i][1])
+            cell = (hi - lo) / raw_nodes
+            # node index of the raw grid's origin in the final domain
+            origin = pad[2 * i] - cuts[i][0]
+            scale[i] = 1.0 / cell
+            shift[i] = origin - lo / cell
+        self._scale = scale
+        self._shift = shift
 
     def to_lb(self, phys_pos, round_=True):
         """Physical (x, y, z) -> LB (z, y, x) position."""
-        lb_pos = [0, 0, 0]
-        for i, phys_x in enumerate(phys_pos):
-            lb_pos[2 - self.axes[i]] = ((phys_x - self.phys_min_x[i]) /
-                                        self.dx[i] - self.offset[i])
-        if round_:
-            lb_pos = [int(round(x)) for x in lb_pos]
-        return lb_pos
+        lb = np.asarray(phys_pos, dtype=float) * self._scale + self._shift
+        out = [0, 0, 0]
+        for i in range(3):
+            v = lb[i]
+            out[self._to_lb_axis[i]] = int(round(v)) if round_ else v
+        return out
 
     def from_lb(self, lb_pos):
         """LB (z, y, x) -> physical (x, y, z) position."""
-        phys_pos = [0, 0, 0]
-        for i, lb_x in enumerate(lb_pos):
-            j = self.axes.index(2 - i)
-            phys_pos[j] = (self.dx[j] * (lb_x + self.offset[j])
-                           + self.phys_min_x[j])
-        return phys_pos
+        out = [0.0, 0.0, 0.0]
+        for i in range(3):
+            v = lb_pos[self._to_lb_axis[i]]
+            out[i] = (v - self._shift[i]) / self._scale[i]
+        return out
+
+
+def _complete_similarity(length, velocity, visc, Re):
+    """Fill in the one missing member of Re = length * velocity / visc.
+    Returns the completed (length, velocity, visc) triple; members
+    already present are returned unchanged."""
+    if Re is None:
+        return length, velocity, visc
+    if visc is None and length is not None and velocity is not None:
+        visc = length * velocity / Re
+    elif length is None and visc is not None and velocity is not None:
+        length = Re * visc / velocity
+    elif velocity is None and visc is not None and length is not None:
+        velocity = Re * visc / length
+    return length, velocity, visc
 
 
 class UnitConverter:
-    """Physical <-> lattice unit conversion driven by (viscosity, length,
-    velocity, Re, frequency); reference converter.py:95-207."""
+    """Physical <-> lattice unit conversion.
+
+    Both unit systems are (length, velocity, viscosity) triples tied by
+    the shared Reynolds number; either side may leave one member blank
+    and have it completed by similarity (_complete_similarity). The
+    property surface matches the reference (converter.py:95-207)."""
 
     def __init__(self, visc=None, length=None, velocity=None, Re=None,
                  freq=None):
-        self._phys_visc = visc
-        self._phys_len = length
-        self._phys_vel = velocity
+        self._phys_len, self._phys_vel, self._phys_visc = \
+            _complete_similarity(length, velocity, visc, Re)
         self._phys_freq = freq
-        if Re is not None:
-            if visc is None:
-                self._phys_visc = length * velocity / Re
-            elif length is None:
-                self._phys_len = Re * visc / velocity
-            elif velocity is None:
-                self._phys_vel = Re * visc / length
-        self._lb_visc = None
-        self._lb_len = None
-        self._lb_vel = None
+        self._lb_len = self._lb_vel = self._lb_visc = None
 
     def set_lb(self, visc=None, length=None, velocity=None):
-        self._lb_visc = visc
-        self._lb_len = length
-        self._lb_vel = velocity
-        self._update_missing_parameters()
-
-    def _update_missing_parameters(self):
-        if (self._lb_visc is None and self._lb_len is not None
-                and self._lb_vel is not None):
-            self._lb_visc = self._lb_len * self._lb_vel / self.Re
+        self._lb_len, self._lb_vel, self._lb_visc = \
+            _complete_similarity(length, velocity, visc, self.Re)
+        if visc is None and self._lb_visc is not None:
             assert self._lb_visc <= 1.0 / 6.0, \
                 'lattice viscosity too high; refine the resolution'
-        elif (self._lb_len is None and self._lb_visc is not None
-                and self._lb_vel is not None):
-            self._lb_len = self.Re * self._lb_visc / self._lb_vel
-        elif (self._lb_vel is None and self._lb_len is not None
-                and self._lb_visc is not None):
-            self._lb_vel = self.Re * self._lb_visc / self._lb_len
+
+    # -- dimensionless groups ------------------------------------------------
 
     @property
     def Re(self):
         return self._phys_len * self._phys_vel / self._phys_visc
+
+    @property
+    def Re_lb(self):
+        return self._lb_len * self._lb_vel / self._lb_visc
 
     @property
     def Womersley(self):
@@ -112,13 +125,11 @@ class UnitConverter:
                          * self._phys_len ** 2 / self._phys_visc)
 
     @property
-    def Re_lb(self):
-        return self._lb_len * self._lb_vel / self._lb_visc
-
-    @property
     def Womersley_lb(self):
         return math.sqrt(2 * math.pi * self.freq_lb * self.len_lb ** 2
                          / self.visc_lb)
+
+    # -- lattice quantities --------------------------------------------------
 
     @property
     def visc_lb(self):
@@ -134,23 +145,22 @@ class UnitConverter:
 
     @property
     def freq_lb(self):
-        if self._phys_freq is None:
-            return 1.0
-        return self._phys_freq * self.dt
+        return 1.0 if self._phys_freq is None else self._phys_freq * self.dt
+
+    # -- resolution ----------------------------------------------------------
 
     @property
     def dx(self):
         """Physical size of a lattice cell."""
-        if self._lb_len is None:
-            return 0
-        return self._phys_len / self._lb_len
+        return self._phys_len / self._lb_len if self._lb_len else 0
 
     @property
     def dt(self):
-        """Physical duration of a lattice step."""
-        if self._lb_visc is None:
+        """Physical duration of a lattice step (from viscosity
+        similarity: nu_lb = nu_phys * dt / dx^2)."""
+        if not self._lb_visc:
             return 0
-        return self._lb_visc / self._phys_visc * self.dx ** 2
+        return self._lb_visc * self.dx ** 2 / self._phys_visc
 
     @property
     def info_lb(self):

@@ -661,7 +661,7 @@ def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
 
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
-                   sc=False, emit_rho=False, k=1):
+                   sc=False, emit_rho=False, edge_io=False, k=1):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -713,6 +713,16 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     rglo, rghi[, mask]) -> (out, rho_next), with rho aliased in place
     like f; the caller carries (f, rho) between steps. Requires
     Z/k >= 3.
+
+    With ``edge_io=True`` (requires ``emit_rho``; the z-sharded mode)
+    the wrap epilogue is dropped -- a shard cannot emit its edge
+    planes (they need the neighbor's post-collision faces) -- and the
+    two local edge planes of the rho INPUT are read from separate
+    (Y, X) inputs ``rlo``/``rhi`` instead of the rho array (whose edge
+    planes are stale under aliasing). The sharded caller computes them
+    in XLA from ppermuted post-collision faces with the identical
+    summation order (parallel.halo). Signature becomes fused(f, glo,
+    ghi, rho, rglo, rghi, rlo, rhi[, mask]) -> (out, rho_next).
     """
     g = builder.grid
     Q = g.Q
@@ -725,6 +735,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if emit_rho:
         assert sc and not patch_rows and not dyn_patches
         assert B >= 3, (B, 'emit_rho needs >= 3 pipeline programs')
+    assert not (edge_io and not emit_rho)
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
@@ -759,11 +770,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         f_hbm = refs[idx]; idx += 1
         glo_hbm = refs[idx]; idx += 1
         ghi_hbm = refs[idx]; idx += 1
-        rho_hbm = rglo_hbm = rghi_hbm = None
+        rho_hbm = rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
         if sc:
             rho_hbm = refs[idx]; idx += 1
             rglo_hbm = refs[idx]; idx += 1
             rghi_hbm = refs[idx]; idx += 1
+            if edge_io:
+                rlo_hbm = refs[idx]; idx += 1
+                rhi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         pmap_ref = None
@@ -789,16 +803,19 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if emit_rho:
             ring0 = refs[idx]; idx += 1     # (2, n_p1, Y, X) pc base-2
             ring1 = refs[idx]; idx += 1     # (2, Q-s_0, Y, X) pc base-1
-            stash0 = refs[idx]; idx += 1    # (s_p1, Y, X) pc plane 0
-            stash1 = refs[idx]; idx += 1    # (n_m1, Y, X) pc plane 1
+            if not edge_io:
+                stash0 = refs[idx]; idx += 1  # (s_p1, Y, X) pc plane 0
+                stash1 = refs[idx]; idx += 1  # (n_m1, Y, X) pc plane 1
             remit_buf = refs[idx]; idx += 1  # (2, k, Y, X)
-            redge_buf = refs[idx]; idx += 1  # (2, Y, X)
+            if not edge_io:
+                redge_buf = refs[idx]; idx += 1  # (2, Y, X)
         in_sems = refs[idx]; idx += 1       # DMA (2, Q+4)
         out_sems = refs[idx]; idx += 1      # DMA (2,)
         remit_sems = redge_sems = None
         if emit_rho:
             remit_sems = refs[idx]; idx += 1  # DMA (2,)
-            redge_sems = refs[idx]; idx += 1  # DMA (2,)
+            if not edge_io:
+                redge_sems = refs[idx]; idx += 1  # DMA (2,)
 
         b0 = pl.program_id(0)
         base = b0 * k
@@ -876,22 +893,69 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     in_sems.at[s, Q]).start()
             if sc:
                 # rho rows slab_base-1 .. slab_base+k (periodic edges
-                # read the ghost inputs)
-                pltpu.make_async_copy(
-                    rho_hbm.at[pl.ds(slab_base, k)],
-                    rho_buf.at[s, pl.ds(1, k)],
-                    in_sems.at[s, Q + 2]).start()
+                # read the ghost inputs; under edge_io the STALE local
+                # edge rows 0 / Z-1 read the rlo/rhi inputs instead)
+                if edge_io:
+                    # emit_rho guarantees B >= 3: slabs 0 and B-1
+                    # are distinct programs
+                    @pl.when(slab_b == 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            rlo_hbm, rho_buf.at[s, 1],
+                            in_sems.at[s, Q + 2]).start()
+                        if k > 1:
+                            pltpu.make_async_copy(
+                                rho_hbm.at[pl.ds(1, k - 1)],
+                                rho_buf.at[s, pl.ds(2, k - 1)],
+                                in_sems.at[s, Q + 2]).start()
+
+                    @pl.when(slab_b == B - 1)
+                    def _():
+                        if k > 1:
+                            pltpu.make_async_copy(
+                                rho_hbm.at[pl.ds(Z - k, k - 1)],
+                                rho_buf.at[s, pl.ds(1, k - 1)],
+                                in_sems.at[s, Q + 2]).start()
+                        pltpu.make_async_copy(
+                            rhi_hbm, rho_buf.at[s, k],
+                            in_sems.at[s, Q + 2]).start()
+
+                    @pl.when((slab_b > 0) & (slab_b < B - 1))
+                    def _(slab_base=slab_base):
+                        pltpu.make_async_copy(
+                            rho_hbm.at[pl.ds(slab_base, k)],
+                            rho_buf.at[s, pl.ds(1, k)],
+                            in_sems.at[s, Q + 2]).start()
+                else:
+                    pltpu.make_async_copy(
+                        rho_hbm.at[pl.ds(slab_base, k)],
+                        rho_buf.at[s, pl.ds(1, k)],
+                        in_sems.at[s, Q + 2]).start()
 
                 @pl.when(slab_b == 0)
                 def _():
                     pltpu.make_async_copy(rglo_hbm, rho_buf.at[s, 0],
                                           in_sems.at[s, Q + 1]).start()
 
-                @pl.when(slab_b > 0)
-                def _(slab_base=slab_base):
-                    pltpu.make_async_copy(
-                        rho_hbm.at[slab_base - 1], rho_buf.at[s, 0],
-                        in_sems.at[s, Q + 1]).start()
+                if edge_io and k == 1:
+                    # row slab_base-1 == 0 exactly at slab 1 (k == 1)
+                    @pl.when(slab_b == 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            rlo_hbm, rho_buf.at[s, 0],
+                            in_sems.at[s, Q + 1]).start()
+
+                    @pl.when(slab_b > 1)
+                    def _(slab_base=slab_base):
+                        pltpu.make_async_copy(
+                            rho_hbm.at[slab_base - 1], rho_buf.at[s, 0],
+                            in_sems.at[s, Q + 1]).start()
+                else:
+                    @pl.when(slab_b > 0)
+                    def _(slab_base=slab_base):
+                        pltpu.make_async_copy(
+                            rho_hbm.at[slab_base - 1], rho_buf.at[s, 0],
+                            in_sems.at[s, Q + 1]).start()
 
                 @pl.when(slab_b == B - 1)
                 def _():
@@ -899,12 +963,27 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                                           rho_buf.at[s, k + 1],
                                           in_sems.at[s, Q + 3]).start()
 
-                @pl.when(slab_b < B - 1)
-                def _(slab_base=slab_base):
-                    pltpu.make_async_copy(
-                        rho_hbm.at[slab_base + k],
-                        rho_buf.at[s, k + 1],
-                        in_sems.at[s, Q + 3]).start()
+                if edge_io and k == 1:
+                    # row slab_base+k == Z-1 exactly at slab B-2
+                    @pl.when(slab_b == B - 2)
+                    def _():
+                        pltpu.make_async_copy(
+                            rhi_hbm, rho_buf.at[s, k + 1],
+                            in_sems.at[s, Q + 3]).start()
+
+                    @pl.when(slab_b < B - 2)
+                    def _(slab_base=slab_base):
+                        pltpu.make_async_copy(
+                            rho_hbm.at[slab_base + k],
+                            rho_buf.at[s, k + 1],
+                            in_sems.at[s, Q + 3]).start()
+                else:
+                    @pl.when(slab_b < B - 1)
+                    def _(slab_base=slab_base):
+                        pltpu.make_async_copy(
+                            rho_hbm.at[slab_base + k],
+                            rho_buf.at[s, k + 1],
+                            in_sems.at[s, Q + 3]).start()
 
         def wait_gather_plus(slab_b, s):
             """Wait only the cz=+1 group of slot ``s``. Mirrors the
@@ -974,9 +1053,32 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                                       mask_buf.at[s],
                                       in_sems.at[s, Q]).wait()
             if sc:
-                pltpu.make_async_copy(rho_hbm.at[pl.ds(0, k)],
-                                      rho_buf.at[s, pl.ds(1, k)],
-                                      in_sems.at[s, Q + 2]).wait()
+                if edge_io:
+                    # edge slabs split the window copy (edge row from
+                    # rlo/rhi + remainder); the waits must match
+                    edge_slab = (b0 == 0) | (b0 == B - 1)
+
+                    @pl.when(edge_slab)
+                    def _():
+                        pltpu.make_async_copy(
+                            rho_hbm.at[0], rho_buf.at[s, 1],
+                            in_sems.at[s, Q + 2]).wait()
+                        if k > 1:
+                            pltpu.make_async_copy(
+                                rho_hbm.at[pl.ds(0, k - 1)],
+                                rho_buf.at[s, pl.ds(1, k - 1)],
+                                in_sems.at[s, Q + 2]).wait()
+
+                    @pl.when(jnp.logical_not(edge_slab))
+                    def _():
+                        pltpu.make_async_copy(
+                            rho_hbm.at[pl.ds(0, k)],
+                            rho_buf.at[s, pl.ds(1, k)],
+                            in_sems.at[s, Q + 2]).wait()
+                else:
+                    pltpu.make_async_copy(rho_hbm.at[pl.ds(0, k)],
+                                          rho_buf.at[s, pl.ds(1, k)],
+                                          in_sems.at[s, Q + 2]).wait()
                 pltpu.make_async_copy(rho_hbm.at[0], rho_buf.at[s, 0],
                                       in_sems.at[s, Q + 1]).wait()
                 pltpu.make_async_copy(rho_hbm.at[0],
@@ -1160,15 +1262,16 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     remit_copy_pro(slot).start()
 
             # stash pc planes 0/1 for the periodic wrap emission
-            @pl.when(b0 == 0)
-            def _():
-                stash0[...] = fs_buf[slot, pl.ds(0, s_p1), 0]
-                if k >= 2:
-                    stash1[...] = fs_buf[slot, pl.ds(0, n_m1), 1]
-            if k == 1:
-                @pl.when(b0 == 1)
+            if not edge_io:
+                @pl.when(b0 == 0)
                 def _():
-                    stash1[...] = fs_buf[slot, pl.ds(0, n_m1), 0]
+                    stash0[...] = fs_buf[slot, pl.ds(0, s_p1), 0]
+                    if k >= 2:
+                        stash1[...] = fs_buf[slot, pl.ds(0, n_m1), 1]
+                if k == 1:
+                    @pl.when(b0 == 1)
+                    def _():
+                        stash1[...] = fs_buf[slot, pl.ds(0, n_m1), 0]
 
             # ring update: carry this slab's last two pc planes
             # (emission above read the PREVIOUS slab's ring via nslot)
@@ -1178,42 +1281,48 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 ring0[slot] = fs_buf[slot, pl.ds(s_p1, n_p1), k - 2]
             ring1[slot] = fs_buf[slot, pl.ds(s_0, Q - s_0), k - 1]
 
+            if not edge_io:
+                @pl.when(b0 == B - 1)
+                def _():
+                    # periodic wrap planes: Z-1 (needs pc Z-2, Z-1, 0)
+                    # and 0 (needs pc Z-1, 0, 1); skipped under edge_io
+                    # (the sharded caller computes the edge planes in
+                    # XLA from ppermuted post-collision faces)
+                    def src_last(i):
+                        cz = int(basis[i][2])
+                        ch = ipos[i]
+                        if cz == 1:          # source plane Z-2
+                            if k >= 2:
+                                return fs_buf[slot, ch, k - 2]
+                            return ring0[slot, ch - s_p1]
+                        if cz == 0:          # source plane Z-1
+                            return fs_buf[slot, ch, k - 1]
+                        return stash0[ch]    # cz=-1: source plane Z -> 0
+
+                    def src_first(i):
+                        cz = int(basis[i][2])
+                        ch = ipos[i]
+                        if cz == 1:          # source plane -1 -> Z-1
+                            return fs_buf[slot, ch, k - 1]
+                        if cz == 0:          # source plane 0
+                            return stash0[ch]
+                        return stash1[ch]    # cz=-1: source plane 1
+
+                    redge_buf[0] = emitted_rho(src_last)
+                    redge_buf[1] = emitted_rho(src_first)
+                    c0 = pltpu.make_async_copy(redge_buf.at[0],
+                                               rho_out_hbm.at[Z - 1],
+                                               redge_sems.at[0])
+                    c1 = pltpu.make_async_copy(redge_buf.at[1],
+                                               rho_out_hbm.at[0],
+                                               redge_sems.at[1])
+                    c0.start()
+                    c1.start()
+                    c0.wait()
+                    c1.wait()
+
             @pl.when(b0 == B - 1)
             def _():
-                # periodic wrap planes: Z-1 (needs pc Z-2, Z-1, 0) and
-                # 0 (needs pc Z-1, 0, 1)
-                def src_last(i):
-                    cz = int(basis[i][2])
-                    ch = ipos[i]
-                    if cz == 1:          # source plane Z-2
-                        if k >= 2:
-                            return fs_buf[slot, ch, k - 2]
-                        return ring0[slot, ch - s_p1]
-                    if cz == 0:          # source plane Z-1
-                        return fs_buf[slot, ch, k - 1]
-                    return stash0[ch]    # cz=-1: source plane Z -> 0
-
-                def src_first(i):
-                    cz = int(basis[i][2])
-                    ch = ipos[i]
-                    if cz == 1:          # source plane -1 -> Z-1
-                        return fs_buf[slot, ch, k - 1]
-                    if cz == 0:          # source plane 0
-                        return stash0[ch]
-                    return stash1[ch]    # cz=-1: source plane 1
-
-                redge_buf[0] = emitted_rho(src_last)
-                redge_buf[1] = emitted_rho(src_first)
-                c0 = pltpu.make_async_copy(redge_buf.at[0],
-                                           rho_out_hbm.at[Z - 1],
-                                           redge_sems.at[0])
-                c1 = pltpu.make_async_copy(redge_buf.at[1],
-                                           rho_out_hbm.at[0],
-                                           redge_sems.at[1])
-                c0.start()
-                c1.start()
-                c0.wait()
-                c1.wait()
                 # drain the outstanding slab emissions (no successor
                 # exists to recycle these staging slots)
                 remit_copy_reg(slot, base).wait()
@@ -1288,7 +1397,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     if sc:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
+            5 if edge_io else 3)
     scratch = [
         pltpu.VMEM((2, Q, k, Y, X), dtype),
     ]
@@ -1300,10 +1410,12 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if emit_rho:
         scratch.append(pltpu.VMEM((2, n_p1, Y, X), dtype))      # ring0
         scratch.append(pltpu.VMEM((2, Q - s_0, Y, X), dtype))   # ring1
-        scratch.append(pltpu.VMEM((s_p1, Y, X), dtype))         # stash0
-        scratch.append(pltpu.VMEM((n_m1, Y, X), dtype))         # stash1
+        if not edge_io:
+            scratch.append(pltpu.VMEM((s_p1, Y, X), dtype))     # stash0
+            scratch.append(pltpu.VMEM((n_m1, Y, X), dtype))     # stash1
         scratch.append(pltpu.VMEM((2, k, Y, X), dtype))         # remit
-        scratch.append(pltpu.VMEM((2, Y, X), dtype))            # redge
+        if not edge_io:
+            scratch.append(pltpu.VMEM((2, Y, X), dtype))        # redge
     if patch_rows:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if dyn_patches:
@@ -1313,7 +1425,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))           # redge
+        if not edge_io:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))       # redge
 
     # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
     # v5e has headroom, so request what the buffers need plus margin
@@ -1323,8 +1436,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if sc:
         vmem_need += 2 * (k + 2) * Y * X * 4
     if emit_rho:
-        vmem_need += (2 * n_p1 + 2 * (Q - s_0) + s_p1 + n_m1
-                      + 2 * k + 2) * Y * X * 4
+        vmem_need += (2 * n_p1 + 2 * (Q - s_0) + 2 * k) * Y * X * 4
+        if not edge_io:
+            vmem_need += (s_p1 + n_m1 + 2) * Y * X * 4
     # margin: Mosaic stack temporaries (moments/feq/psi planes inside
     # the collide) scale with the slab size; the limit is only a gate,
     # not an allocation, so be generous -- two slab-sized sets plus

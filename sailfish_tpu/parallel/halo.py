@@ -31,7 +31,39 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sailfish_tpu.ops.pallas_step import (
     PallasStep3D, check_plane_tiling, classify_nodes,
-    compute_patch_plane, cz_groups, make_kernel_3d)
+    compute_patch_plane, cz_groups, make_kernel_3d,
+    make_rho_kernel_3d)
+
+
+def stream_rho_edges(grid, ipos, f, glo, ghi):
+    """Post-stream density of the two local edge z-planes from the
+    post-collision state ``f`` (kernel layout) and the ppermuted
+    neighbor faces ``glo``/``ghi`` -- the plane the in-kernel emission
+    cannot produce on a shard. Source selection, roll and summation
+    order are identical to make_rho_kernel_3d (and hence to the
+    in-kernel emission), so sharded results stay BITWISE equal to the
+    single-device fused engine. Returns (rho_plane_0, rho_plane_Zm1)."""
+    lo = hi = None
+    for i in range(grid.Q):
+        cx = int(grid.basis[i][0])
+        cy = int(grid.basis[i][1])
+        cz = int(grid.basis[i][2])
+        ch = ipos[i]
+        if cz == 1:
+            p_lo, p_hi = glo[ch], f[ch, -2]
+        elif cz == 0:
+            p_lo, p_hi = f[ch, 0], f[ch, -1]
+        else:
+            p_lo, p_hi = f[ch, 1], ghi[ch]
+        if cy:
+            p_lo = jnp.roll(p_lo, cy, axis=0)
+            p_hi = jnp.roll(p_hi, cy, axis=0)
+        if cx:
+            p_lo = jnp.roll(p_lo, cx, axis=1)
+            p_hi = jnp.roll(p_hi, cx, axis=1)
+        lo = p_lo if lo is None else lo + p_lo
+        hi = p_hi if hi is None else hi + p_hi
+    return lo, hi
 
 
 class ShardedPallasStep3D:
@@ -87,16 +119,35 @@ class ShardedPallasStep3D:
                 self.patch_subs.append(
                     (r, box, builder.for_window(box, flatten=True)))
 
+        self.sc = builder.sc_coupling != 0.0
+        if self.sc and self.has_patches:
+            raise NotImplementedError(
+                'Shan-Chen with complex-BC planes needs global psi '
+                'sampling in the patch windows; use the XLA engine')
         from sailfish_tpu.ops.pallas_step import pick_slab_k
         heavy = (builder.model in ('mrt', 'trt')
                  or builder.smagorinsky > 0.0)
         self.slab_k = pick_slab_k(builder.grid.Q, Z_loc, Y, X,
-                                  has_mask=self.has_mask,
+                                  sc=self.sc, has_mask=self.has_mask,
                                   k_max=4 if heavy else 8)
+        if self.sc:
+            # in-kernel interior rho emission + XLA edge fixup (the
+            # edge_io mode); needs >= 3 pipeline programs per shard
+            while self.slab_k > 1 and Z_loc // self.slab_k < 3:
+                self.slab_k //= 2
+            if Z_loc // self.slab_k < 3:
+                raise NotImplementedError(
+                    'sharded Shan-Chen stepping needs >= 3 z-planes '
+                    f'per shard (got {Z_loc}); use the XLA engine')
         self.kernel = make_kernel_3d(
             builder, Z_loc, Y, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
-            max_patches=self.P, k=self.slab_k)
+            max_patches=self.P, k=self.slab_k, sc=self.sc,
+            emit_rho=self.sc, edge_io=self.sc)
+        self.rho_kernel = None
+        if self.sc:
+            self.rho_kernel = make_rho_kernel_3d(
+                builder, Z_loc, Y, X, interpret=interpret)
         # the kernel expects the cz-grouped Q layout (pallas_step.
         # cz_groups); the sharded state lives permuted between steps
         qperm, qinv, _ = cz_groups(builder.grid)
@@ -107,6 +158,8 @@ class ShardedPallasStep3D:
         up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
         down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
         g = builder.grid
+
+        ipos_np = cz_groups(builder.grid)[1]
 
         def local_step(f_local, *rest):
             # faces travel around the ring: my top plane becomes the
@@ -122,15 +175,62 @@ class ShardedPallasStep3D:
                 args.append(rest[k].reshape(g.Q, self.P, Y, X)); k += 1
             return self.kernel(*args)
 
+        def local_step_sc(f, rho, rlo, rhi, glo, ghi, *rest):
+            """Shan-Chen sharded step on the (f, rho, rlo, rhi, glo,
+            ghi) carry: ghosts are CARRIED (the post-collision faces
+            ppermuted at the end of the previous step), the kernel
+            emits the interior rho planes, and the two edge planes the
+            shard cannot emit are streamed in XLA from the fresh
+            ppermuted faces (stream_rho_edges; the TPU analog of the
+            reference NN-runner's macro pre-exchange,
+            subdomain_runner.py:2102-2197)."""
+            rglo = jax.lax.ppermute(rhi[0], 'z', up)
+            rghi = jax.lax.ppermute(rlo[0], 'z', down)
+            args = [f, glo[0], ghi[0], rho, rglo, rghi, rlo[0], rhi[0]]
+            if self.has_mask:
+                args.append(rest[0])
+            f2, rho2 = self.kernel(*args)
+            glo2 = jax.lax.ppermute(f2[:, -1], 'z', up)
+            ghi2 = jax.lax.ppermute(f2[:, 0], 'z', down)
+            lo, hi = stream_rho_edges(g, ipos_np, f2, glo2, ghi2)
+            return (f2, rho2, lo[None], hi[None], glo2[None],
+                    ghi2[None])
+
+        def local_init_sc(f):
+            """Initial (f, rho, rlo, rhi, glo, ghi) carry: one full
+            local rho pre-pass with ppermuted ghosts."""
+            glo = jax.lax.ppermute(f[:, -1], 'z', up)
+            ghi = jax.lax.ppermute(f[:, 0], 'z', down)
+            rho = self.rho_kernel(f, glo, ghi)
+            return (f, rho, rho[0][None], rho[-1][None], glo[None],
+                    ghi[None])
+
         in_specs = [P(None, 'z', None, None)]
+        if self.sc:
+            SPECS = (P(None, 'z', None, None),    # f
+                     P('z', None, None),          # rho
+                     P('z', None, None),          # rlo
+                     P('z', None, None),          # rhi
+                     P('z', None, None, None),    # glo
+                     P('z', None, None, None))    # ghi
+            in_specs = list(SPECS)
         if self.has_mask:
             in_specs.append(P('z', None, None))
         if self.has_patches:
             in_specs.append(P('z', None))
             in_specs.append(P(None, 'z', None, None, None))
-        self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=tuple(in_specs),
-            out_specs=P(None, 'z', None, None), check_vma=False)
+        if self.sc:
+            self._sharded_step = shard_map(
+                local_step_sc, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=SPECS, check_vma=False)
+            self._sharded_init = shard_map(
+                local_init_sc, mesh=mesh,
+                in_specs=(P(None, 'z', None, None),),
+                out_specs=SPECS, check_vma=False)
+        else:
+            self._sharded_step = shard_map(
+                local_step, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=P(None, 'z', None, None), check_vma=False)
 
     def _compute_patches_padded(self, f, it=0):
         """Exact XLA recompute of every patched GLOBAL plane, packed as
@@ -161,19 +261,24 @@ class ShardedPallasStep3D:
         return True
 
     def pad_state(self, f):
-        return f[self._qperm]
+        f = f[self._qperm]
+        if self.sc:
+            return self._sharded_init(f)
+        return f
 
-    def crop_state(self, f):
+    def crop_state(self, carry):
+        f = carry[0] if self.sc else carry
         return f[self._qinv]
 
-    def step(self, f, it=0):
-        """One sharded step on kernel-layout state (see pad_state)."""
-        args = [f]
+    def step(self, carry, it=0):
+        """One sharded step on kernel-layout state (see pad_state).
+        Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi)."""
+        args = list(carry) if self.sc else [carry]
         if self.has_mask:
             args.append(self.mask_global)
         if self.has_patches:
             args.append(self.pmap_global)
-            args.append(self._compute_patches_padded(f, it))
+            args.append(self._compute_patches_padded(carry, it))
         return self._sharded_step(*args)
 
     def run_steps(self, f, n, it0=0):

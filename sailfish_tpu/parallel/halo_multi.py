@@ -1,0 +1,338 @@
+"""Multi-chip fused stepping for K-component models (Shan-Chen
+mixtures + binary free energy): shard_map + ppermute halo exchange.
+
+The reference runs multiphase models multi-GPU through the NN runner's
+two-phase step -- a macro-field (density/order-parameter) exchange
+between the distribution exchanges (subdomain_runner.py:1840-2197, step
+at :2102). The TPU design folds both exchanges into the carry: each
+step ppermutes (a) the post-collision distribution faces (the ghost
+planes of the next step's pull streaming) and (b) the post-stream
+density edge planes the in-kernel emission cannot produce on a shard
+(they need the neighbor's post-collision faces). Those edge planes are
+streamed in XLA from the already-ppermuted faces with the exact
+summation order of the rho pre-pass kernel (parallel.halo.
+stream_rho_edges), so N-shard results stay BITWISE equal to the
+single-device fused engine (tests/test_multi_pallas.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
+                                          classify_nodes, cz_groups,
+                                          make_rho_kernel_3d)
+from sailfish_tpu.parallel.halo import stream_rho_edges
+
+
+def _ring(nshards):
+    up = [(i, (i + 1) % nshards) for i in range(nshards)]
+    down = [(i, (i - 1) % nshards) for i in range(nshards)]
+    return up, down
+
+
+def _check_z_mesh(mesh, Z):
+    if list(mesh.axis_names) != ['z']:
+        raise NotImplementedError(
+            'the sharded fused multi-component kernel shards the z '
+            f'axis only; got mesh axes {mesh.axis_names}')
+    nshards = mesh.shape['z']
+    assert Z % nshards == 0
+    Z_loc = Z // nshards
+    if Z_loc < 3:
+        raise NotImplementedError(
+            'sharded multi-component stepping needs >= 3 z-planes per '
+            f'shard (got {Z_loc}); use the XLA engine')
+    return nshards, Z_loc
+
+
+class ShardedPallasSCMulti3D:
+    """z-sharded fused stepping for 3D Shan-Chen mixtures (K
+    components; walls/obstacles only, like the single-device kernel).
+
+    Carry: (fs, rhos, rlos, rhis, glos, ghis) -- K distribution sets,
+    K interior-emitted densities, K fresh edge-plane pairs, K
+    ppermuted post-collision neighbor faces."""
+
+    def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
+        from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
+        from sailfish_tpu.ops.pallas_multi3d import (
+            _check_vmem, make_kernel_3d_sc_multi)
+        if not isinstance(mbuilder, ShanChenMultiStepBuilder):
+            raise NotImplementedError(
+                'fused multi-component stepping covers Shan-Chen '
+                'mixtures and binary free energy only')
+        Z, Y, X = domain_shape
+        self.shape = domain_shape
+        self.mesh = mesh
+        self.nshards, Z_loc = _check_z_mesh(mesh, Z)
+        check_plane_tiling(Y, X, interpret)
+        b0 = mbuilder.b0
+        K = self.K = len(mbuilder.components)
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused multi-component 3D kernel covers walls/'
+                'obstacles only; complex-BC scenes use the XLA engine')
+        self.has_mask = bool((mask_np != 0).any())
+        Q = mbuilder.grid.Q
+        _, ipos_np, groups = cz_groups(mbuilder.grid)
+        n_m1 = sum(c for cz, _, c in groups if cz == -1)
+        n_p1 = sum(c for cz, _, c in groups if cz == 1)
+        s_0 = next(st for cz, st, c in groups if cz == 0)
+        isz = np.dtype(np.float32).itemsize
+        _check_vmem((2 * K * Q, isz), (2 * 3 * K, isz),
+                    (2 * K * (n_p1 + (Q - s_0)) + 2 * K, isz),
+                    (2 if self.has_mask else 0, 4), Y=Y, X=X)
+        self.mask_global = None
+        if self.has_mask:
+            self.mask_global = jax.device_put(
+                jnp.asarray(mask_np),
+                NamedSharding(mesh, P('z', None, None)))
+        self.kernel = make_kernel_3d_sc_multi(
+            mbuilder, Z_loc, Y, X, has_mask=self.has_mask,
+            emit_rho=True, edge_io=True, interpret=interpret)
+        self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y, X,
+                                             interpret=interpret)
+        qperm, qinv, _ = cz_groups(mbuilder.grid)
+        self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
+        self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
+        up, down = _ring(self.nshards)
+        g = mbuilder.grid
+
+        def local_step(*args):
+            i = 0
+            fs = list(args[i:i + K]); i += K
+            rhos = list(args[i:i + K]); i += K
+            rlos = list(args[i:i + K]); i += K
+            rhis = list(args[i:i + K]); i += K
+            glos = list(args[i:i + K]); i += K
+            ghis = list(args[i:i + K]); i += K
+            mask = args[i] if self.has_mask else None
+            rglos = [jax.lax.ppermute(r[0], 'z', up) for r in rhis]
+            rghis = [jax.lax.ppermute(r[0], 'z', down) for r in rlos]
+            kargs = (fs + [gl[0] for gl in glos]
+                     + [gh[0] for gh in ghis] + rhos + rglos + rghis
+                     + [r[0] for r in rlos] + [r[0] for r in rhis])
+            if self.has_mask:
+                kargs.append(mask)
+            out = self.kernel(*kargs)
+            fs2 = out[:K]
+            rhos2 = out[K:]
+            glos2 = [jax.lax.ppermute(f[:, -1], 'z', up) for f in fs2]
+            ghis2 = [jax.lax.ppermute(f[:, 0], 'z', down) for f in fs2]
+            los, his = [], []
+            for c in range(K):
+                lo, hi = stream_rho_edges(g, ipos_np, fs2[c], glos2[c],
+                                          ghis2[c])
+                los.append(lo[None])
+                his.append(hi[None])
+            return (tuple(fs2) + tuple(rhos2) + tuple(los)
+                    + tuple(his) + tuple(f[None] for f in glos2)
+                    + tuple(f[None] for f in ghis2))
+
+        def local_init(*fs):
+            glos = [jax.lax.ppermute(f[:, -1], 'z', up) for f in fs]
+            ghis = [jax.lax.ppermute(f[:, 0], 'z', down) for f in fs]
+            rhos = [self.rho_kernel(f, gl, gh)
+                    for f, gl, gh in zip(fs, glos, ghis)]
+            return (tuple(fs) + tuple(rhos)
+                    + tuple(r[0][None] for r in rhos)
+                    + tuple(r[-1][None] for r in rhos)
+                    + tuple(f[None] for f in glos)
+                    + tuple(f[None] for f in ghis))
+
+        FSPEC = P(None, 'z', None, None)
+        RSPEC = P('z', None, None)
+        ESPEC = P('z', None, None)
+        GSPEC = P('z', None, None, None)
+        carry_specs = ((FSPEC,) * K + (RSPEC,) * K + (ESPEC,) * 2 * K
+                       + (GSPEC,) * 2 * K)
+        in_specs = carry_specs
+        if self.has_mask:
+            in_specs = in_specs + (P('z', None, None),)
+        self._sharded_step = shard_map(
+            local_step, mesh=mesh, in_specs=in_specs,
+            out_specs=carry_specs, check_vma=False)
+        self._sharded_init = shard_map(
+            local_init, mesh=mesh, in_specs=(FSPEC,) * K,
+            out_specs=carry_specs, check_vma=False)
+
+    @property
+    def padded(self):
+        """Kernel layout (cz-grouped Q order) + the sharded emission
+        carry; the runner wraps step loops in pad_state/crop_state."""
+        return True
+
+    def pad_state(self, state):
+        fs = tuple(f[self._qperm] for f in state)
+        return self._sharded_init(*fs)
+
+    def crop_state(self, carry):
+        return tuple(f[self._qinv] for f in carry[:self.K])
+
+    def step(self, carry, it=0):
+        args = list(carry)
+        if self.has_mask:
+            args.append(self.mask_global)
+        return self._sharded_step(*args)
+
+    def run_steps(self, state, n, it0=0):
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)
+
+
+class ShardedPallasFE3D:
+    """z-sharded fused stepping for 3D binary free-energy scenes
+    (walls/obstacles + wetting, like the single-device kernel).
+
+    Carry: (f0, f1, phi, pelo, pehi, glo0, glo1, ghi0, ghi1). The phi
+    stencil reaches TWO planes, so each step ppermutes two phi planes
+    per side: the neighbor's fresh edge plane (their pelo/pehi) and
+    their adjacent interior plane."""
+
+    def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
+        from sailfish_tpu.ops.pallas_multi3d import (_check_vmem,
+                                                     make_kernel_3d_fe)
+        Z, Y, X = domain_shape
+        self.shape = domain_shape
+        self.mesh = mesh
+        self.nshards, Z_loc = _check_z_mesh(mesh, Z)
+        check_plane_tiling(Y, X, interpret)
+        b0 = mbuilder.b0
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused FE 3D kernel covers walls/obstacles only; '
+                'complex-BC scenes use the XLA engine')
+        self.has_mask = bool((mask_np != 0).any())
+        self.wetting = bool(mbuilder._has_dry_nodes)
+        Q = mbuilder.grid.Q
+        _, ipos_np, groups = cz_groups(mbuilder.grid)
+        n_m1 = sum(c for cz, _, c in groups if cz == -1)
+        n_p1 = sum(c for cz, _, c in groups if cz == 1)
+        s_0 = next(st for cz, st, c in groups if cz == 0)
+        isz = np.dtype(np.float32).itemsize
+        _check_vmem((4 * Q, isz), (10, isz),
+                    (2 * (n_p1 + (Q - s_0)) + 2, isz),
+                    (2 if self.has_mask else 0, 4),
+                    (6 if self.wetting else 0, 4), Y=Y, X=X)
+        self.mask_global = None
+        if self.has_mask:
+            self.mask_global = jax.device_put(
+                jnp.asarray(mask_np),
+                NamedSharding(mesh, P('z', None, None)))
+        self.orient_global = None
+        if self.wetting:
+            orient_np = np.asarray(mbuilder._dry_orient)
+            self.orient_global = jax.device_put(
+                jnp.asarray(orient_np),
+                NamedSharding(mesh, P('z', None, None)))
+            # static neighbor faces of the orientation map, per shard
+            S = self.nshards
+            olo = np.stack([orient_np[(s * Z_loc - 1) % Z]
+                            for s in range(S)])
+            ohi = np.stack([orient_np[((s + 1) * Z_loc) % Z]
+                            for s in range(S)])
+            self.orient_lo = jax.device_put(
+                jnp.asarray(olo), NamedSharding(mesh, P('z', None, None)))
+            self.orient_hi = jax.device_put(
+                jnp.asarray(ohi), NamedSharding(mesh, P('z', None, None)))
+        self.kernel = make_kernel_3d_fe(
+            mbuilder, Z_loc, Y, X, has_mask=self.has_mask,
+            wetting=self.wetting, emit_phi=True, edge_io=True,
+            interpret=interpret)
+        self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y, X,
+                                             interpret=interpret)
+        qperm, qinv, _ = cz_groups(mbuilder.grid)
+        self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
+        self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
+        up, down = _ring(self.nshards)
+        g = mbuilder.grid
+
+        def local_step(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
+                       ghi1, *rest):
+            # phi ghosts: plane -1 = neighbor's fresh edge (pehi up),
+            # plane -2 = neighbor's interior plane Z-2 (valid in their
+            # array); symmetric on the high side
+            lo1 = jax.lax.ppermute(pehi[0], 'z', up)
+            lo2 = jax.lax.ppermute(phi[-2], 'z', up)
+            hi1 = jax.lax.ppermute(pelo[0], 'z', down)
+            hi2 = jax.lax.ppermute(phi[1], 'z', down)
+            kargs = [f0, f1, glo0[0], glo1[0], ghi0[0], ghi1[0],
+                     phi, lo2, lo1, hi1, hi2, pelo[0], pehi[0]]
+            r = 0
+            if self.has_mask:
+                kargs.append(rest[r]); r += 1
+            if self.wetting:
+                kargs += [rest[r], rest[r + 1][0], rest[r + 2][0]]
+                r += 3
+            f0_2, f1_2, phi2 = self.kernel(*kargs)
+            glo0_2 = jax.lax.ppermute(f0_2[:, -1], 'z', up)
+            glo1_2 = jax.lax.ppermute(f1_2[:, -1], 'z', up)
+            ghi0_2 = jax.lax.ppermute(f0_2[:, 0], 'z', down)
+            ghi1_2 = jax.lax.ppermute(f1_2[:, 0], 'z', down)
+            lo, hi = stream_rho_edges(g, ipos_np, f1_2, glo1_2, ghi1_2)
+            return (f0_2, f1_2, phi2, lo[None], hi[None],
+                    glo0_2[None], glo1_2[None], ghi0_2[None],
+                    ghi1_2[None])
+
+        def local_init(f0, f1):
+            glo0 = jax.lax.ppermute(f0[:, -1], 'z', up)
+            glo1 = jax.lax.ppermute(f1[:, -1], 'z', up)
+            ghi0 = jax.lax.ppermute(f0[:, 0], 'z', down)
+            ghi1 = jax.lax.ppermute(f1[:, 0], 'z', down)
+            phi = self.rho_kernel(f1, glo1, ghi1)
+            return (f0, f1, phi, phi[0][None], phi[-1][None],
+                    glo0[None], glo1[None], ghi0[None], ghi1[None])
+
+        FSPEC = P(None, 'z', None, None)
+        RSPEC = P('z', None, None)
+        GSPEC = P('z', None, None, None)
+        carry_specs = (FSPEC, FSPEC, RSPEC, RSPEC, RSPEC,
+                       GSPEC, GSPEC, GSPEC, GSPEC)
+        in_specs = carry_specs
+        if self.has_mask:
+            in_specs = in_specs + (P('z', None, None),)
+        if self.wetting:
+            in_specs = in_specs + (P('z', None, None),
+                                   P('z', None, None),
+                                   P('z', None, None))
+        self._sharded_step = shard_map(
+            local_step, mesh=mesh, in_specs=in_specs,
+            out_specs=carry_specs, check_vma=False)
+        self._sharded_init = shard_map(
+            local_init, mesh=mesh, in_specs=(FSPEC, FSPEC),
+            out_specs=carry_specs, check_vma=False)
+
+    @property
+    def padded(self):
+        return True
+
+    def pad_state(self, state):
+        f0, f1 = (f[self._qperm] for f in state)
+        return self._sharded_init(f0, f1)
+
+    def crop_state(self, carry):
+        return tuple(f[self._qinv] for f in carry[:2])
+
+    def step(self, carry, it=0):
+        args = list(carry)
+        if self.has_mask:
+            args.append(self.mask_global)
+        if self.wetting:
+            args += [self.orient_global, self.orient_lo, self.orient_hi]
+        return self._sharded_step(*args)
+
+    def run_steps(self, state, n, it0=0):
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)

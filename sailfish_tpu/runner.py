@@ -83,7 +83,13 @@ class SubdomainRunner:
                 FreeEnergyStepBuilder, ShanChenMultiStepBuilder)
             try:
                 if isinstance(self.builder, ShanChenMultiStepBuilder):
-                    if self.sim.dim == 3:
+                    if self.mesh is not None:
+                        from sailfish_tpu.parallel.halo_multi import \
+                            ShardedPallasSCMulti3D
+                        pstep = ShardedPallasSCMulti3D(
+                            self.builder, self._domain_shape(),
+                            self.mesh, interpret=interp)
+                    elif self.sim.dim == 3:
                         from sailfish_tpu.ops.pallas_multi3d import \
                             PallasStepSCMulti3D
                         pstep = PallasStepSCMulti3D(
@@ -96,7 +102,13 @@ class SubdomainRunner:
                             self.builder, self._domain_shape(),
                             interpret=interp)
                 elif isinstance(self.builder, FreeEnergyStepBuilder):
-                    if self.sim.dim == 3:
+                    if self.mesh is not None:
+                        from sailfish_tpu.parallel.halo_multi import \
+                            ShardedPallasFE3D
+                        pstep = ShardedPallasFE3D(
+                            self.builder, self._domain_shape(),
+                            self.mesh, interpret=interp)
+                    elif self.sim.dim == 3:
                         from sailfish_tpu.ops.pallas_multi3d import \
                             PallasStepFE3D
                         pstep = PallasStepFE3D(
@@ -130,9 +142,14 @@ class SubdomainRunner:
                     pstep = PallasStep2D(self.builder,
                                          self._domain_shape(),
                                          interpret=interp)
-            except NotImplementedError:
+            except NotImplementedError as e:
                 if getattr(self.config, 'engine', 'auto') == 'pallas':
                     raise
+                util.get_logger(self.config).warning(
+                    'fused engine unavailable for this scene (%s); '
+                    'falling back to the XLA engine (typically 4-7x '
+                    'slower). Pass --engine=pallas to make this an '
+                    'error.', e)
                 self.engine = 'xla'
         if self.engine == 'pallas':
             self._pallas = pstep
@@ -213,58 +230,102 @@ class SubdomainRunner:
         from sailfish_tpu.ops.multigrid import (
             FreeEnergyStepBuilder, ShanChenMultiStepBuilder)
         from sailfish_tpu.ops.step import StepBuilder
+
+        def _why(reasons):
+            """One line naming why the fused path is off (the
+            eligibility cliff is 4-7x; never leave it silent)."""
+            return '; '.join(reasons)
+
         if isinstance(b, (ShanChenMultiStepBuilder,
                           FreeEnergyStepBuilder)):
-            # K-component models: fused 2D/3D kernels, single device
-            eligible = (self.sim.dim in (2, 3) and self.mesh is None
-                        and dtype == jnp.float32)
+            # K-component models: fused 2D/3D kernels; meshes are
+            # supported for 3D z-sharding (parallel.halo_multi)
+            reasons = []
+            if self.sim.dim not in (2, 3):
+                reasons.append(f'dim={self.sim.dim}')
+            if self.mesh is not None and not (
+                    self.sim.dim == 3
+                    and list(self.mesh.axis_names) == ['z']):
+                reasons.append(
+                    'multi-component scenes shard fused on a 3D '
+                    f'z-mesh only (got {list(self.mesh.axis_names)})')
+            if dtype != jnp.float32:
+                reasons.append('fp32 only')
+            eligible = not reasons
             if choice == 'xla':
                 return 'xla'
             if choice == 'pallas':
                 if not eligible:
                     raise ValueError(
-                        'pallas engine requested: multi-component '
-                        'scenes run fused only in 2D/3D fp32 on a '
-                        'single device')
+                        'pallas engine requested but this '
+                        'multi-component configuration is not '
+                        f'supported: {_why(reasons)}')
                 return 'pallas'
             if jax.default_backend() == 'cpu':
                 return 'xla'
-            return 'pallas' if eligible else 'xla'
-        mesh_ok = self.mesh is None or \
-            (self.sim.dim == 3 and list(self.mesh.axis_names) == ['z']) \
-            or (self.sim.dim == 2 and list(self.mesh.axis_names) == ['y'])
-        eligible = (
-            type(b) is StepBuilder
-            and self.sim.dim in (2, 3) and mesh_ok
-            # the ExtendedCopy gather needs the full global state; the
-            # Pallas patch path hands sub-builders window-local arrays
-            and snt.NTExtendedCopy.id not in b.maps.present_types
-            and dtype == jnp.float32
-            and b.model in ('bgk', 'mrt', 'trt', 'elbm')
-            # single-component Shan-Chen: in-kernel psi forcing, single
-            # device, BGK (the XLA pre-pass supplies post-stream rho)
-            and (b.sc_coupling == 0.0 or
-                 (self.mesh is None and b.model == 'bgk'))
-            and b.equilibrium == 'bgk'
-            and (b.body_force is None
-                 or (np.asarray(b.body_force).ndim == 1
-                     and b.force_model == 'guo')))
+            if not eligible:
+                util.get_logger(cfg).warning(
+                    'fused engine unavailable for this scene (%s); '
+                    'falling back to the XLA engine (typically 4-7x '
+                    'slower). Pass --engine=pallas to make this an '
+                    'error.', _why(reasons))
+                return 'xla'
+            return 'pallas'
+        reasons = []
+        if type(b) is not StepBuilder:
+            reasons.append(f'{type(b).__name__} scenes')
+        if self.sim.dim not in (2, 3):
+            reasons.append(f'dim={self.sim.dim}')
+        if not (self.mesh is None or
+                (self.sim.dim == 3
+                 and list(self.mesh.axis_names) == ['z'])
+                or (self.sim.dim == 2
+                    and list(self.mesh.axis_names) == ['y'])):
+            reasons.append(
+                'the fused kernel shards 1-axis meshes only (3D: z, '
+                f'2D: y; got {list(self.mesh.axis_names)})')
+        # the ExtendedCopy gather needs the full global state; the
+        # Pallas patch path hands sub-builders window-local arrays
+        if snt.NTExtendedCopy.id in b.maps.present_types:
+            reasons.append('ExtendedCopy nodes')
+        if dtype != jnp.float32:
+            reasons.append('fp32 only')
+        if b.model not in ('bgk', 'mrt', 'trt', 'elbm'):
+            reasons.append(f'model={b.model}')
+        # single-component Shan-Chen: in-kernel psi forcing, BGK;
+        # sharded via the emission+edge-fixup path (3D z-mesh)
+        if b.sc_coupling != 0.0:
+            if b.model != 'bgk':
+                reasons.append('Shan-Chen is fused for BGK only')
+            if not (self.mesh is None or self.sim.dim == 3):
+                reasons.append('2D Shan-Chen does not shard fused')
+        if b.equilibrium != 'bgk':
+            reasons.append(f'equilibrium={b.equilibrium}')
+        if not (b.body_force is None
+                or (np.asarray(b.body_force).ndim == 1
+                    and b.force_model == 'guo')):
+            reasons.append('non-uniform or non-Guo body force')
+        eligible = not reasons
         if choice == 'xla':
             return 'xla'
         if choice == 'pallas':
             if not eligible:
                 raise ValueError(
-                    'pallas engine requested but this configuration is '
-                    'not supported: the fused path covers BGK/MRT/TRT '
-                    '(+LES) in fp32, single-device or a 1-axis mesh '
-                    '(3D: z, 2D: y), without ExtendedCopy nodes, '
-                    'Shan-Chen coupling or non-BGK equilibria')
+                    'pallas engine requested but this configuration '
+                    f'is not supported: {_why(reasons)}')
             return 'pallas'
-        # auto: use the fused kernel on real accelerators only (on CPU it
-        # would run in the slow interpreter).
+        # auto: use the fused kernel on real accelerators only (on CPU
+        # it would run in the slow interpreter).
         if jax.default_backend() == 'cpu':
             return 'xla'
-        return 'pallas' if eligible else 'xla'
+        if not eligible:
+            util.get_logger(cfg).warning(
+                'fused engine unavailable for this scene (%s); '
+                'falling back to the XLA engine (typically 4-7x '
+                'slower). Pass --engine=pallas to make this an '
+                'error.', _why(reasons))
+            return 'xla'
+        return 'pallas'
 
     # -- force objects (momentum exchange) -----------------------------------
 

@@ -1,0 +1,70 @@
+"""Fused-engine eligibility: requested-pallas errors name the reason,
+and auto-mode fallback to the XLA engine is logged loudly (the
+eligibility cliff is 4-7x; it must never be silent)."""
+import logging
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, 'examples')
+sys.path.insert(0, 'examples/binary_fluid')
+
+from sailfish_tpu.controller import LBSimulationController  # noqa: E402
+
+
+def _ldc_runner(**cfg):
+    from ldc_3d import LDCSim
+    base = dict(lat_nx=16, lat_ny=16, lat_nz=16, max_iters=0, every=0,
+                quiet=True)
+    base.update(cfg)
+    ctrl = LBSimulationController(LDCSim, default_config=base)
+    ctrl.run(ignore_cmdline=True)
+    return ctrl._runner
+
+
+def test_pallas_request_error_names_reason():
+    """engine=pallas on an ineligible configuration raises with the
+    specific blocker, not a generic catalog."""
+    from ldc_3d import LDCSim
+    ctrl = LBSimulationController(LDCSim, default_config=dict(
+        lat_nx=16, lat_ny=16, lat_nz=16, max_iters=0, every=0,
+        quiet=True, engine='pallas', precision='double'))
+    with pytest.raises(ValueError, match='fp32'):
+        ctrl.run(ignore_cmdline=True)
+
+
+def test_auto_fallback_warns(monkeypatch, caplog):
+    """auto-selection landing on the XLA engine for a reason other
+    than the CPU backend logs a WARNING naming the reason."""
+    import jax
+    import jax.numpy as jnp
+    r = _ldc_runner()
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    with caplog.at_level(logging.WARNING):
+        engine = r._select_engine(jnp.float64)
+    assert engine == 'xla'
+    assert any('fp32' in rec.getMessage() for rec in caplog.records), \
+        [rec.getMessage() for rec in caplog.records]
+
+
+def test_auto_fallback_warns_sharded_multiphase_2d(monkeypatch, caplog):
+    """A meshed 2D multi-component scene names the sharding blocker."""
+    import jax
+    import jax.numpy as jnp
+    from fe_separation_2d import SeparationFESim
+    np.random.seed(3)
+    ctrl = LBSimulationController(SeparationFESim, default_config=dict(
+        quiet=True, lat_nx=128, lat_ny=128, max_iters=0, every=0))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+
+    class FakeMesh:
+        axis_names = ('y',)
+
+    r.mesh = FakeMesh()
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    with caplog.at_level(logging.WARNING):
+        engine = r._select_engine(jnp.float32)
+    assert engine == 'xla'
+    assert any('z-mesh' in rec.getMessage() for rec in caplog.records)

@@ -218,3 +218,126 @@ def test_binary_fe3d_fused_walls_wetting_force():
     assert engine == 'pallas'
     assert np.max(np.abs(rho_a - rho_b)) < 5e-6
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+# -- z-sharded fused multi-component stepping (parallel/halo_multi) ----------
+#
+# The sharded fused path must be BITWISE equal to the single-device
+# fused engine: the in-kernel emission covers the interior planes and
+# the XLA edge fixup (stream_rho_edges) reproduces the wrap emission's
+# exact summation order. This is the TPU analog of the reference
+# NN-runner's two-phase macro exchange (subdomain_runner.py:2102).
+
+def _run_sharded(cls, dims, mesh, seed=42):
+    np.random.seed(seed)
+    ctrl = LBSimulationController(cls, default_config=dict(
+        quiet=True, engine='pallas', mesh=mesh, **dims))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    state = r.f if isinstance(r.f, tuple) else (r.f,)
+    return r, tuple(np.asarray(f) for f in state)
+
+
+def test_sharded_sc_multi_3d_bitwise():
+    """Binary SC mixture on a 4-way z-mesh == single device, bitwise."""
+    from sc_separation_3d import SeparationSCSim
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasSCMulti3D
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationSCSim, dims, '')
+    r, fs_n = _run_sharded(SeparationSCSim, dims, '4')
+    assert isinstance(r._pallas, ShardedPallasSCMulti3D)
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_sc_multi_3d_walls_bitwise():
+    """Walls (in-kernel mask) + per-component gravity, sharded."""
+    from sc_separation_3d_walls import WalledSeparationSim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(WalledSeparationSim, dims, '')
+    _, fs_n = _run_sharded(WalledSeparationSim, dims, '4')
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_fe_3d_bitwise():
+    """Binary free energy on a 4-way z-mesh == single device, bitwise
+    (the reach-2 phi stencil exchanges two planes per side)."""
+    from fe_separation_3d import SeparationFESim3D
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasFE3D
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationFESim3D, dims, '')
+    r, fs_n = _run_sharded(SeparationFESim3D, dims, '4')
+    assert isinstance(r._pallas, ShardedPallasFE3D)
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_fe_3d_wetting_force_bitwise():
+    """FE with walls + wetting mirror + body force, sharded; the
+    static orientation neighbor faces cross shard boundaries."""
+    from fe_viscous_fingering import FingeringFESim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(FingeringFESim, dims, '')
+    _, fs_n = _run_sharded(FingeringFESim, dims, '4')
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_sc_single_3d_bitwise():
+    """Single-component Shan-Chen sharded (edge_io slab kernel) ==
+    single device (wrap-epilogue emission), bitwise."""
+    from sailfish_tpu.models.single import LBSingleFluidShanChen
+    from sailfish_tpu.parallel.halo import ShardedPallasStep3D
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Sep3(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            pass
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = np.random.RandomState(7).rand(
+                *sim.rho.shape) / 100 + 0.693
+
+    class S3(LBSingleFluidShanChen):
+        subdomain = Sep3
+
+        @classmethod
+        def update_defaults(cls, d):
+            d.update(dict(G=-5.0, visc=1.0 / 6.0, periodic_x=True,
+                          periodic_y=True, periodic_z=True,
+                          sc_potential='classic', grid='D3Q19'))
+
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15,
+                every=15)
+    _, fs_1 = _run_sharded(S3, dims, '')
+    r, fs_n = _run_sharded(S3, dims, '4')
+    assert isinstance(r._pallas, ShardedPallasStep3D)
+    assert r._pallas.sc
+    for a, b in zip(fs_1, fs_n):
+        # the sharded wiring is value- and order-exact, but XLA CPU
+        # compiles the (interpret-mode) kernel with context-dependent
+        # FMA contraction inside shard_map vs outside, producing
+        # 1-ulp collide differences (verified: identical kernel
+        # instance + identical inputs differ by 3.7e-9 in the two
+        # contexts); hold a tight epsilon instead of bitwise here
+        assert np.max(np.abs(a - b)) < 1e-6
+
+    # internal consistency of the emission+edge-fixup carry: the
+    # carried rho (interior emitted in-kernel, edges streamed in XLA)
+    # must BITWISE match a pre-pass recomputed from the carried f
+    import jax
+    p = r._pallas
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 3, lambda i, c: p.step(c, i), carry)
+    f, rho, rlo, rhi = (np.asarray(x) for x in carry[:4])
+    ref = np.asarray(p._sharded_init(carry[0])[1])
+    Z_loc = f.shape[1] // p.nshards if False else None
+    nsh = p.nshards
+    zl = rho.shape[0] // nsh
+    for s in range(nsh):
+        blk = rho[s * zl:(s + 1) * zl]
+        refblk = ref[s * zl:(s + 1) * zl]
+        assert np.array_equal(blk[1:-1], refblk[1:-1])   # emitted
+        assert np.array_equal(rlo[s], refblk[0])         # XLA edges
+        assert np.array_equal(rhi[s], refblk[-1])
