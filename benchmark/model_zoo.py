@@ -68,6 +68,19 @@ CASES = {
     'bin_d3q19_sc_128x128x384': ('binary_fluid.sc_separation_3d', 3,
                                  dict(lat_nx=128, lat_ny=128,
                                       lat_nz=384)),
+    # z-sharded fused multiphase stepping (parallel/halo_multi) on a
+    # one-chip mesh: quantifies the sharding-machinery overhead vs the
+    # single-device rows above (the multi-chip speedup itself needs a
+    # pod; the exchanged faces are ~0.5% of the per-step HBM traffic)
+    'bin_d3q19_fe_128_zmesh1': ('binary_fluid.fe_separation_3d', 3,
+                                dict(lat_nx=128, lat_ny=128,
+                                     lat_nz=128, mesh='1')),
+    'bin_d3q19_sc_128_zmesh1': ('binary_fluid.sc_separation_3d', 3,
+                                dict(lat_nx=128, lat_ny=128,
+                                     lat_nz=128, mesh='1')),
+    'd3q19_sc_single_128_zmesh1': ('sc_phase_separation_3d', 3,
+                                   dict(lat_nx=128, lat_ny=128,
+                                        lat_nz=128, mesh='1')),
 }
 
 SIM_CLASSES = {

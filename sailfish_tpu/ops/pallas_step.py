@@ -1855,6 +1855,20 @@ class PallasStep3D:
                         'but has wet nodes on the padded edges; use '
                         'the XLA engine')
                 self.pad_y, self.pad_x = pad_y, pad_x
+                # lane-padding advisor: padded lanes/sublanes are
+                # dead work every step (the 96^3/192^3 valleys in
+                # benchmark/results/single_chip_v5e_d3q19.dat lose
+                # ~25%); tell the user what a well-tiled size buys
+                waste = 1.0 - (Ys * Xs) / float(
+                    (Ys + pad_y) * (Xs + pad_x))
+                import logging
+                logging.getLogger('sailfish_tpu').warning(
+                    'domain Y=%d X=%d is tile-padded to %dx%d: %.0f%% '
+                    'of each plane is dead work. Sizes with X a '
+                    'multiple of 128 and Y a multiple of 8 (e.g. '
+                    'X=%d, Y=%d) run proportionally faster.',
+                    Ys, Xs, Ys + pad_y, Xs + pad_x, 100 * waste,
+                    Xs + pad_x, Ys + pad_y)
                 Ys += pad_y
                 Xs += pad_x
                 mask_np = np.pad(
