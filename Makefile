@@ -20,6 +20,7 @@ examples:
 # tier 4b: physics validation against analytic/literature results
 # (slow; runs on the device backend -- minutes on a TPU chip)
 regtest:
+	$(PY) regtest/channel_loglaw_live.py
 	$(PY) regtest/poiseuille.py
 	$(PY) regtest/ldc_2d.py
 	$(PY) regtest/ldc_3d.py

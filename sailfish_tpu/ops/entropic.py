@@ -91,9 +91,36 @@ def alpha_series(grid, f, fneq):
             - 16.0 * a4 * ia1)
 
 
-def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
+def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6,
+                 skip=None):
     """Vectorized Newton iteration on H(f + alpha fneq) = H(f)
-    (entropic.mako:90-144), with the max-alpha positivity safeguard."""
+    (entropic.mako:90-144), with the max-alpha positivity safeguard.
+
+    ``skip``: lanes whose result the caller will discard (they take
+    the tiny-deviation or series branch of the dispatch); marking
+    them pre-converged keeps them from holding the loop open -- in a
+    resolved flow most lanes are below the series threshold, so the
+    all-lanes-converged early exit then fires after the one or two
+    iterations the genuinely supersonic lanes need. When EVERY lane is
+    skipped (the common case: a whole block below the series
+    threshold) the entropy/positivity prologue and the loop are
+    bypassed entirely."""
+    if skip is not None:
+        # measured on v5e (benchmark/results/README.md, ELBM cost
+        # ladder): branching around the whole solve beats entering a
+        # zero-iteration while_loop by ~4% -- but most of the ELBM
+        # deficit is the REGISTER PRESSURE of this body merely
+        # existing in the kernel, not its execution
+        return jax.lax.cond(
+            jnp.all(skip), lambda: alpha0,
+            lambda: _alpha_newton_loop(grid, f, fneq, alpha0, iters,
+                                       entropy_tol, skip))
+    return _alpha_newton_loop(grid, f, fneq, alpha0, iters,
+                              entropy_tol, skip)
+
+
+def _alpha_newton_loop(grid, f, fneq, alpha0, iters, entropy_tol,
+                       skip):
     ent0 = _entropy(grid, f)
     # max alpha keeping f + alpha fneq > 0
     big = jnp.asarray(np.float32(3.4e38), f.dtype)
@@ -118,7 +145,12 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
         new_alpha = jnp.where(new_alpha > max_alpha,
                               0.5 * (alpha + max_alpha), new_alpha)
         new_alpha = jnp.where(jnp.isfinite(new_alpha), new_alpha, 1.1)
-        done = jnp.abs(inc) < entropy_tol
+        # two stops, exactly as the reference (entropic.mako:105,117):
+        # the entropy residual and alpha stagnation
+        done = (jnp.abs(inc) < entropy_tol) \
+            | (jnp.abs(new_alpha - alpha) < 1e-10)
+        if skip is not None:
+            done = done | skip
         return jnp.where(done, alpha, new_alpha), done
 
     # early exit once EVERY lane converged: iterating a converged lane
@@ -135,22 +167,43 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6):
         new_alpha, done = step(alpha)
         return i + 1, new_alpha, jnp.all(done)
 
+    # all-skipped blocks (the common case away from boundaries) enter
+    # with all_done already true: the loop body runs ZERO times
+    done0 = jnp.all(skip) if skip is not None else jnp.bool_(False)
     _, alpha, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), alpha0, jnp.bool_(False)))
+        cond, body, (jnp.int32(0), alpha0, done0))
     return alpha
 
 
-def entropic_alpha(grid, f, fneq, alpha0=None):
+def entropic_alpha(grid, f, fneq, alpha0=None, skip=None):
     """Dispatch exactly as the reference (entropic.mako:160-184):
-    tiny deviation -> 2; small -> series; large -> Newton."""
+    tiny deviation -> 2; small -> series; large -> Newton.
+
+    ``skip``: lanes whose collision result the caller discards (wall /
+    keep / BC-overlaid nodes). The reference's per-node kernels never
+    even run the entropic collision there; the vectorized loop must at
+    least keep such lanes from holding every other lane's Newton open
+    (an LDC lid corner 2-cycles against the positivity bound forever,
+    forcing the full iteration cap on the whole domain)."""
     dev = None
     for i in range(grid.Q):
         d = jnp.abs(fneq[i]) / jnp.maximum(f[i], 1e-12)
         dev = d if dev is None else jnp.maximum(dev, d)
     a_series = alpha_series(grid, f, fneq)
     if alpha0 is None:
-        alpha0 = jnp.full(dev.shape, 2.0, dtype=f[0].dtype)
-    a_newton = alpha_newton(grid, f, fneq, alpha0)
+        # Newton seed: the series estimate where sane -- one to two
+        # iterations to the entropy tolerance vs four to six from a
+        # cold 2.0 (the 20x Q logs per iteration are the whole ELBM
+        # compute bill)
+        alpha0 = jnp.where(
+            jnp.isfinite(a_series) & (a_series > 1.0) & (a_series < 4.0),
+            a_series, jnp.asarray(2.0, f[0].dtype))
+    # lanes below the series threshold take the series/tiny branch of
+    # the dispatch below; don't let them hold the Newton loop open
+    newton_skip = dev < 0.01
+    if skip is not None:
+        newton_skip = newton_skip | skip
+    a_newton = alpha_newton(grid, f, fneq, alpha0, skip=newton_skip)
     alpha = jnp.where(dev < 1e-6, 2.0,
                       jnp.where(dev < 0.01, a_series, a_newton))
     # safeguard (reference dies here; we clamp to BGK-equivalent)
@@ -158,12 +211,12 @@ def entropic_alpha(grid, f, fneq, alpha0=None):
     return alpha
 
 
-def elbm_collide(grid, f, rho, u, tau, alpha0=None):
+def elbm_collide(grid, f, rho, u, tau, alpha0=None, skip=None):
     """ELBM collision: f' = f + alpha beta (feq - f), beta = 1/(2 tau);
     alpha == 2 recovers BGK (reference relaxation.mako ELBM_relaxate
-    :56-97). Returns (f', alpha)."""
+    :56-97). ``skip``: see entropic_alpha. Returns (f', alpha)."""
     feq = elbm_equilibrium(grid, rho, u)
     fneq = feq - f
-    alpha = entropic_alpha(grid, f, fneq, alpha0)
+    alpha = entropic_alpha(grid, f, fneq, alpha0, skip=skip)
     beta = 1.0 / (2.0 * tau)
     return f + (alpha * beta)[None] * fneq, alpha

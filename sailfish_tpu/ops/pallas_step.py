@@ -393,17 +393,20 @@ def _collide_pair(builder, fi, fo, mom, i, o, extra):
     return vi, vo
 
 
-def _collide_elbm(builder, fs, mom):
+def _collide_elbm(builder, fs, mom, skip=None):
     """Entropic collision of all Q planes at once (reference
     relaxation.mako ELBM_relaxate :56-97). Reuses ops/entropic verbatim
     on the stacked VMEM planes so the op order -- product-form feq,
     series/Newton alpha dispatch, f + alpha beta fneq -- matches the
-    XLA engine to fp32 roundoff. Returns a (Q, ...) array."""
+    XLA engine to fp32 roundoff. ``skip``: lanes whose result the
+    caller overwrites (dry/keep/BC); see entropic.entropic_alpha.
+    Returns a (Q, ...) array."""
     from sailfish_tpu.ops import entropic
     g = builder.grid
     rho, u, usq, uF = mom
     fstk = jnp.stack(fs)
-    fpost, _ = entropic.elbm_collide(g, fstk, rho, u, builder.tau)
+    fpost, _ = entropic.elbm_collide(g, fstk, rho, u, builder.tau,
+                                     skip=skip)
     if uF is not None:
         terms = []
         for i in range(g.Q):
@@ -661,7 +664,8 @@ def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
 
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
-                   sc=False, emit_rho=False, edge_io=False, k=1):
+                   sc=False, emit_rho=False, edge_io=False,
+                   y_ghosts=False, k=1):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -723,6 +727,21 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     in XLA from ppermuted post-collision faces with the identical
     summation order (parallel.halo). Signature becomes fused(f, glo,
     ghi, rho, rglo, rghi, rlo, rhi[, mask]) -> (out, rho_next).
+
+    With ``y_ghosts=True`` (the second mesh axis: a ('z','y')-sharded
+    domain, parallel.halo.ShardedPallasStep3D) the in-VMEM y-roll of
+    the pull no longer wraps correctly at the two local y-edge rows,
+    so two extra inputs follow the z-ghosts: ``gylo``/``gyhi`` of
+    shape (Z+2, Q, X) holding the y-neighbors' boundary rows (y=Y-1
+    from below, y=0 from above) for every SOURCE plane -1..Z (the +-1
+    entries carry the z+y corner rows, which the caller obtains by
+    y-ppermuting the z-ghost-extended faces -- the standard two-hop
+    corner exchange, reference subdomain_connection.py:238-449). After
+    the rolls, each direction with c_y != 0 has its one wrapped edge
+    row overwritten with the x-rolled ghost row. One (k+2)-row window
+    DMA per slab per side; row values equal the local wrap when the
+    mesh has one y-shard, so results match the 1-axis kernel exactly.
+    Requires sc=False (multiphase scenes shard on z only).
     """
     g = builder.grid
     Q = g.Q
@@ -736,6 +755,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         assert sc and not patch_rows and not dyn_patches
         assert B >= 3, (B, 'emit_rho needs >= 3 pipeline programs')
     assert not (edge_io and not emit_rho)
+    assert not (y_ghosts and sc)
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
@@ -770,6 +790,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         f_hbm = refs[idx]; idx += 1
         glo_hbm = refs[idx]; idx += 1
         ghi_hbm = refs[idx]; idx += 1
+        gylo_hbm = gyhi_hbm = None
+        if y_ghosts:
+            gylo_hbm = refs[idx]; idx += 1   # (Z+2, Q, X)
+            gyhi_hbm = refs[idx]; idx += 1
         rho_hbm = rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
         if sc:
             rho_hbm = refs[idx]; idx += 1
@@ -793,6 +817,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if emit_rho:
             rho_out_hbm = refs[idx]; idx += 1
         fs_buf = refs[idx]; idx += 1       # (2, Q, k, Y, X)
+        gylo_buf = gyhi_buf = None
+        if y_ghosts:
+            gylo_buf = refs[idx]; idx += 1  # (2, k+2, Q, X)
+            gyhi_buf = refs[idx]; idx += 1
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, k, Y, X)
@@ -887,6 +915,16 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                             f_hbm.at[pl.ds(st, cnt),
                                      pl.ds(slab_base + 1, k)],
                             dst, sem).start()
+            if y_ghosts:
+                # ghost-row windows for source planes
+                # [slab_base-1, slab_base+k+1) -> rows slab_base..+k+2
+                # of the (Z+2)-indexed face arrays
+                pltpu.make_async_copy(
+                    gylo_hbm.at[pl.ds(slab_base, k + 2)],
+                    gylo_buf.at[s], in_sems.at[s, Q + 4]).start()
+                pltpu.make_async_copy(
+                    gyhi_hbm.at[pl.ds(slab_base, k + 2)],
+                    gyhi_buf.at[s], in_sems.at[s, Q + 5]).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(slab_base, k)], mask_buf.at[s],
@@ -1048,6 +1086,13 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             @pl.when(b0 == 0)
             def _():
                 wait_gather_plus(b0, s)
+            if y_ghosts:
+                pltpu.make_async_copy(
+                    gylo_hbm.at[pl.ds(0, k + 2)], gylo_buf.at[s],
+                    in_sems.at[s, Q + 4]).wait()
+                pltpu.make_async_copy(
+                    gyhi_hbm.at[pl.ds(0, k + 2)], gyhi_buf.at[s],
+                    in_sems.at[s, Q + 5]).wait()
             if has_mask:
                 pltpu.make_async_copy(mask_hbm.at[pl.ds(0, k)],
                                       mask_buf.at[s],
@@ -1143,6 +1188,25 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     sl = pltpu.roll(sl, cx % X, axis=2)
                 fs_buf[slot, ipos[i]] = sl
 
+        # y-sharded: the roll wrapped the two edge rows through the
+        # LOCAL boundary; overwrite them with the neighbors' rows
+        # (x-rolled like the rest of the plane)
+        if y_ghosts:
+            for i in range(Q):
+                cy = int(basis[i][1])
+                if cy == 0:
+                    continue
+                cx = int(basis[i][0])
+                cz = int(basis[i][2])
+                ch = ipos[i]
+                gbuf = gylo_buf if cy == 1 else gyhi_buf
+                yrow = 0 if cy == 1 else Y - 1
+                for j in range(k):
+                    row = gbuf[slot, j - cz + 1, ch]      # (X,)
+                    if cx:
+                        row = pltpu.roll(row, cx % X, axis=0)
+                    fs_buf[slot, ch, j, yrow] = row
+
         # moments (read all slabs before any in-place overwrite)
         fsl = [fs_buf[slot, ipos[i]] for i in range(Q)]
         mom_u = _moments(builder, fsl)
@@ -1162,7 +1226,25 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             is_keep = m == 2
 
         if builder.model == 'elbm':
-            fpost = _collide_elbm(builder, fsl, mom_u)
+            # overlaid rows' collide results are discarded; keep their
+            # (possibly 2-cycling) lanes out of the Newton loop's
+            # convergence vote (see pallas_step2d)
+            prow = []
+            for j in range(k):
+                if dyn_patches:
+                    prow.append(pmap_ref[base + j] >= 0)
+                    continue
+                pj = None
+                for r in patch_rows:
+                    c = base + j == r
+                    pj = c if pj is None else pj | c
+                prow.append(pj)
+            skip = (m != 0) if has_mask else None
+            if any(p is not None for p in prow):
+                pvec = jnp.stack([jnp.asarray(False) if p is None
+                                  else p for p in prow])[:, None, None]
+                skip = pvec if skip is None else (skip | pvec)
+            fpost = _collide_elbm(builder, fsl, mom_u, skip=skip)
             for i in range(Q):
                 vi = fpost[i]
                 if has_mask:
@@ -1396,12 +1478,17 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     wait_out(nslot)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    if y_ghosts:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
     if sc:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
             5 if edge_io else 3)
     scratch = [
         pltpu.VMEM((2, Q, k, Y, X), dtype),
     ]
+    if y_ghosts:
+        scratch.append(pltpu.VMEM((2, k + 2, Q, X), dtype))
+        scratch.append(pltpu.VMEM((2, k + 2, Q, X), dtype))
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
@@ -1421,7 +1508,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 4)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 6)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
@@ -1431,6 +1518,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
     # v5e has headroom, so request what the buffers need plus margin
     vmem_need = 2 * Q * k * Y * X * 4
+    if y_ghosts:
+        vmem_need += 4 * (k + 2) * max(Q, 8) * X * 4
     if has_mask:
         vmem_need += 2 * k * Y * X * 4
     if sc:
@@ -1488,7 +1577,7 @@ def _bc_patch_compute(builder, bc_instances, fsl, mrow, bcp):
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
     mom_u = _moments(builder, fsl)
     if builder.model == 'elbm':
-        fpost = _collide_elbm(builder, fsl, mom_u)
+        fpost = _collide_elbm(builder, fsl, mom_u, skip=mrow != 0)
         base = [fpost[i] for i in range(Q)]
     else:
         extra = _collide_prepass(builder, fsl, mom_u)

@@ -258,7 +258,19 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 is_keep = m == 2
 
             if builder.model == 'elbm':
-                fpost = _collide_elbm(builder, fs, mom_u)
+                # overlaid blocks' collide results are discarded, but a
+                # garbage lane there can 2-cycle in the Newton solve
+                # and hold the whole block's loop at the iteration cap
+                patched = None
+                for b in patch_blocks:
+                    c = k == b
+                    patched = c if patched is None else patched | c
+                if dyn_patches:
+                    patched = pmap_ref[k] >= 0
+                skip = (m != 0) if has_mask else None
+                if patched is not None:
+                    skip = patched if skip is None else (skip | patched)
+                fpost = _collide_elbm(builder, fs, mom_u, skip=skip)
                 for i in range(Q):
                     vi = fpost[i]
                     if has_mask:

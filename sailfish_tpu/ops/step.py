@@ -636,8 +636,12 @@ class StepBuilder:
                                    incompressible=self.incompressible)
         elif self.model == 'elbm':
             from sailfish_tpu.ops import entropic
+            # dry-node collide results are replaced below; keep them
+            # out of the Newton convergence vote (entropic_alpha)
+            skip = jnp.logical_not(self.dev['wet']) if self.has_dry \
+                else None
             fpost, self.last_alpha = entropic.elbm_collide(
-                g, fs, rho, u_eq, self.tau)
+                g, fs, rho, u_eq, self.tau, skip=skip)
         else:
             feq2 = self.feq(rho, u_eq)
             fpost = fs + tau_inv * (feq2 - fs)

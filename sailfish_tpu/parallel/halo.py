@@ -70,19 +70,23 @@ class ShardedPallasStep3D:
     """z-sharded fused stepping over a 1-axis mesh."""
 
     def __init__(self, builder, domain_shape, mesh, interpret=False):
-        if list(mesh.axis_names) != ['z']:
+        if list(mesh.axis_names) not in (['z'], ['z', 'y']):
             raise NotImplementedError(
-                'the sharded fused kernel shards the z axis only; got '
+                "the sharded fused kernel shards z or ('z','y'); got "
                 f'mesh axes {mesh.axis_names}')
         self.builder = builder
         self.mesh = mesh
+        self.two_axis = 'y' in mesh.axis_names
         self.nshards = mesh.shape['z']
+        self.ny_shards = mesh.shape['y'] if self.two_axis else 1
         Z, Y, X = domain_shape
         assert Z % self.nshards == 0
+        assert Y % self.ny_shards == 0
         Z_loc = Z // self.nshards
-        check_plane_tiling(Y, X, interpret)
+        Y_loc = Y // self.ny_shards
+        check_plane_tiling(Y_loc, X, interpret)
         self.shape = domain_shape
-        self.local_shape = (Z_loc, Y, X)
+        self.local_shape = (Z_loc, Y_loc, X)
 
         mask_np, patch_rows = classify_nodes(builder.maps)
         if len(patch_rows) > PallasStep3D.MAX_PATCH_FRACTION * Z:
@@ -93,10 +97,11 @@ class ShardedPallasStep3D:
         self.has_patches = bool(patch_rows)
         self.has_mask = bool((mask_np != 0).any())
         self.mask_global = None
+        self._mask_spec = P('z', 'y', None) if self.two_axis \
+            else P('z', None, None)
         if self.has_mask:
             self.mask_global = jax.device_put(
-                jnp.asarray(mask_np),
-                NamedSharding(mesh, P('z', None, None)))
+                jnp.asarray(mask_np), NamedSharding(mesh, self._mask_spec))
 
         self.P = 0
         if self.has_patches:
@@ -124,10 +129,14 @@ class ShardedPallasStep3D:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC planes needs global psi '
                 'sampling in the patch windows; use the XLA engine')
+        if self.sc and self.two_axis:
+            raise NotImplementedError(
+                'Shan-Chen shards fused on a 1-axis z-mesh only; use '
+                'the XLA engine for 2-axis meshes')
         from sailfish_tpu.ops.pallas_step import pick_slab_k
         heavy = (builder.model in ('mrt', 'trt')
                  or builder.smagorinsky > 0.0)
-        self.slab_k = pick_slab_k(builder.grid.Q, Z_loc, Y, X,
+        self.slab_k = pick_slab_k(builder.grid.Q, Z_loc, Y_loc, X,
                                   sc=self.sc, has_mask=self.has_mask,
                                   k_max=4 if heavy else 8)
         if self.sc:
@@ -140,14 +149,15 @@ class ShardedPallasStep3D:
                     'sharded Shan-Chen stepping needs >= 3 z-planes '
                     f'per shard (got {Z_loc}); use the XLA engine')
         self.kernel = make_kernel_3d(
-            builder, Z_loc, Y, X, has_mask=self.has_mask,
+            builder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
             max_patches=self.P, k=self.slab_k, sc=self.sc,
-            emit_rho=self.sc, edge_io=self.sc)
+            emit_rho=self.sc, edge_io=self.sc,
+            y_ghosts=self.two_axis)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(
-                builder, Z_loc, Y, X, interpret=interpret)
+                builder, Z_loc, Y_loc, X, interpret=interpret)
         # the kernel expects the cz-grouped Q layout (pallas_step.
         # cz_groups); the sharded state lives permuted between steps
         qperm, qinv, _ = cz_groups(builder.grid)
@@ -157,6 +167,9 @@ class ShardedPallasStep3D:
 
         up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
         down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
+        ny = self.ny_shards
+        up_y = [(i, (i + 1) % ny) for i in range(ny)]
+        down_y = [(i, (i - 1) % ny) for i in range(ny)]
         g = builder.grid
 
         ipos_np = cz_groups(builder.grid)[1]
@@ -167,12 +180,30 @@ class ShardedPallasStep3D:
             ghost_lo = jax.lax.ppermute(f_local[:, -1], 'z', up)
             ghost_hi = jax.lax.ppermute(f_local[:, 0], 'z', down)
             args = [f_local, ghost_lo, ghost_hi]
+            if self.two_axis:
+                # y-boundary rows for every SOURCE plane -1..Z_loc,
+                # including the z+y corner rows: extending the faces
+                # with the already-ppermuted z-ghost rows BEFORE the
+                # y-permute routes the corner data through the
+                # intermediate neighbor (two-hop exchange)
+                face_hi = jnp.concatenate(
+                    [ghost_lo[:, None, -1], f_local[:, :, -1],
+                     ghost_hi[:, None, -1]], axis=1)   # rows y=Y_loc-1
+                face_lo = jnp.concatenate(
+                    [ghost_lo[:, None, 0], f_local[:, :, 0],
+                     ghost_hi[:, None, 0]], axis=1)    # rows y=0
+                gylo = jax.lax.ppermute(face_hi, 'y', up_y)
+                gyhi = jax.lax.ppermute(face_lo, 'y', down_y)
+                # kernel expects (Z+2, Q, X)
+                args += [jnp.swapaxes(gylo, 0, 1),
+                         jnp.swapaxes(gyhi, 0, 1)]
             k = 0
             if self.has_mask:
                 args.append(rest[k]); k += 1
             if self.has_patches:
                 args.append(rest[k].reshape(-1)); k += 1
-                args.append(rest[k].reshape(g.Q, self.P, Y, X)); k += 1
+                args.append(rest[k].reshape(g.Q, self.P,
+                                            Y_loc, X)); k += 1
             return self.kernel(*args)
 
         def local_step_sc(f, rho, rlo, rhi, glo, ghi, *rest):
@@ -205,7 +236,8 @@ class ShardedPallasStep3D:
             return (f, rho, rho[0][None], rho[-1][None], glo[None],
                     ghi[None])
 
-        in_specs = [P(None, 'z', None, None)]
+        in_specs = [P(None, 'z', 'y', None) if self.two_axis
+                    else P(None, 'z', None, None)]
         if self.sc:
             SPECS = (P(None, 'z', None, None),    # f
                      P('z', None, None),          # rho
@@ -215,10 +247,12 @@ class ShardedPallasStep3D:
                      P('z', None, None, None))    # ghi
             in_specs = list(SPECS)
         if self.has_mask:
-            in_specs.append(P('z', None, None))
+            in_specs.append(self._mask_spec)
         if self.has_patches:
             in_specs.append(P('z', None))
-            in_specs.append(P(None, 'z', None, None, None))
+            in_specs.append(P(None, 'z', None, 'y', None)
+                            if self.two_axis
+                            else P(None, 'z', None, None, None))
         if self.sc:
             self._sharded_step = shard_map(
                 local_step_sc, mesh=mesh, in_specs=tuple(in_specs),
@@ -228,9 +262,11 @@ class ShardedPallasStep3D:
                 in_specs=(P(None, 'z', None, None),),
                 out_specs=SPECS, check_vma=False)
         else:
+            out_spec = P(None, 'z', 'y', None) if self.two_axis \
+                else P(None, 'z', None, None)
             self._sharded_step = shard_map(
                 local_step, mesh=mesh, in_specs=tuple(in_specs),
-                out_specs=P(None, 'z', None, None), check_vma=False)
+                out_specs=out_spec, check_vma=False)
 
     def _compute_patches_padded(self, f, it=0):
         """Exact XLA recompute of every patched GLOBAL plane, packed as
@@ -250,8 +286,10 @@ class ShardedPallasStep3D:
             cols.append(jnp.stack(slots, axis=1))     # (Q, P, Y, X)
         # kernel layout on the Q axis (patch DMAs copy raw channels)
         out = jnp.stack(cols, axis=1)[self._qperm]    # (Q, S, P, Y, X)
+        spec = P(None, 'z', None, 'y', None) if self.two_axis \
+            else P(None, 'z', None, None, None)
         return jax.lax.with_sharding_constraint(
-            out, NamedSharding(self.mesh, P(None, 'z', None, None, None)))
+            out, NamedSharding(self.mesh, spec))
 
     @property
     def padded(self):

@@ -278,12 +278,12 @@ class SubdomainRunner:
             reasons.append(f'dim={self.sim.dim}')
         if not (self.mesh is None or
                 (self.sim.dim == 3
-                 and list(self.mesh.axis_names) == ['z'])
+                 and list(self.mesh.axis_names) in (['z'], ['z', 'y']))
                 or (self.sim.dim == 2
                     and list(self.mesh.axis_names) == ['y'])):
             reasons.append(
-                'the fused kernel shards 1-axis meshes only (3D: z, '
-                f'2D: y; got {list(self.mesh.axis_names)})')
+                "the fused kernel shards 3D z / ('z','y') and 2D y "
+                f'meshes only (got {list(self.mesh.axis_names)})')
         # the ExtendedCopy gather needs the full global state; the
         # Pallas patch path hands sub-builders window-local arrays
         if snt.NTExtendedCopy.id in b.maps.present_types:
@@ -297,8 +297,11 @@ class SubdomainRunner:
         if b.sc_coupling != 0.0:
             if b.model != 'bgk':
                 reasons.append('Shan-Chen is fused for BGK only')
-            if not (self.mesh is None or self.sim.dim == 3):
-                reasons.append('2D Shan-Chen does not shard fused')
+            if not (self.mesh is None or
+                    (self.sim.dim == 3
+                     and list(self.mesh.axis_names) == ['z'])):
+                reasons.append(
+                    'Shan-Chen shards fused on a 3D z-mesh only')
         if b.equilibrium != 'bgk':
             reasons.append(f'equilibrium={b.equilibrium}')
         if not (b.body_force is None

@@ -76,6 +76,46 @@ def test_sharded_pallas_patch_on_shard_boundary():
     assert np.max(np.abs(vx2 - vx_ref)) < 1e-5
 
 
+def test_sharded_pallas_two_axis_zy():
+    """('z','y')-sharded fused kernel (ghost-row overwrite + two-hop
+    corner exchange) vs the XLA engine and vs the single-device fused
+    engine, on both a periodic scene and the patched LDC."""
+    from ldc_3d import LDCSim
+    from sphere_3d import SphereSimulation
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.parallel.halo import ShardedPallasStep3D
+
+    def run(sim_cls, mesh, engine, **cfg):
+        ctrl = LBSimulationController(sim_cls, default_config=dict(
+            max_iters=12, every=12, quiet=True, mesh=mesh,
+            engine=engine, **cfg))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    cfg = dict(lat_nx=32, lat_ny=16, lat_nz=16)
+    _, vx_ref, rho_ref = run(SphereSimulation, '', 'xla', **cfg)
+    r, vx, rho = run(SphereSimulation, '2x2', 'pallas', **cfg)
+    assert isinstance(r._pallas, ShardedPallasStep3D)
+    assert r._pallas.two_axis
+    assert np.max(np.abs(vx - vx_ref)) < 1e-5
+    assert np.max(np.abs(rho - rho_ref)) < 1e-5
+
+    cfg = dict(lat_nx=16, lat_ny=16, lat_nz=16)
+    _, vx_ref, rho_ref = run(LDCSim, '', 'xla', **cfg)
+    _, vx, rho = run(LDCSim, '2x2', 'pallas', **cfg)
+    assert np.max(np.abs(vx - vx_ref)) < 1e-5
+    assert np.max(np.abs(rho - rho_ref)) < 1e-5
+
+    # vs the single-device fused engine: tight epsilon (XLA CPU
+    # FMA-contracts the interpret-mode kernel differently inside
+    # shard_map; the wiring itself is value- and order-exact)
+    _, vx_1, rho_1 = run(LDCSim, '', 'pallas', **cfg)
+    assert np.max(np.abs(vx - vx_1)) < 1e-6
+    assert np.max(np.abs(rho - rho_1)) < 1e-6
+
+
 def test_sharded_pallas_trt_ldc():
     """TRT collision through the sharded fused path."""
     from ldc_3d import LDCSim
