@@ -148,7 +148,11 @@ def run_case(name, iters, warmup):
     # the remote-device tunnel measures round-trip latency, not the
     # kernel (a 50-step chunk at 128^3 showed 799 "MLUPS" for a kernel
     # that sustains 3448)
-    iters = max(iters, int(1e9 / nodes))
+    # >= 3.4e9 node-updates per measurement: a fixed ~60 ms of
+    # dispatch+sync overhead rides every chunk through the remote
+    # tunnel, and 1e9 updates (~0.25 s of kernel) still reads ~15%
+    # low (benchmark/results/headline_protocol.md reconciliation)
+    iters = max(iters, int(3.4e9 / nodes))
     f = runner._run_steps(runner.f, warmup, 0)
     sync(f)
     t0 = time.perf_counter()

@@ -58,7 +58,8 @@ def run_case(grid, n, iters, warmup, engine='auto'):
     # chunk through the remote-device tunnel measures round-trip
     # latency (~100 ms), not the kernel -- small domains need many more
     # iterations per sync
-    iters = max(iters, int(2e9 / nodes))
+    # >= 3.4e9 node-updates per measurement (headline_protocol.md)
+    iters = max(iters, int(3.4e9 / nodes))
     f = runner._run_steps(runner.f, warmup, 0)
     sync(f)
     t0 = time.perf_counter()

@@ -159,8 +159,11 @@ class LBSimulationController:
         import jax
         if config.platform:
             jax.config.update('jax_platforms', config.platform)
-        if config.precision == 'double':
-            jax.config.update('jax_enable_x64', True)
+        # set BOTH ways: x64 is process-global in JAX, and a stale
+        # True from an earlier double-precision run changes weak-type
+        # promotion inside fp32 kernels (int32/int64 mixes)
+        jax.config.update('jax_enable_x64',
+                          config.precision == 'double')
         if config.cluster:
             # multi-host bootstrap (replaces the reference's
             # execnet/PBS/LSF machinery, controller.py:496-658)

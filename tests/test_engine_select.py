@@ -26,12 +26,17 @@ def _ldc_runner(**cfg):
 def test_pallas_request_error_names_reason():
     """engine=pallas on an ineligible configuration raises with the
     specific blocker, not a generic catalog."""
+    import jax
     from ldc_3d import LDCSim
     ctrl = LBSimulationController(LDCSim, default_config=dict(
         lat_nx=16, lat_ny=16, lat_nz=16, max_iters=0, every=0,
         quiet=True, engine='pallas', precision='double'))
-    with pytest.raises(ValueError, match='fp32'):
-        ctrl.run(ignore_cmdline=True)
+    try:
+        with pytest.raises(ValueError, match='fp32'):
+            ctrl.run(ignore_cmdline=True)
+    finally:
+        # x64 is process-global; don't leak it into later tests
+        jax.config.update('jax_enable_x64', False)
 
 
 def test_auto_fallback_warns(monkeypatch, caplog):
