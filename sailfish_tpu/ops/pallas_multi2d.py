@@ -34,7 +34,8 @@ from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
 
 
 def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
-                            interpret=False, emit_rho=False):
+                            interpret=False, emit_rho=False,
+                            edge_io=False):
     """fused(f_0..f_{K-1}, glo_0..glo_{K-1}, ghi_0..ghi_{K-1},
     rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1}).
 
@@ -52,7 +53,21 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     program p emits rho block p-1 of every component from the
     post-collision blocks still in VMEM, with a 1-row ring carry and
     stashed block 0 / first row of block 1 for the two wrap blocks in
-    the epilogue. Emitted values are bit-identical to the pre-pass."""
+    the epilogue. Emitted values are bit-identical to the pre-pass.
+
+    ``edge_io`` (requires ``emit_rho``; the y-sharded mode): a shard
+    cannot emit the two global edge ROWS of its densities (they need
+    the neighbors' post-collision rows), so (a) the wrap-block rho
+    gathers read ghost inputs ``rglo``/``rghi`` (only their boundary
+    row is consumed), (b) the stale local edge rows 0 / Y-1 of the rho
+    arrays are patched at assembly time from fresh (1, X) inputs
+    ``rlo``/``rhi`` that the sharded caller streams in XLA from
+    ppermuted post-collision faces (identical summation order -- see
+    parallel.halo_multi.stream_rho_edge_rows_2d), and (c) the wrap
+    epilogue's emissions stay as-is: the values they write into rows
+    0 / Y-1 are wrong on a shard but never read (stale-by-contract).
+    Signature becomes fused(f.., glo.., ghi.., rho.., rglo.., rghi..,
+    rlo.., rhi..[, mask]) -> (f'.., rho_next..)."""
     b0 = mbuilder.b0
     g = mbuilder.grid
     Q = g.Q
@@ -72,6 +87,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         # the mixture's pseudopotential (ops/collide.SHAN_CHEN_POTENTIALS)
         return 1.0 - jnp.exp(-x) if classic else x
     assert Y % by == 0
+    assert not (edge_io and not emit_rho)
     NB = Y // by
     if NB < 4:
         raise NotImplementedError(
@@ -83,6 +99,12 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         glo_hbm = [refs[idx + c] for c in range(K)]; idx += K
         ghi_hbm = [refs[idx + c] for c in range(K)]; idx += K
         rho_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
+        if edge_io:
+            rglo_hbm = [refs[idx + c] for c in range(K)]; idx += K
+            rghi_hbm = [refs[idx + c] for c in range(K)]; idx += K
+            rlo_hbm = [refs[idx + c] for c in range(K)]; idx += K
+            rhi_hbm = [refs[idx + c] for c in range(K)]; idx += K
         mask_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
@@ -102,19 +124,27 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             stash_blk = refs[idx]; idx += 1   # (K*Q, by, X)
             stash_row1 = refs[idx]; idx += 1  # (K*Q, 1, X)
             remit_buf = refs[idx]; idx += 1   # (2, K, by, X)
+        redge_buf = None
+        if edge_io:
+            redge_buf = refs[idx]; idx += 1   # (2, K, 1, X) rlo/rhi
         in_sems = refs[idx]; idx += 1      # DMA (4, 2*K+1)
         out_sems = refs[idx]; idx += 1     # DMA (2, K)
         remit_sems = None
         if emit_rho:
             remit_sems = refs[idx]; idx += 1  # DMA (2, K)
+        redge_sems = None
+        if edge_io:
+            redge_sems = refs[idx]; idx += 1  # DMA (2, K)
 
         k = pl.program_id(0)
 
-        def start_block(b, slot, fsrc=None):
+        def start_block(b, slot, fsrc=None, rsrc=None):
             # one strided DMA per component set (all Q dists read the
             # same y-range; per-dist copies are DMA-issue-bound).
-            # ``fsrc``: ghost inputs for the wrap blocks -- reading the
-            # wrap from f_hbm would race the in-place write of block 0
+            # ``fsrc``/``rsrc``: ghost inputs for the wrap blocks --
+            # reading the wrap from f_hbm would race the in-place
+            # write of block 0 (and under edge_io the rho wrap blocks
+            # belong to the y-neighbors)
             bm = jax.lax.rem(b + NB, NB)
             for c in range(K):
                 if fsrc is not None:
@@ -124,9 +154,12 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                 pltpu.make_async_copy(
                     src, blk_buf.at[slot, pl.ds(c * Q, Q)],
                     in_sems.at[slot, c]).start()
+                if rsrc is not None:
+                    rs = rsrc[c]
+                else:
+                    rs = rho_hbm[c].at[pl.ds(bm * by, by)]
                 pltpu.make_async_copy(
-                    rho_hbm[c].at[pl.ds(bm * by, by)],
-                    rho_buf.at[slot, c],
+                    rs, rho_buf.at[slot, c],
                     in_sems.at[slot, K + c]).start()
             if has_mask:
                 pltpu.make_async_copy(
@@ -163,9 +196,25 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3), fsrc=glo_hbm)
+            start_block(-1, jnp.int32(3), fsrc=glo_hbm,
+                        rsrc=rglo_hbm if edge_io else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
+            if edge_io:
+                # fresh local edge rows, persistent for the whole grid
+                copies = []
+                for c in range(K):
+                    c0 = pltpu.make_async_copy(
+                        rlo_hbm[c], redge_buf.at[0, c],
+                        redge_sems.at[0, c])
+                    c1 = pltpu.make_async_copy(
+                        rhi_hbm[c], redge_buf.at[1, c],
+                        redge_sems.at[1, c])
+                    c0.start()
+                    c1.start()
+                    copies += [c0, c1]
+                for cp in copies:
+                    cp.wait()
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
@@ -175,7 +224,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 
         @pl.when(k + 2 == NB)
         def _():
-            start_block(k + 2, s_pref, fsrc=ghi_hbm)
+            start_block(k + 2, s_pref, fsrc=ghi_hbm,
+                        rsrc=rghi_hbm if edge_io else None)
 
         wait_block(s_next)
 
@@ -192,9 +242,23 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             nxt = blk_buf[s_next, ch]
             return jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
 
-        def rho_rows(c, dy):
-            """rho of component c at row offset +dy."""
+        def rho_cur(c):
             cur = rho_buf[s_cur, c]
+            if not edge_io:
+                return cur
+            # the stale local edge rows (the emission cannot produce
+            # them on a shard) read the fresh rlo/rhi inputs instead
+            row0 = jnp.where(k == 0, redge_buf[0, c], cur[0:1])
+            rowT = jnp.where(k == NB - 1, redge_buf[1, c],
+                             cur[by - 1:by])
+            return jnp.concatenate([row0, cur[1:by - 1], rowT],
+                                   axis=0)
+
+        def rho_rows(c, dy):
+            """rho of component c at row offset +dy. Neighbor-block
+            boundary rows are either interior-fresh or ghost inputs,
+            so only the CURRENT block needs the edge_io patch."""
+            cur = rho_cur(c)
             if dy == 0:
                 return cur
             if dy == 1:
@@ -423,7 +487,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
             wait_out(jax.lax.rem(k + 1, 2))
 
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 * K)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
+        (8 if edge_io else 4) * K)
     scratch = [
         pltpu.VMEM((4, K * Q, by, X), dtype),
         pltpu.VMEM((2, K * Q, by, X), dtype),
@@ -437,10 +502,14 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         scratch.append(pltpu.VMEM((K * Q, by, X), dtype))  # stash_blk
         scratch.append(pltpu.VMEM((K * Q, 1, X), dtype))   # stash_row1
         scratch.append(pltpu.VMEM((2, K, by, X), dtype))   # remit
+    if edge_io:
+        scratch.append(pltpu.VMEM((2, K, 1, X), dtype))    # redge
     scratch.append(pltpu.SemaphoreType.DMA((4, 2 * K + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # remit
+    if edge_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # redge
 
     n_out = 2 * K if emit_rho else K
     out_shape = tuple(jax.ShapeDtypeStruct((Q, Y, X), dtype)

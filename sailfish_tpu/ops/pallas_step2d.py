@@ -33,7 +33,8 @@ from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
-                   max_patches=0, sc=False, emit_rho=False):
+                   max_patches=0, sc=False, emit_rho=False,
+                   edge_io=False):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -60,6 +61,16 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     ring carry) and the epilogue emits blocks NB-1 and 0 from a
     stashed pc block 0 / first row of block 1. The step carries
     (f, rho); emitted values are bit-identical to the pre-pass.
+
+    ``edge_io`` (requires ``emit_rho``; the y-sharded mode): the
+    wrap-block rho gathers read ghost inputs ``rglo``/``rghi`` from
+    the y-neighbors, the stale local edge rows 0 / Y-1 of the rho
+    array are patched at assembly time from fresh (1, X) inputs
+    ``rlo``/``rhi`` (streamed in XLA by the sharded caller with the
+    pre-pass kernel's exact summation order), and the wrap epilogue's
+    emissions into those rows stay garbage-but-unread. Signature:
+    fused(f, glo, ghi, rho, rglo, rghi, rlo, rhi[, mask]) ->
+    (out, rho_next).
     """
     g = builder.grid
     Q = g.Q
@@ -73,6 +84,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     assert not (patch_blocks and dyn_patches)
     if emit_rho:
         assert sc and not patch_blocks and not dyn_patches
+    assert not (edge_io and not emit_rho)
 
     if NB < 4:
         raise NotImplementedError(
@@ -84,8 +96,14 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         glo_hbm = refs[idx]; idx += 1
         ghi_hbm = refs[idx]; idx += 1
         rho_hbm = None
+        rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
         if sc:
             rho_hbm = refs[idx]; idx += 1
+            if edge_io:
+                rglo_hbm = refs[idx]; idx += 1
+                rghi_hbm = refs[idx]; idx += 1
+                rlo_hbm = refs[idx]; idx += 1
+                rhi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         pmap_ref = None
@@ -114,15 +132,21 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             stash_blk = refs[idx]; idx += 1   # (Q, by, X) pc block 0
             stash_row1 = refs[idx]; idx += 1  # (Q, 1, X) pc row of blk 1
             remit_buf = refs[idx]; idx += 1   # (2, by, X)
+        redge_buf = None
+        if edge_io:
+            redge_buf = refs[idx]; idx += 1   # (2, 1, X) rlo/rhi
         in_sems = refs[idx]; idx += 1      # DMA (4, Q+2)
         out_sems = refs[idx]; idx += 1     # DMA (2,)
         remit_sems = None
         if emit_rho:
             remit_sems = refs[idx]; idx += 1  # DMA (2,)
+        redge_sems = None
+        if edge_io:
+            redge_sems = refs[idx]; idx += 1  # DMA (2,)
 
         k = pl.program_id(0)
 
-        def start_block(b, slot, src=None):
+        def start_block(b, slot, src=None, rsrc=None):
             """DMA block (b mod NB) into cache slot ``slot``; b may be -1
             (the wrap-below block) or NB (the wrap-above block). With
             ``src`` set, the (Q, by, X) ghost input is loaded instead
@@ -143,9 +167,13 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     mask_hbm.at[pl.ds(bm * by, by)],
                     mask_buf.at[slot, 0], in_sems.at[slot, 1]).start()
             if sc:
+                if rsrc is not None:
+                    rs = rsrc
+                else:
+                    rs = rho_hbm.at[pl.ds(bm * by, by)]
                 pltpu.make_async_copy(
-                    rho_hbm.at[pl.ds(bm * by, by)],
-                    rho_buf.at[slot, 0], in_sems.at[slot, 2]).start()
+                    rs, rho_buf.at[slot, 0],
+                    in_sems.at[slot, 2]).start()
 
         def wait_block(slot):
             pltpu.make_async_copy(f_hbm.at[:, pl.ds(0, by)],
@@ -178,9 +206,20 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         # 0, 1
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3), src=glo_hbm)
+            start_block(-1, jnp.int32(3), src=glo_hbm,
+                        rsrc=rglo_hbm if edge_io else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
+            if edge_io:
+                # fresh local edge rows, persistent for the whole grid
+                c0 = pltpu.make_async_copy(rlo_hbm, redge_buf.at[0],
+                                           redge_sems.at[0])
+                c1 = pltpu.make_async_copy(rhi_hbm, redge_buf.at[1],
+                                           redge_sems.at[1])
+                c0.start()
+                c1.start()
+                c0.wait()
+                c1.wait()
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
@@ -193,7 +232,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
 
         @pl.when(k + 2 == NB)
         def _():
-            start_block(k + 2, s_pref, src=ghi_hbm)
+            start_block(k + 2, s_pref, src=ghi_hbm,
+                        rsrc=rghi_hbm if edge_io else None)
 
         # block k+1 was started by program k-1 (or warmup)
         wait_block(s_next)
@@ -237,8 +277,21 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 fs.append(plane)
             mom_u = _moments(builder, fs)
             if sc:
-                def psi_of(dy):
+                def rho_cur():
                     cur = rho_buf[s_cur, 0]
+                    if not edge_io:
+                        return cur
+                    # the stale local edge rows (the emission cannot
+                    # produce them on a shard) read the fresh rlo/rhi
+                    # inputs instead
+                    row0 = jnp.where(k == 0, redge_buf[0], cur[0:1])
+                    rowT = jnp.where(k == NB - 1, redge_buf[1],
+                                     cur[by - 1:by])
+                    return jnp.concatenate(
+                        [row0, cur[1:by - 1], rowT], axis=0)
+
+                def psi_of(dy):
+                    cur = rho_cur()
                     if dy == 0:
                         r = cur
                     elif dy == 1:
@@ -447,7 +500,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     if sc:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
+            5 if edge_io else 1)
     scratch = [
         pltpu.VMEM((4, Q, by, X), dtype),
         pltpu.VMEM((2, Q, by, X), dtype),
@@ -462,6 +516,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.VMEM((Q, by, X), dtype))   # stash_blk
         scratch.append(pltpu.VMEM((Q, 1, X), dtype))    # stash_row1
         scratch.append(pltpu.VMEM((2, by, X), dtype))   # remit
+    if edge_io:
+        scratch.append(pltpu.VMEM((2, 1, X), dtype))    # redge
     if patch_blocks:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if dyn_patches:
@@ -471,6 +527,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # remit
+    if edge_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))   # redge
 
     out_shape = jax.ShapeDtypeStruct((Q, Y, X), dtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)

@@ -389,10 +389,25 @@ class ShardedPallasStep2D:
                 self.patch_subs.append(
                     (b, box, builder.for_window(box, flatten=True)))
 
+        self.sc = builder.sc_coupling != 0.0
+        if self.sc and self.has_patches:
+            raise NotImplementedError(
+                'Shan-Chen with complex-BC blocks needs global psi '
+                'sampling in the patch windows; use the XLA engine')
+        if self.sc and NB_loc < 4:
+            raise NotImplementedError(
+                'sharded 2D Shan-Chen stepping needs >= 4 y-blocks '
+                f'per shard (Y_loc={Y_loc}, by={by})')
         self.kernel = make_kernel_2d(
             builder, Y_loc, X, by=by, has_mask=self.has_mask,
-            interpret=interpret,
+            interpret=interpret, sc=self.sc, emit_rho=self.sc,
+            edge_io=self.sc,
             dyn_patches=self.has_patches, max_patches=self.P)
+        self.rho_kernel = None
+        if self.sc:
+            from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d
+            self.rho_kernel = make_rho_kernel_2d(
+                builder, Y_loc, X, by=by, interpret=interpret)
 
         up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
         down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
@@ -410,15 +425,64 @@ class ShardedPallasStep2D:
                 args.append(rest[r].reshape(g.Q, self.P, by, X)); r += 1
             return self.kernel(*args)
 
+        def local_step_sc(f, rho, rlo, rhi, glo, ghi, *rest):
+            """Shan-Chen sharded 2D step on the (f, rho, rlo, rhi,
+            glo, ghi) carry; the 2D counterpart of the 3D sc path
+            (interior rows emitted in-kernel, the two global edge rows
+            streamed in XLA from the ppermuted faces)."""
+            from sailfish_tpu.parallel.halo_multi import \
+                stream_rho_edge_rows_2d
+            zpad = jnp.zeros((by - 1, X), f.dtype)
+            rglo = jnp.concatenate(
+                [zpad, jax.lax.ppermute(rhi[0], 'y', up)], axis=0)
+            rghi = jnp.concatenate(
+                [jax.lax.ppermute(rlo[0], 'y', down), zpad], axis=0)
+            args = [f, glo[0], ghi[0], rho, rglo, rghi, rlo[0],
+                    rhi[0]]
+            if self.has_mask:
+                args.append(rest[0])
+            f2, rho2 = self.kernel(*args)
+            glo2 = jax.lax.ppermute(f2[:, -by:], 'y', up)
+            ghi2 = jax.lax.ppermute(f2[:, :by], 'y', down)
+            lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2)
+            return (f2, rho2, lo[None], hi[None], glo2[None],
+                    ghi2[None])
+
+        def local_init_sc(f):
+            glo = jax.lax.ppermute(f[:, -by:], 'y', up)
+            ghi = jax.lax.ppermute(f[:, :by], 'y', down)
+            from sailfish_tpu.parallel.halo_multi import \
+                stream_rho_edge_rows_2d
+            rho = self.rho_kernel(f)   # edge rows stale (local wrap)
+            lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi)
+            return (f, rho, lo[None], hi[None], glo[None], ghi[None])
+
         in_specs = [P(None, 'y', None)]
+        if self.sc:
+            SPECS = (P(None, 'y', None),      # f
+                     P('y', None),            # rho
+                     P('y', None, None),      # rlo
+                     P('y', None, None),      # rhi
+                     P('y', None, None, None),  # glo
+                     P('y', None, None, None))  # ghi
+            in_specs = list(SPECS)
         if self.has_mask:
             in_specs.append(P('y', None))
         if self.has_patches:
             in_specs.append(P('y', None))
             in_specs.append(P(None, 'y', None, None, None))
-        self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=tuple(in_specs),
-            out_specs=P(None, 'y', None), check_vma=False)
+        if self.sc:
+            self._sharded_step = shard_map(
+                local_step_sc, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=SPECS, check_vma=False)
+            self._sharded_init = shard_map(
+                local_init_sc, mesh=mesh,
+                in_specs=(P(None, 'y', None),),
+                out_specs=SPECS, check_vma=False)
+        else:
+            self._sharded_step = shard_map(
+                local_step, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=P(None, 'y', None), check_vma=False)
 
     def _compute_patches_padded(self, f, it=0):
         g = self.builder.grid
@@ -436,15 +500,29 @@ class ShardedPallasStep2D:
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(self.mesh, P(None, 'y', None, None, None)))
 
-    def step(self, f, it=0):
-        args = [f]
+    @property
+    def padded(self):
+        """Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi); the
+        runner wraps step loops in pad_state/crop_state."""
+        return self.sc
+
+    def pad_state(self, f):
+        return self._sharded_init(f) if self.sc else f
+
+    def crop_state(self, carry):
+        return carry[0] if self.sc else carry
+
+    def step(self, carry, it=0):
+        args = list(carry) if self.sc else [carry]
         if self.has_mask:
             args.append(self.mask_global)
         if self.has_patches:
             args.append(self.pmap_global)
-            args.append(self._compute_patches_padded(f, it))
+            args.append(self._compute_patches_padded(carry, it))
         return self._sharded_step(*args)
 
     def run_steps(self, f, n, it0=0):
-        return jax.lax.fori_loop(
-            0, n, lambda i, fc: self.step(fc, it0 + i), f)
+        carry = self.pad_state(f)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, fc: self.step(fc, it0 + i), carry)
+        return self.crop_state(carry)

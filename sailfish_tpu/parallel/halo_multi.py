@@ -336,3 +336,187 @@ class ShardedPallasFE3D:
         carry = jax.lax.fori_loop(
             0, n, lambda i, sc: self.step(sc, it0 + i), carry)
         return self.crop_state(carry)
+
+
+def stream_rho_edge_rows_2d(grid, f, glo_blk, ghi_blk):
+    """Post-stream density of the two local edge y-rows from the 2D
+    post-collision state ``f`` (Q, Y, X) and the ppermuted neighbor
+    boundary BLOCKS (glo_blk = below-neighbor's top rows, ghi_blk =
+    above-neighbor's bottom rows; each (Q, by, X) -- only the boundary
+    row of each is read). Source selection, roll and summation order
+    identical to make_rho_kernel_2d / the in-kernel emission, so
+    sharded results stay BITWISE equal to the single-device fused
+    engine. Returns (row_0, row_Ym1), each (1, X)."""
+    lo = hi = None
+    for i in range(grid.Q):
+        cx = int(grid.basis[i][0])
+        cy = int(grid.basis[i][1])
+        if cy == 1:
+            r_lo, r_hi = glo_blk[i, -1:], f[i, -2:-1]
+        elif cy == 0:
+            r_lo, r_hi = f[i, 0:1], f[i, -1:]
+        else:
+            r_lo, r_hi = f[i, 1:2], ghi_blk[i, :1]
+        if cx:
+            r_lo = jnp.roll(r_lo, cx, axis=1)
+            r_hi = jnp.roll(r_hi, cx, axis=1)
+        lo = r_lo if lo is None else lo + r_lo
+        hi = r_hi if hi is None else hi + r_hi
+    return lo, hi
+
+
+class ShardedPallasSCMulti2D:
+    """y-sharded fused stepping for 2D Shan-Chen mixtures (K
+    components; walls/obstacles only, like the single-device kernel).
+
+    Carry: (fs, rhos, rlos, rhis, glos, ghis) -- K distribution sets,
+    K densities (interior rows emitted in-kernel; the two global edge
+    rows stale-by-contract), K fresh edge-row pairs, K ppermuted
+    post-collision boundary BLOCKS (the kernel's wrap-block ghosts)."""
+
+    def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
+        from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
+        from sailfish_tpu.ops.pallas_multi2d import (
+            make_kernel_2d_sc_multi, make_rho_kernel_2d,
+            pick_block_size)
+        if not isinstance(mbuilder, ShanChenMultiStepBuilder):
+            raise NotImplementedError(
+                'fused 2D multi-component sharding covers Shan-Chen '
+                'mixtures only (free energy uses the XLA engine)')
+        if list(mesh.axis_names) != ['y']:
+            raise NotImplementedError(
+                'the sharded fused 2D multi-component kernel shards '
+                f'the y axis only; got mesh axes {mesh.axis_names}')
+        for c in mbuilder.components:
+            if c.model != 'bgk' or c.smagorinsky or c.sc_coupling:
+                raise NotImplementedError(
+                    'multi-component fused kernel is BGK-only')
+        Y, X = domain_shape
+        self.shape = domain_shape
+        self.mesh = mesh
+        self.nshards = mesh.shape['y']
+        assert Y % self.nshards == 0
+        Y_loc = Y // self.nshards
+        check_plane_tiling(Y_loc, X, interpret, dim=2)
+        b0 = mbuilder.b0
+        K = self.K = len(mbuilder.components)
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused multi-component 2D kernel covers walls/'
+                'obstacles only; complex-BC scenes use the XLA engine')
+        self.has_mask = bool((mask_np != 0).any())
+        by = pick_block_size(mbuilder.grid.Q * K, Y_loc, X)
+        self.by = by
+        if Y_loc // by < 4:
+            raise NotImplementedError(
+                'sharded 2D multi-component stepping needs >= 4 '
+                f'y-blocks per shard (Y_loc={Y_loc}, by={by})')
+        self.mask_global = None
+        if self.has_mask:
+            self.mask_global = jax.device_put(
+                jnp.asarray(mask_np),
+                NamedSharding(mesh, P('y', None)))
+        self.kernel = make_kernel_2d_sc_multi(
+            mbuilder, Y_loc, X, by=by, has_mask=self.has_mask,
+            emit_rho=True, edge_io=True, interpret=interpret)
+        self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X, by=by,
+                                             interpret=interpret)
+        up, down = _ring(self.nshards)
+        g = mbuilder.grid
+
+        def local_step(*args):
+            i = 0
+            fs = list(args[i:i + K]); i += K
+            rhos = list(args[i:i + K]); i += K
+            rlos = list(args[i:i + K]); i += K
+            rhis = list(args[i:i + K]); i += K
+            glos = list(args[i:i + K]); i += K
+            ghis = list(args[i:i + K]); i += K
+            mask = args[i] if self.has_mask else None
+            # ghost rho blocks: only their boundary row is consumed by
+            # the kernel; build them around the neighbors' fresh edge
+            # rows
+            zpad = jnp.zeros((by - 1, X), fs[0].dtype)
+            rglos = [jnp.concatenate(
+                [zpad, jax.lax.ppermute(r[0], 'y', up)], axis=0)
+                for r in rhis]
+            rghis = [jnp.concatenate(
+                [jax.lax.ppermute(r[0], 'y', down), zpad], axis=0)
+                for r in rlos]
+            kargs = (fs + [gl[0] for gl in glos]
+                     + [gh[0] for gh in ghis] + rhos + rglos + rghis
+                     + [r[0] for r in rlos] + [r[0] for r in rhis])
+            if self.has_mask:
+                kargs.append(mask)
+            out = self.kernel(*kargs)
+            fs2 = out[:K]
+            rhos2 = out[K:]
+            glos2 = [jax.lax.ppermute(f[:, -by:], 'y', up) for f in fs2]
+            ghis2 = [jax.lax.ppermute(f[:, :by], 'y', down)
+                     for f in fs2]
+            los, his = [], []
+            for c in range(K):
+                lo, hi = stream_rho_edge_rows_2d(
+                    g, fs2[c], glos2[c], ghis2[c])
+                los.append(lo[None])
+                his.append(hi[None])
+            return (tuple(fs2) + tuple(rhos2) + tuple(los)
+                    + tuple(his) + tuple(f[None] for f in glos2)
+                    + tuple(f[None] for f in ghis2))
+
+        def local_init(*fs):
+            glos = [jax.lax.ppermute(f[:, -by:], 'y', up) for f in fs]
+            ghis = [jax.lax.ppermute(f[:, :by], 'y', down) for f in fs]
+            # local pre-pass (edge rows stale: it wraps locally) +
+            # fresh edge rows from the ppermuted faces
+            rhos = [self.rho_kernel(f) for f in fs]
+            los, his = [], []
+            for c, f in enumerate(fs):
+                lo, hi = stream_rho_edge_rows_2d(
+                    g, f, glos[c], ghis[c])
+                los.append(lo[None])
+                his.append(hi[None])
+            return (tuple(fs) + tuple(rhos) + tuple(los) + tuple(his)
+                    + tuple(f[None] for f in glos)
+                    + tuple(f[None] for f in ghis))
+
+        FSPEC = P(None, 'y', None)
+        RSPEC = P('y', None)
+        ESPEC = P('y', None, None)
+        GSPEC = P('y', None, None, None)
+        carry_specs = ((FSPEC,) * K + (RSPEC,) * K + (ESPEC,) * 2 * K
+                       + (GSPEC,) * 2 * K)
+        in_specs = carry_specs
+        if self.has_mask:
+            in_specs = in_specs + (P('y', None),)
+        self._sharded_step = shard_map(
+            local_step, mesh=mesh, in_specs=in_specs,
+            out_specs=carry_specs, check_vma=False)
+        self._sharded_init = shard_map(
+            local_init, mesh=mesh, in_specs=(FSPEC,) * K,
+            out_specs=carry_specs, check_vma=False)
+
+    @property
+    def padded(self):
+        """The between-steps carry is (fs, rhos, edges, faces);
+        pad_state/crop_state convert once per chunk."""
+        return True
+
+    def pad_state(self, state):
+        return self._sharded_init(*state)
+
+    def crop_state(self, carry):
+        return tuple(carry[:self.K])
+
+    def step(self, carry, it=0):
+        args = list(carry)
+        if self.has_mask:
+            args.append(self.mask_global)
+        return self._sharded_step(*args)
+
+    def run_steps(self, state, n, it0=0):
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)

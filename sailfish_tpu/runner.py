@@ -83,10 +83,16 @@ class SubdomainRunner:
                 FreeEnergyStepBuilder, ShanChenMultiStepBuilder)
             try:
                 if isinstance(self.builder, ShanChenMultiStepBuilder):
-                    if self.mesh is not None:
+                    if self.mesh is not None and self.sim.dim == 3:
                         from sailfish_tpu.parallel.halo_multi import \
                             ShardedPallasSCMulti3D
                         pstep = ShardedPallasSCMulti3D(
+                            self.builder, self._domain_shape(),
+                            self.mesh, interpret=interp)
+                    elif self.mesh is not None:
+                        from sailfish_tpu.parallel.halo_multi import \
+                            ShardedPallasSCMulti2D
+                        pstep = ShardedPallasSCMulti2D(
                             self.builder, self._domain_shape(),
                             self.mesh, interpret=interp)
                     elif self.sim.dim == 3:
@@ -243,12 +249,19 @@ class SubdomainRunner:
             reasons = []
             if self.sim.dim not in (2, 3):
                 reasons.append(f'dim={self.sim.dim}')
-            if self.mesh is not None and not (
-                    self.sim.dim == 3
-                    and list(self.mesh.axis_names) == ['z']):
-                reasons.append(
-                    'multi-component scenes shard fused on a 3D '
-                    f'z-mesh only (got {list(self.mesh.axis_names)})')
+            if self.mesh is not None:
+                mesh_ok = (
+                    (self.sim.dim == 3
+                     and list(self.mesh.axis_names) == ['z'])
+                    or (self.sim.dim == 2
+                        and list(self.mesh.axis_names) == ['y']
+                        and isinstance(b, ShanChenMultiStepBuilder)))
+                if not mesh_ok:
+                    reasons.append(
+                        'multi-component scenes shard fused on a 3D '
+                        'z-mesh (SC mixtures also 2D y-mesh); got '
+                        f'{list(self.mesh.axis_names)} for '
+                        f'{type(b).__name__}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons
@@ -299,9 +312,12 @@ class SubdomainRunner:
                 reasons.append('Shan-Chen is fused for BGK only')
             if not (self.mesh is None or
                     (self.sim.dim == 3
-                     and list(self.mesh.axis_names) == ['z'])):
+                     and list(self.mesh.axis_names) == ['z'])
+                    or (self.sim.dim == 2
+                        and list(self.mesh.axis_names) == ['y'])):
                 reasons.append(
-                    'Shan-Chen shards fused on a 3D z-mesh only')
+                    'Shan-Chen shards fused on a 3D z-mesh or a 2D '
+                    'y-mesh only')
         if b.equilibrium != 'bgk':
             reasons.append(f'equilibrium={b.equilibrium}')
         if not (b.body_force is None

@@ -284,6 +284,84 @@ def test_sharded_fe_3d_wetting_force_bitwise():
         assert np.array_equal(a, b)
 
 
+def test_sharded_sc_multi_2d_bitwise():
+    """Binary SC mixture on a 2-way y-mesh == single device, bitwise
+    (2D block kernel: ghost rho blocks + edge-row patches)."""
+    from sc_separation_2d import SeparationSCSim
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasSCMulti2D
+    dims = dict(lat_nx=128, lat_ny=256, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationSCSim, dims, '')
+    r, fs_n = _run_sharded(SeparationSCSim, dims, '2')
+    assert isinstance(r._pallas, ShardedPallasSCMulti2D)
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_sc_multi_2d_walls_gravity_bitwise():
+    """Rayleigh-Taylor (walls + per-component gravity) sharded 2D."""
+    from sc_rayleigh_taylor_2d import RayleighTaylorSCSim
+    dims = dict(lat_nx=128, lat_ny=256, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(RayleighTaylorSCSim, dims, '')
+    _, fs_n = _run_sharded(RayleighTaylorSCSim, dims, '2')
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_sc_single_2d_bitwise():
+    """Single-component Shan-Chen on a 2-way y-mesh == single device
+    (2D block kernel, edge_io carry). Tight epsilon: XLA CPU
+    FMA-contracts the interpret-mode kernel differently inside
+    shard_map (see the 3D SC test)."""
+    import jax
+    from sailfish_tpu.models.single import LBSingleFluidShanChen
+    from sailfish_tpu.parallel.halo import ShardedPallasStep2D
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    class Sep2(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            pass
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = np.random.RandomState(7).rand(
+                *sim.rho.shape) / 100 + 0.693
+
+    class S2(LBSingleFluidShanChen):
+        subdomain = Sep2
+
+        @classmethod
+        def update_defaults(cls, d):
+            d.update(dict(G=-5.0, visc=1.0 / 6.0, periodic_x=True,
+                          periodic_y=True, sc_potential='classic'))
+
+    dims = dict(lat_nx=128, lat_ny=256, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(S2, dims, '')
+    r, fs_n = _run_sharded(S2, dims, '2')
+    assert isinstance(r._pallas, ShardedPallasStep2D)
+    assert r._pallas.sc
+    for a, b in zip(fs_1, fs_n):
+        assert np.max(np.abs(a - b)) < 1e-6
+
+    # the carried rho (interior emitted in-kernel, edge rows streamed
+    # in XLA) must BITWISE match a pre-pass recomputed from the
+    # carried f within the same compilation context
+    p = r._pallas
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 3, lambda i, c: p.step(c, i), carry)
+    f, rho, rlo, rhi = (np.asarray(x) for x in carry[:4])
+    ref_c = p._sharded_init(carry[0])
+    ref = np.asarray(ref_c[1])          # interior rows valid
+    ref_lo = np.asarray(ref_c[2])       # streamed edge rows
+    ref_hi = np.asarray(ref_c[3])
+    nsh = p.nshards
+    yl = rho.shape[0] // nsh
+    for s in range(nsh):
+        blk = rho[s * yl:(s + 1) * yl]
+        refblk = ref[s * yl:(s + 1) * yl]
+        assert np.array_equal(blk[1:-1], refblk[1:-1])
+        assert np.array_equal(rlo[s], ref_lo[s])
+        assert np.array_equal(rhi[s], ref_hi[s])
+
+
 def test_sharded_sc_single_3d_bitwise():
     """Single-component Shan-Chen sharded (edge_io slab kernel) ==
     single device (wrap-epilogue emission), bitwise."""
