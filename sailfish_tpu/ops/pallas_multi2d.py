@@ -541,7 +541,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 
 
 def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
-                      wetting=False, interpret=False, emit_rho=False):
+                      wetting=False, interpret=False, emit_rho=False,
+                      edge_io=False):
     """Fused binary free-energy step (reference lb_binary_fluid.mako):
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi_field[, mask][, orient])
     -> (f0', f1').
@@ -558,7 +559,17 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     phi-interpolated relaxation time, and both equilibria are evaluated
     in-VMEM per y-block. Outputs alias (f0, f1) -- in-place HBM update
     (see pallas_step.make_kernel_3d) -- so the y-wrap blocks arrive as
-    the materialized ghost inputs."""
+    the materialized ghost inputs.
+
+    ``edge_io`` (requires ``emit_rho``; the y-sharded mode): the phi
+    wrap blocks come from ghost inputs ``pglo``/``pghi`` whose
+    boundary rows the caller replaces with the neighbors' FRESH edge
+    rows (a shard's own emitted rows 0/Y-1 are garbage), the stale
+    local edge rows are patched at assembly time from fresh (1, X)
+    inputs ``pelo``/``pehi``, and with ``wetting`` the orientation
+    wrap blocks come from static ghost inputs ``oglo``/``oghi``.
+    Signature: fused(f0, f1, glo0, glo1, ghi0, ghi1, phi, pglo, pghi,
+    pelo, pehi[, mask][, orient, oglo, oghi]) -> (f0', f1', phi')."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -579,6 +590,7 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                    np.asarray(f, np.float64).reshape(-1)
                    for f in mbuilder.body_forces]
     assert Y % by == 0
+    assert not (edge_io and not emit_rho)
     NB = Y // by
     if NB < 4:
         raise NotImplementedError(
@@ -590,11 +602,21 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         glo_hbm = [refs[idx], refs[idx + 1]]; idx += 2
         ghi_hbm = [refs[idx], refs[idx + 1]]; idx += 2
         phi_hbm = refs[idx]; idx += 1
+        pglo_hbm = pghi_hbm = pelo_hbm = pehi_hbm = None
+        if edge_io:
+            pglo_hbm = refs[idx]; idx += 1
+            pghi_hbm = refs[idx]; idx += 1
+            pelo_hbm = refs[idx]; idx += 1
+            pehi_hbm = refs[idx]; idx += 1
         mask_hbm = orient_hbm = None
+        oglo_hbm = oghi_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
         if wetting:
             orient_hbm = refs[idx]; idx += 1
+            if edge_io:
+                oglo_hbm = refs[idx]; idx += 1
+                oghi_hbm = refs[idx]; idx += 1
         out_hbm = [refs[idx], refs[idx + 1]]; idx += 2
         phi_out_hbm = None
         if emit_rho:
@@ -613,17 +635,25 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             stash_blk = refs[idx]; idx += 1   # (Q, by, X)
             stash_row1 = refs[idx]; idx += 1  # (Q, 1, X)
             remit_buf = refs[idx]; idx += 1   # (2, by, X)
+        pedge_buf = None
+        if edge_io:
+            pedge_buf = refs[idx]; idx += 1   # (2, 1, X) pelo/pehi
         in_sems = refs[idx]; idx += 1      # DMA (4, 5)
         out_sems = refs[idx]; idx += 1     # DMA (2, 2)
         remit_sems = None
         if emit_rho:
             remit_sems = refs[idx]; idx += 1  # DMA (2,)
+        pedge_sems = None
+        if edge_io:
+            pedge_sems = refs[idx]; idx += 1  # DMA (2,)
 
         k = pl.program_id(0)
 
-        def start_block(b, slot, fsrc=None):
+        def start_block(b, slot, fsrc=None, psrc=None, osrc=None):
             # one strided DMA per component set (see the SC kernel);
-            # fsrc = ghost inputs for the wrap blocks (in-place safety)
+            # fsrc/psrc/osrc = ghost inputs for the wrap blocks
+            # (in-place safety; under edge_io the phi/orient wraps
+            # belong to the y-neighbors)
             bm = jax.lax.rem(b + NB, NB)
             for c in range(2):
                 if fsrc is not None:
@@ -633,17 +663,20 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                 pltpu.make_async_copy(
                     src, blk_buf.at[slot, pl.ds(c * Q, Q)],
                     in_sems.at[slot, c]).start()
-            pltpu.make_async_copy(
-                phi_hbm.at[pl.ds(bm * by, by)], phi_buf.at[slot, 0],
-                in_sems.at[slot, 2]).start()
+            ps = psrc if psrc is not None else \
+                phi_hbm.at[pl.ds(bm * by, by)]
+            pltpu.make_async_copy(ps, phi_buf.at[slot, 0],
+                                  in_sems.at[slot, 2]).start()
             if has_mask:
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(bm * by, by)],
                     mask_buf.at[slot, 0], in_sems.at[slot, 3]).start()
             if wetting:
+                os = osrc if osrc is not None else \
+                    orient_hbm.at[pl.ds(bm * by, by)]
                 pltpu.make_async_copy(
-                    orient_hbm.at[pl.ds(bm * by, by)],
-                    orient_buf.at[slot, 0], in_sems.at[slot, 4]).start()
+                    os, orient_buf.at[slot, 0],
+                    in_sems.at[slot, 4]).start()
 
         def wait_block(slot):
             for c in range(2):
@@ -678,9 +711,21 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
 
         @pl.when(k == 0)
         def _():
-            start_block(-1, jnp.int32(3), fsrc=glo_hbm)
+            start_block(-1, jnp.int32(3), fsrc=glo_hbm,
+                        psrc=pglo_hbm if edge_io else None,
+                        osrc=oglo_hbm if edge_io and wetting else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
+            if edge_io:
+                # fresh local phi edge rows, persistent for the grid
+                c0 = pltpu.make_async_copy(pelo_hbm, pedge_buf.at[0],
+                                           pedge_sems.at[0])
+                c1 = pltpu.make_async_copy(pehi_hbm, pedge_buf.at[1],
+                                           pedge_sems.at[1])
+                c0.start()
+                c1.start()
+                c0.wait()
+                c1.wait()
             wait_block(jnp.int32(3))
             wait_block(jnp.int32(0))
 
@@ -690,7 +735,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
 
         @pl.when(k + 2 == NB)
         def _():
-            start_block(k + 2, s_pref, fsrc=ghi_hbm)
+            start_block(k + 2, s_pref, fsrc=ghi_hbm,
+                        psrc=pghi_hbm if edge_io else None,
+                        osrc=oghi_hbm if edge_io and wetting else None)
 
         wait_block(s_next)
 
@@ -705,9 +752,19 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             nxt = blk_buf[s_next, ch]
             return jnp.concatenate([cur[1:], nxt[0:1]], axis=0)
 
-        def cache_rows(buf, dy):
-            """Rows of a 1-channel cache at offset +dy, |dy| <= 2."""
+        def cache_rows(buf, dy, patch_edges=False):
+            """Rows of a 1-channel cache at offset +dy, |dy| <= 2.
+            ``patch_edges`` (edge_io, phi only): the stale local edge
+            rows 0 / Y-1 read the fresh pelo/pehi inputs instead;
+            neighbor-block boundary rows are interior-fresh or come
+            from the caller-assembled ghost blocks."""
             cur = buf[s_cur, 0]
+            if patch_edges and edge_io:
+                row0 = jnp.where(k == 0, pedge_buf[0], cur[0:1])
+                rowT = jnp.where(k == NB - 1, pedge_buf[1],
+                                 cur[by - 1:by])
+                cur = jnp.concatenate([row0, cur[1:by - 1], rowT],
+                                      axis=0)
             if dy == 0:
                 return cur
             if dy > 0:
@@ -746,14 +803,14 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
 
         # phi_w rows at +dy with wall wetting applied
         def phi_w_rows(dy):
-            raw = cache_rows(phi_buf, dy)
+            raw = cache_rows(phi_buf, dy, patch_edges=True)
             if not wetting:
                 return raw
             orient = cache_rows(orient_buf, dy)
             out = raw
             for kk, vec in enumerate(g.orientation_vectors):
                 ex, ey = int(vec[0]), int(vec[1])
-                neigh = cache_rows(phi_buf, dy + ey)
+                neigh = cache_rows(phi_buf, dy + ey, patch_edges=True)
                 if ex:
                     neigh = pltpu.roll(neigh, (-ex) % X, axis=1)
                 out = jnp.where(orient == kk + 1,
@@ -955,7 +1012,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
             wait_out(jax.lax.rem(k + 1, 2))
 
-    n_in = 7 + (1 if has_mask else 0) + (1 if wetting else 0)
+    n_in = (7 + (4 if edge_io else 0) + (1 if has_mask else 0)
+            + ((3 if edge_io else 1) if wetting else 0))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
         pltpu.VMEM((4, 2 * Q, by, X), dtype),
@@ -971,10 +1029,14 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         scratch.append(pltpu.VMEM((Q, by, X), dtype))  # stash_blk
         scratch.append(pltpu.VMEM((Q, 1, X), dtype))   # stash_row1
         scratch.append(pltpu.VMEM((2, by, X), dtype))  # remit
+    if edge_io:
+        scratch.append(pltpu.VMEM((2, 1, X), dtype))   # pedge
     scratch.append(pltpu.SemaphoreType.DMA((4, 5)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))  # remit
+    if edge_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # pedge
 
     n_out = 3 if emit_rho else 2
     out_shape = [jax.ShapeDtypeStruct((Q, Y, X), dtype),

@@ -1,5 +1,6 @@
 """Multi-chip fused stepping for K-component models (Shan-Chen
-mixtures + binary free energy): shard_map + ppermute halo exchange.
+mixtures + binary free energy), 3D z-sharded and 2D y-sharded:
+shard_map + ppermute halo exchange.
 
 The reference runs multiphase models multi-GPU through the NN runner's
 two-phase step -- a macro-field (density/order-parameter) exchange
@@ -513,6 +514,165 @@ class ShardedPallasSCMulti2D:
         args = list(carry)
         if self.has_mask:
             args.append(self.mask_global)
+        return self._sharded_step(*args)
+
+    def run_steps(self, state, n, it0=0):
+        carry = self.pad_state(state)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, sc: self.step(sc, it0 + i), carry)
+        return self.crop_state(carry)
+
+
+class ShardedPallasFE2D:
+    """y-sharded fused stepping for 2D binary free-energy scenes
+    (walls/obstacles + wetting, like the single-device kernel).
+
+    Carry: (f0, f1, phi, pelo, pehi, glo0, glo1, ghi0, ghi1). The phi
+    wrap blocks are assembled per step from the carried phi + fresh
+    edge rows and ppermuted (their boundary rows must be the
+    neighbors' FRESH edges -- a shard's own emitted rows 0/Y-1 are
+    stale-by-contract); orientation wrap blocks are static."""
+
+    def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
+        from sailfish_tpu.ops.pallas_multi2d import (
+            make_kernel_2d_fe, make_rho_kernel_2d, pick_block_size)
+        if list(mesh.axis_names) != ['y']:
+            raise NotImplementedError(
+                'the sharded fused 2D FE kernel shards the y axis '
+                f'only; got mesh axes {mesh.axis_names}')
+        Y, X = domain_shape
+        self.shape = domain_shape
+        self.mesh = mesh
+        self.nshards = mesh.shape['y']
+        assert Y % self.nshards == 0
+        Y_loc = Y // self.nshards
+        check_plane_tiling(Y_loc, X, interpret, dim=2)
+        b0 = mbuilder.b0
+        mask_np, patch_rows = classify_nodes(b0.maps)
+        if patch_rows:
+            raise NotImplementedError(
+                'the fused FE 2D kernel covers walls/obstacles only; '
+                'complex-BC scenes use the XLA engine')
+        self.has_mask = bool((mask_np != 0).any())
+        self.wetting = bool(mbuilder._has_dry_nodes)
+        by = pick_block_size(mbuilder.grid.Q * 2, Y_loc, X)
+        self.by = by
+        if Y_loc // by < 4:
+            raise NotImplementedError(
+                'sharded 2D FE stepping needs >= 4 y-blocks per '
+                f'shard (Y_loc={Y_loc}, by={by})')
+        self.mask_global = None
+        if self.has_mask:
+            self.mask_global = jax.device_put(
+                jnp.asarray(mask_np),
+                NamedSharding(mesh, P('y', None)))
+        self.orient_global = None
+        if self.wetting:
+            orient_np = np.asarray(mbuilder._dry_orient)
+            self.orient_global = jax.device_put(
+                jnp.asarray(orient_np),
+                NamedSharding(mesh, P('y', None)))
+            # static neighbor wrap blocks of the orientation map
+            S = self.nshards
+            oglo = np.stack([
+                np.take(orient_np,
+                        np.arange(s * Y_loc - by, s * Y_loc) % Y,
+                        axis=0) for s in range(S)])
+            oghi = np.stack([
+                np.take(orient_np,
+                        np.arange((s + 1) * Y_loc,
+                                  (s + 1) * Y_loc + by) % Y,
+                        axis=0) for s in range(S)])
+            self.orient_lo = jax.device_put(
+                jnp.asarray(oglo),
+                NamedSharding(mesh, P('y', None, None)))
+            self.orient_hi = jax.device_put(
+                jnp.asarray(oghi),
+                NamedSharding(mesh, P('y', None, None)))
+        self.kernel = make_kernel_2d_fe(
+            mbuilder, Y_loc, X, by=by, has_mask=self.has_mask,
+            wetting=self.wetting, emit_rho=True, edge_io=True,
+            interpret=interpret)
+        self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X, by=by,
+                                             interpret=interpret)
+        up, down = _ring(self.nshards)
+        g = mbuilder.grid
+
+        def local_step(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
+                       ghi1, *rest):
+            # phi wrap blocks: boundary rows replaced with the FRESH
+            # edge rows before the ppermute
+            pglo = jax.lax.ppermute(
+                jnp.concatenate([phi[-by:-1], pehi[0]], axis=0),
+                'y', up)
+            pghi = jax.lax.ppermute(
+                jnp.concatenate([pelo[0], phi[1:by]], axis=0),
+                'y', down)
+            kargs = [f0, f1, glo0[0], glo1[0], ghi0[0], ghi1[0],
+                     phi, pglo, pghi, pelo[0], pehi[0]]
+            r = 0
+            if self.has_mask:
+                kargs.append(rest[r]); r += 1
+            if self.wetting:
+                kargs += [rest[r], rest[r + 1][0], rest[r + 2][0]]
+                r += 3
+            f0_2, f1_2, phi2 = self.kernel(*kargs)
+            glo0_2 = jax.lax.ppermute(f0_2[:, -by:], 'y', up)
+            glo1_2 = jax.lax.ppermute(f1_2[:, -by:], 'y', up)
+            ghi0_2 = jax.lax.ppermute(f0_2[:, :by], 'y', down)
+            ghi1_2 = jax.lax.ppermute(f1_2[:, :by], 'y', down)
+            lo, hi = stream_rho_edge_rows_2d(g, f1_2, glo1_2, ghi1_2)
+            return (f0_2, f1_2, phi2, lo[None], hi[None],
+                    glo0_2[None], glo1_2[None], ghi0_2[None],
+                    ghi1_2[None])
+
+        def local_init(f0, f1):
+            glo0 = jax.lax.ppermute(f0[:, -by:], 'y', up)
+            glo1 = jax.lax.ppermute(f1[:, -by:], 'y', up)
+            ghi0 = jax.lax.ppermute(f0[:, :by], 'y', down)
+            ghi1 = jax.lax.ppermute(f1[:, :by], 'y', down)
+            phi = self.rho_kernel(f1)   # edge rows stale (local wrap)
+            lo, hi = stream_rho_edge_rows_2d(g, f1, glo1, ghi1)
+            return (f0, f1, phi, lo[None], hi[None], glo0[None],
+                    glo1[None], ghi0[None], ghi1[None])
+
+        FSPEC = P(None, 'y', None)
+        RSPEC = P('y', None)
+        ESPEC = P('y', None, None)
+        GSPEC = P('y', None, None, None)
+        carry_specs = (FSPEC, FSPEC, RSPEC, ESPEC, ESPEC,
+                       GSPEC, GSPEC, GSPEC, GSPEC)
+        in_specs = carry_specs
+        if self.has_mask:
+            in_specs = in_specs + (P('y', None),)
+        if self.wetting:
+            in_specs = in_specs + (P('y', None),
+                                   P('y', None, None),
+                                   P('y', None, None))
+        self._sharded_step = shard_map(
+            local_step, mesh=mesh, in_specs=in_specs,
+            out_specs=carry_specs, check_vma=False)
+        self._sharded_init = shard_map(
+            local_init, mesh=mesh, in_specs=(FSPEC, FSPEC),
+            out_specs=carry_specs, check_vma=False)
+
+    @property
+    def padded(self):
+        return True
+
+    def pad_state(self, state):
+        return self._sharded_init(*state)
+
+    def crop_state(self, carry):
+        return tuple(carry[:2])
+
+    def step(self, carry, it=0):
+        args = list(carry)
+        if self.has_mask:
+            args.append(self.mask_global)
+        if self.wetting:
+            args += [self.orient_global, self.orient_lo,
+                     self.orient_hi]
         return self._sharded_step(*args)
 
     def run_steps(self, state, n, it0=0):

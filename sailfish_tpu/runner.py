@@ -108,10 +108,16 @@ class SubdomainRunner:
                             self.builder, self._domain_shape(),
                             interpret=interp)
                 elif isinstance(self.builder, FreeEnergyStepBuilder):
-                    if self.mesh is not None:
+                    if self.mesh is not None and self.sim.dim == 3:
                         from sailfish_tpu.parallel.halo_multi import \
                             ShardedPallasFE3D
                         pstep = ShardedPallasFE3D(
+                            self.builder, self._domain_shape(),
+                            self.mesh, interpret=interp)
+                    elif self.mesh is not None:
+                        from sailfish_tpu.parallel.halo_multi import \
+                            ShardedPallasFE2D
+                        pstep = ShardedPallasFE2D(
                             self.builder, self._domain_shape(),
                             self.mesh, interpret=interp)
                     elif self.sim.dim == 3:
@@ -254,14 +260,12 @@ class SubdomainRunner:
                     (self.sim.dim == 3
                      and list(self.mesh.axis_names) == ['z'])
                     or (self.sim.dim == 2
-                        and list(self.mesh.axis_names) == ['y']
-                        and isinstance(b, ShanChenMultiStepBuilder)))
+                        and list(self.mesh.axis_names) == ['y']))
                 if not mesh_ok:
                     reasons.append(
                         'multi-component scenes shard fused on a 3D '
-                        'z-mesh (SC mixtures also 2D y-mesh); got '
-                        f'{list(self.mesh.axis_names)} for '
-                        f'{type(b).__name__}')
+                        'z-mesh or a 2D y-mesh only; got '
+                        f'{list(self.mesh.axis_names)}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons

@@ -307,6 +307,30 @@ def test_sharded_sc_multi_2d_walls_gravity_bitwise():
         assert np.array_equal(a, b)
 
 
+def test_sharded_fe_2d_bitwise():
+    """Binary free energy on a 2-way y-mesh == single device, bitwise
+    (phi wrap blocks carry the neighbors' fresh edge rows)."""
+    from fe_separation_2d import SeparationFESim
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasFE2D
+    dims = dict(lat_nx=128, lat_ny=256, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationFESim, dims, '')
+    r, fs_n = _run_sharded(SeparationFESim, dims, '2')
+    assert isinstance(r._pallas, ShardedPallasFE2D)
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_fe_2d_wetting_force_bitwise():
+    """FE Poiseuille: walls + wetting mirror (reach-2 phi stencil
+    across shard boundaries) + body force + phi-interpolated tau."""
+    from fe_poiseuille_2d import FEPoiseuilleSim
+    dims = dict(lat_nx=128, lat_ny=256, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(FEPoiseuilleSim, dims, '')
+    _, fs_n = _run_sharded(FEPoiseuilleSim, dims, '2')
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
 def test_sharded_sc_single_2d_bitwise():
     """Single-component Shan-Chen on a 2-way y-mesh == single device
     (2D block kernel, edge_io carry). Tight epsilon: XLA CPU
