@@ -301,33 +301,37 @@ class SubdomainRunner:
             reasons.append(
                 "the fused kernel shards 3D z / ('z','y') and 2D y "
                 f'meshes only (got {list(self.mesh.axis_names)})')
-        # the ExtendedCopy gather needs the full global state; the
-        # Pallas patch path hands sub-builders window-local arrays
-        if snt.NTExtendedCopy.id in b.maps.present_types:
-            reasons.append('ExtendedCopy nodes')
-        if dtype != jnp.float32:
-            reasons.append('fp32 only')
-        if b.model not in ('bgk', 'mrt', 'trt', 'elbm'):
-            reasons.append(f'model={b.model}')
-        # single-component Shan-Chen: in-kernel psi forcing, BGK;
-        # sharded via the emission+edge-fixup path (3D z-mesh)
-        if b.sc_coupling != 0.0:
-            if b.model != 'bgk':
-                reasons.append('Shan-Chen is fused for BGK only')
-            if not (self.mesh is None or
-                    (self.sim.dim == 3
-                     and list(self.mesh.axis_names) == ['z'])
-                    or (self.sim.dim == 2
-                        and list(self.mesh.axis_names) == ['y'])):
-                reasons.append(
-                    'Shan-Chen shards fused on a 3D z-mesh or a 2D '
-                    'y-mesh only')
-        if b.equilibrium != 'bgk':
-            reasons.append(f'equilibrium={b.equilibrium}')
-        if not (b.body_force is None
-                or (np.asarray(b.body_force).ndim == 1
-                    and b.force_model == 'guo')):
-            reasons.append('non-uniform or non-Guo body force')
+        # the builder-shape checks only apply to plain StepBuilders
+        # (a coupled/derived builder type is itself the blocker and
+        # was reported above; don't poke at attributes it lacks)
+        if type(b) is StepBuilder:
+            # the ExtendedCopy gather needs the full global state; the
+            # Pallas patch path hands sub-builders window-local arrays
+            if snt.NTExtendedCopy.id in b.maps.present_types:
+                reasons.append('ExtendedCopy nodes')
+            if dtype != jnp.float32:
+                reasons.append('fp32 only')
+            if b.model not in ('bgk', 'mrt', 'trt', 'elbm'):
+                reasons.append(f'model={b.model}')
+            # single-component Shan-Chen: in-kernel psi forcing, BGK;
+            # sharded via the emission+edge-fixup path
+            if b.sc_coupling != 0.0:
+                if b.model != 'bgk':
+                    reasons.append('Shan-Chen is fused for BGK only')
+                if not (self.mesh is None or
+                        (self.sim.dim == 3
+                         and list(self.mesh.axis_names) == ['z'])
+                        or (self.sim.dim == 2
+                            and list(self.mesh.axis_names) == ['y'])):
+                    reasons.append(
+                        'Shan-Chen shards fused on a 3D z-mesh or a '
+                        '2D y-mesh only')
+            if b.equilibrium != 'bgk':
+                reasons.append(f'equilibrium={b.equilibrium}')
+            if not (b.body_force is None
+                    or (np.asarray(b.body_force).ndim == 1
+                        and b.force_model == 'guo')):
+                reasons.append('non-uniform or non-Guo body force')
         eligible = not reasons
         if choice == 'xla':
             return 'xla'

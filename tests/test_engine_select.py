@@ -53,8 +53,10 @@ def test_auto_fallback_warns(monkeypatch, caplog):
         [rec.getMessage() for rec in caplog.records]
 
 
-def test_auto_fallback_warns_sharded_multiphase_2d(monkeypatch, caplog):
-    """A meshed 2D multi-component scene names the sharding blocker."""
+def test_auto_fallback_warns_sharded_multiphase_2axis(monkeypatch,
+                                                      caplog):
+    """A 2-axis-meshed multi-component scene names the sharding
+    blocker (1-axis meshes now run fused for every model family)."""
     import jax
     import jax.numpy as jnp
     from fe_separation_2d import SeparationFESim
@@ -65,11 +67,11 @@ def test_auto_fallback_warns_sharded_multiphase_2d(monkeypatch, caplog):
     r = ctrl._runner
 
     class FakeMesh:
-        axis_names = ('y',)
+        axis_names = ('y', 'x')
 
     r.mesh = FakeMesh()
     monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
     with caplog.at_level(logging.WARNING):
         engine = r._select_engine(jnp.float32)
     assert engine == 'xla'
-    assert any('z-mesh' in rec.getMessage() for rec in caplog.records)
+    assert any('y-mesh' in rec.getMessage() for rec in caplog.records)
