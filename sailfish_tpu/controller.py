@@ -62,7 +62,14 @@ class LBSimulationController:
         group.add_argument('--log', type=str, default='')
         group.add_argument('--loglevel', type=str, default='info')
         group.add_argument('--precision', type=str, default='single',
-                           choices=['single', 'double'])
+                           choices=['single', 'double', 'mixed'],
+                           help='mixed = int16 fixed-point distribution '
+                                'storage with fp32 math (~2x on the '
+                                'streaming-bound kernels; ops/mixed.py)')
+        group.add_argument('--mixed_range', type=float, default=0.5,
+                           help='--precision=mixed: max |f/w - 1| the '
+                                'int16 grid covers; deviations beyond '
+                                'it saturate')
         group.add_argument('--seed', type=int, default=0)
         group.add_argument('--grid', type=str, default='',
                            help='lattice type (D2Q9, D3Q19, ...)')

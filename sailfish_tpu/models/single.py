@@ -112,6 +112,10 @@ class LBFluidSim(LBSim):
         smag = 0.0
         if cfg.subgrid == 'les-smagorinsky':
             smag = cfg.smagorinsky_const
+        kwargs = self.step_builder_kwargs()
+        if cfg.precision == 'mixed':
+            kwargs.setdefault('storage', 'int16')
+            kwargs.setdefault('mixed_range', cfg.mixed_range)
         return StepBuilder(
             self.grid, maps,
             model=cfg.model,
@@ -121,7 +125,7 @@ class LBFluidSim(LBSim):
             smagorinsky=smag,
             body_force=body_force,
             dtype=dtype,
-            **self.step_builder_kwargs())
+            **kwargs)
 
 
 class LBForcedFluidSim(LBFluidSim, LBForcedSim):

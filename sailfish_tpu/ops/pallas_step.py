@@ -665,7 +665,7 @@ def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
                    sc=False, emit_rho=False, edge_io=False,
-                   y_ghosts=False, k=1):
+                   y_ghosts=False, k=1, mixed=None):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -742,10 +742,25 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     DMA per slab per side; row values equal the local wrap when the
     mesh has one y-shard, so results match the 1-axis kernel exactly.
     Requires sc=False (multiphase scenes shard on z only).
+
+    With ``mixed`` set (a MixedScales; --precision=mixed) the state,
+    ghosts and patch planes are int16 fixed-point codes (ops/mixed.py):
+    the DMA pipeline, rolls and ghost-row overwrites move raw codes
+    (HALVING both the HBM streaming bytes and, sharded, the ICI face
+    bytes), values are dequantized per distribution right before the
+    moments/collide math (fp32 throughout) and requantized in register
+    before the slab write. dry/keep nodes select the RAW pre-collision
+    codes, exactly like the fp32 kernel selects pre-collision values.
+    Requires sc=False (Shan-Chen density deviations exceed any useful
+    fixed-point range).
     """
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
+    # storage dtype: what the state arrays/DMAs/scratch hold; compute
+    # stays in `dtype` (fp32) via mixed.dequant_i/quant_i at the edges
+    sdtype = jnp.int16 if mixed is not None else dtype
+    assert not (mixed is not None and sc)
     basis = g.basis  # (Q, 3) as (cx, cy, cz)
     patch_rows = tuple(int(r) for r in patch_rows)
     assert not (patch_rows and dyn_patches)
@@ -817,6 +832,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if emit_rho:
             rho_out_hbm = refs[idx]; idx += 1
         fs_buf = refs[idx]; idx += 1       # (2, Q, k, Y, X)
+        fwork = None
+        if mixed is not None:
+            fwork = refs[idx]; idx += 1    # (Q, k, Y, X) fp32
         gylo_buf = gyhi_buf = None
         if y_ghosts:
             gylo_buf = refs[idx]; idx += 1  # (2, k+2, Q, X)
@@ -1177,10 +1195,21 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # -- compute (every slab; complex-BC rows are overlaid after) ------
         wait_gathers(slot)
         # roll each slab in place (y/x periodic shifts of the pull);
-        # buffer channel ipos[i] holds standard direction i
+        # buffer channel ipos[i] holds standard direction i. Mixed
+        # storage dequantizes INTO the fp32 work buffer first: Mosaic
+        # has no 16-bit vector rotate, and one dequant per plane here
+        # plus one requant at the store is the conversion minimum
+        # anyway (the DMAs stay int16).
         for i in range(Q):
             cx, cy = int(basis[i][0]), int(basis[i][1])
-            if cy or cx:
+            if mixed is not None:
+                sl = mixed.dequant_i(i, fs_buf[slot, ipos[i]])
+                if cy:
+                    sl = pltpu.roll(sl, cy % Y, axis=1)
+                if cx:
+                    sl = pltpu.roll(sl, cx % X, axis=2)
+                fwork[ipos[i]] = sl
+            elif cy or cx:
                 sl = fs_buf[slot, ipos[i]]          # (k, Y, X)
                 if cy:
                     sl = pltpu.roll(sl, cy % Y, axis=1)
@@ -1203,12 +1232,20 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 yrow = 0 if cy == 1 else Y - 1
                 for j in range(k):
                     row = gbuf[slot, j - cz + 1, ch]      # (X,)
+                    if mixed is not None:
+                        row = mixed.dequant_i(i, row)
                     if cx:
                         row = pltpu.roll(row, cx % X, axis=0)
-                    fs_buf[slot, ch, j, yrow] = row
+                    if mixed is not None:
+                        fwork[ch, j, yrow] = row
+                    else:
+                        fs_buf[slot, ch, j, yrow] = row
 
         # moments (read all slabs before any in-place overwrite)
-        fsl = [fs_buf[slot, ipos[i]] for i in range(Q)]
+        if mixed is not None:
+            fsl = [fwork[ipos[i]] for i in range(Q)]
+        else:
+            fsl = [fs_buf[slot, ipos[i]] for i in range(Q)]
         mom_u = _moments(builder, fsl)
         if sc:
             psi_cache = {}
@@ -1250,6 +1287,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 if has_mask:
                     vi = jnp.where(is_dry, fsl[opp[i]],
                                    jnp.where(is_keep, fsl[i], vi))
+                if mixed is not None:
+                    vi = mixed.quant_i(i, vi)
                 fs_buf[slot, ipos[i]] = vi
         else:
             extra = _collide_prepass(builder, fsl, mom_u)
@@ -1257,18 +1296,30 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             # fs_i/fs_opp (+ whole-slab moments), both read before
             # either is overwritten within a pair
             for i, o in pairs:
-                fi = fs_buf[slot, ipos[i]]
-                fo = fs_buf[slot, ipos[o]] if o != i else None
+                if mixed is not None:
+                    fi = fwork[ipos[i]]
+                    fo = fwork[ipos[o]] if o != i else None
+                else:
+                    fi = fs_buf[slot, ipos[i]]
+                    fo = fs_buf[slot, ipos[o]] if o != i else None
                 vi, vo = _collide_pair(builder, fi, fo, mom_u, i, o,
                                        extra)
                 if o == i:
                     if has_mask:
                         vi = jnp.where(is_dry | is_keep, fi, vi)
+                    if mixed is not None:
+                        vi = mixed.quant_i(i, vi)
                     fs_buf[slot, ipos[i]] = vi
                     continue
                 if has_mask:
-                    vi = jnp.where(is_dry, fo, jnp.where(is_keep, fi, vi))
-                    vo = jnp.where(is_dry, fi, jnp.where(is_keep, fo, vo))
+                    vi2 = jnp.where(is_dry, fo,
+                                    jnp.where(is_keep, fi, vi))
+                    vo = jnp.where(is_dry, fi,
+                                   jnp.where(is_keep, fo, vo))
+                    vi = vi2
+                if mixed is not None:
+                    vi = mixed.quant_i(i, vi)
+                    vo = mixed.quant_i(o, vo)
                 fs_buf[slot, ipos[i]] = vi
                 fs_buf[slot, ipos[o]] = vo
 
@@ -1484,11 +1535,15 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
             5 if edge_io else 3)
     scratch = [
-        pltpu.VMEM((2, Q, k, Y, X), dtype),
+        pltpu.VMEM((2, Q, k, Y, X), sdtype),
     ]
+    if mixed is not None:
+        # fp32 view of the CURRENT slab (post-roll, pre-collide); the
+        # double-buffered staging stays int16
+        scratch.append(pltpu.VMEM((Q, k, Y, X), dtype))
     if y_ghosts:
-        scratch.append(pltpu.VMEM((2, k + 2, Q, X), dtype))
-        scratch.append(pltpu.VMEM((2, k + 2, Q, X), dtype))
+        scratch.append(pltpu.VMEM((2, k + 2, Q, X), sdtype))
+        scratch.append(pltpu.VMEM((2, k + 2, Q, X), sdtype))
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
@@ -1517,9 +1572,12 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
 
     # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
     # v5e has headroom, so request what the buffers need plus margin
-    vmem_need = 2 * Q * k * Y * X * 4
+    sbytes = 2 if mixed is not None else 4
+    vmem_need = 2 * Q * k * Y * X * sbytes
+    if mixed is not None:
+        vmem_need += Q * k * Y * X * 4
     if y_ghosts:
-        vmem_need += 4 * (k + 2) * max(Q, 8) * X * 4
+        vmem_need += 4 * (k + 2) * max(Q, 8) * X * sbytes
     if has_mask:
         vmem_need += 2 * k * Y * X * 4
     if sc:
@@ -1536,7 +1594,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     vmem_limit = min(max(16 * 2 ** 20, vmem_need + margin),
                      100 * 2 ** 20)
 
-    out_shape = jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)
+    out_shape = jax.ShapeDtypeStruct((Q, Z, Y, X), sdtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     # in-place update: TPU HBM streams ~1.8x faster when the write
     # lands in the read buffer (measured 513 vs 283 GB/s on v5e for
@@ -1602,7 +1660,7 @@ def _bc_patch_compute(builder, bc_instances, fsl, mrow, bcp):
 
 
 def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
-                            interpret=False):
+                            interpret=False, mixed=None):
     """Pallas patch-plane prologue for native-BC rows.
 
     One tiny program per complex-BC row: pull-gathers the row's
@@ -1624,6 +1682,10 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
+    # mixed storage: raw int16 codes move through the DMAs/rolls, the
+    # row phase chain runs on dequantized fp32, the emitted patch
+    # planes are requantized (the main kernel overlays raw codes)
+    sdtype = jnp.int16 if mixed is not None else dtype
     basis = g.basis
     perm, ipos, groups = cz_groups(g)
 
@@ -1657,6 +1719,9 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
         for i in range(Q):
             cx, cy = int(basis[i][0]), int(basis[i][1])
             p = src_buf[ipos[i]]
+            if mixed is not None:
+                # dequant BEFORE the rolls: Mosaic has no 16-bit rotate
+                p = mixed.dequant_i(i, p)
             if cy:
                 p = pltpu.roll(p, cy % Y, axis=0)
             if cx:
@@ -1666,7 +1731,10 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
         out = _bc_patch_compute(builder, bc_instances, fsl, mrow,
                                 bcp_buf)
         for i in range(Q):
-            src_buf[ipos[i]] = out[i]  # permuted layout for the overlay
+            vi = out[i]
+            if mixed is not None:
+                vi = mixed.quant_i(i, vi)
+            src_buf[ipos[i]] = vi  # permuted layout for the overlay
         co = pltpu.make_async_copy(src_buf, out_hbm.at[:, r],
                                    sems.at[0])
         co.start()
@@ -1681,8 +1749,8 @@ def make_bc_patch_kernel_3d(builder, Z, R, Y, X, bc_instances,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
                  [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Q, R, Y, X), dtype),
-        scratch_shapes=[pltpu.VMEM((Q, Y, X), dtype),
+        out_shape=jax.ShapeDtypeStruct((Q, R, Y, X), sdtype),
+        scratch_shapes=[pltpu.VMEM((Q, Y, X), sdtype),
                         pltpu.VMEM((Y, X), jnp.int32),
                         pltpu.VMEM((4, Y, X), dtype),
                         pltpu.SemaphoreType.DMA((3,))],
@@ -1702,7 +1770,7 @@ PATCH_HALO = 3
 
 
 def compute_patch_plane(g, sub, f, r, Z, Y, X, it=0, qinv=None,
-                        pad_yx=(0, 0)):
+                        pad_yx=(0, 0), mixed=None):
     """Run the window sub-builder's full phase sequence for global z-row
     ``r`` and return the (Q, Y, X) post-collision plane (standard Q
     order).
@@ -1722,6 +1790,10 @@ def compute_patch_plane(g, sub, f, r, Z, Y, X, it=0, qinv=None,
         slab = slab[jnp.asarray(qinv)]
     if pad_yx[0] or pad_yx[1]:
         slab = slab[:, :, :Y, :X]
+    if mixed is not None:
+        # mixed storage: the thin slab is int16 codes (standard order
+        # after qinv); all window math runs on dequantized fp32
+        slab = mixed.dequant(slab)
     box = (slice(PATCH_HALO, PATCH_HALO + 1), slice(0, Y), slice(0, X))
 
     def axes_shift(vec):
@@ -1916,8 +1988,10 @@ class PallasStep3D:
         # the flow). Padding happens once per chunk (pad_state /
         # crop_state), not per step.
         self.pad_y = self.pad_x = 0
+        self.mixed = builder.mixed
         if not interpret:
-            pad_y = (-Ys) % 8
+            # int16 tiles are (16, 128): mixed storage needs Y % 16
+            pad_y = (-Ys) % (16 if self.mixed is not None else 8)
             pad_x = (-Xs) % 128
             if (pad_y or pad_x) and builder.sc_coupling != 0.0:
                 # the padding-safety argument covers streaming/bounce-back
@@ -2008,7 +2082,7 @@ class PallasStep3D:
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc,
                                      emit_rho=self.emit_rho,
-                                     k=slab_k)
+                                     k=slab_k, mixed=self.mixed)
         # Pallas patch prologue for the native-BC rows: parameter
         # planes ([rho_bc, vel_*], padded with safe values -- pad nodes
         # are masked out), the rows' mask planes, the tiny per-row
@@ -2032,7 +2106,7 @@ class PallasStep3D:
             self._bc_rows_dev = jnp.asarray(rows, dtype=jnp.int32)
             self.bc_kernel = make_bc_patch_kernel_3d(
                 builder, Zs, len(rows), Ys, Xs, self.bc_instances,
-                interpret=interpret)
+                interpret=interpret, mixed=self.mixed)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(builder, Zs, Ys, Xs,
@@ -2070,7 +2144,10 @@ class PallasStep3D:
         for (box, sub), r in zip(self.patch_subs, self.xla_patch_rows):
             p = compute_patch_plane(self.builder.grid, sub, f, r, Z, Y,
                                     X, it, qinv=self._qinv_np,
-                                    pad_yx=(self.pad_y, self.pad_x))
+                                    pad_yx=(self.pad_y, self.pad_x),
+                                    mixed=self.mixed)
+            if self.mixed is not None:
+                p = self.mixed.quant(p)
             p = p[self._qperm]
             if self.pad_y or self.pad_x:
                 p = jnp.pad(p, ((0, 0), (0, self.pad_y),
@@ -2130,6 +2207,10 @@ class PallasStep3D:
         if self.pad_y or self.pad_x:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, self.pad_y),
                             (0, self.pad_x)))
+        if self.mixed is not None:
+            # int16 codes inside the chunk loop; quant o dequant is the
+            # identity, so chunk boundaries cost no extra rounding
+            f = self.mixed.quant(f, qorder=self._qperm)
         if self.emit_rho:
             return (f, self._post_stream_rho(f))
         return f
@@ -2137,6 +2218,8 @@ class PallasStep3D:
     def crop_state(self, carry):
         """Kernel layout -> standard state."""
         f = carry[0] if self.emit_rho else carry
+        if self.mixed is not None:
+            f = self.mixed.dequant(f, qorder=self._qperm)
         if self.pad_y or self.pad_x:
             f = f[:, :, :self.shape[1], :self.shape[2]]
         return f[self._qinv]

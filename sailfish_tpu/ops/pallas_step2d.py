@@ -801,6 +801,10 @@ class PallasStep2D:
     MAX_PATCH_FRACTION = 0.3
 
     def __init__(self, builder, domain_shape, by=None, interpret=False):
+        if getattr(builder, 'mixed', None) is not None:
+            raise NotImplementedError(
+                'mixed 16-bit storage is not yet wired into the 2D '
+                'fused kernel; use the XLA engine')
         self.builder = builder
         Ys, Xs = domain_shape
         self.shape = domain_shape

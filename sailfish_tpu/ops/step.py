@@ -83,7 +83,7 @@ class StepBuilder:
                  smagorinsky=0.0, body_force=None, force_model='guo',
                  sc_coupling=0.0, sc_potential='linear',
                  equilibrium='bgk', gravity=0.0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, storage='fp', mixed_range=None):
         self.sc_coupling = sc_coupling
         self.sc_potential = sc_potential
         self.equilibrium = equilibrium
@@ -103,6 +103,29 @@ class StepBuilder:
         self.body_force = body_force      # None | (dim,) numpy | field
         self.force_model = force_model
         self.dtype = dtype
+        # 16-bit fixed-point distribution storage (--precision=mixed;
+        # ops/mixed.py). Math stays fp32; the XLA engine applies the
+        # same per-step quantization the fused kernel performs in
+        # registers, so both engines stay bit-identical.
+        self.storage = storage
+        self.mixed = None
+        if storage == 'int16':
+            if dtype != jnp.float32:
+                raise NotImplementedError(
+                    'mixed 16-bit storage requires fp32 compute')
+            if sc_coupling != 0.0:
+                raise NotImplementedError(
+                    'mixed 16-bit storage does not cover Shan-Chen '
+                    '(phase separation drives O(1) density deviations '
+                    'past any useful fixed-point range)')
+            if equilibrium != 'bgk':
+                raise NotImplementedError(
+                    'mixed 16-bit storage covers the standard '
+                    f'equilibrium only (got {equilibrium})')
+            from sailfish_tpu.ops.mixed import DEFAULT_RANGE, MixedScales
+            self.mixed = MixedScales(
+                grid, DEFAULT_RANGE if mixed_range is None
+                else mixed_range)
         self._prepare_static()
 
     # -- static (trace-time) preprocessing ----------------------------------
@@ -748,9 +771,20 @@ class StepBuilder:
 
     def build(self):
         """Returns step(f) -> f_next (un-jitted; caller jits/shards).
-        State = post-collision distributions."""
+        State = post-collision distributions. With storage='int16' the
+        post-collision state is passed through the int16 quantization
+        grid every step (quant o dequant is the identity on quantized
+        values, so the public fp32 carry is equivalent to an int16
+        carry -- see ops/mixed.py)."""
 
         def step(f, it=0):
             return self.phases(self.gather(f), f, it)
 
-        return step
+        if self.mixed is None:
+            return step
+        mx = self.mixed
+
+        def step_mixed(f, it=0):
+            return mx.dequant(mx.quant(step(f, it)))
+
+        return step_mixed

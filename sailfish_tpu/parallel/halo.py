@@ -75,6 +75,7 @@ class ShardedPallasStep3D:
                 "the sharded fused kernel shards z or ('z','y'); got "
                 f'mesh axes {mesh.axis_names}')
         self.builder = builder
+        self.mixed = builder.mixed
         self.mesh = mesh
         self.two_axis = 'y' in mesh.axis_names
         self.nshards = mesh.shape['z']
@@ -85,6 +86,10 @@ class ShardedPallasStep3D:
         Z_loc = Z // self.nshards
         Y_loc = Y // self.ny_shards
         check_plane_tiling(Y_loc, X, interpret)
+        if self.mixed is not None and not interpret and Y_loc % 16:
+            raise NotImplementedError(
+                'mixed 16-bit storage tiles (16, 128): local Y '
+                f'{Y_loc} must be a multiple of 16')
         self.shape = domain_shape
         self.local_shape = (Z_loc, Y_loc, X)
 
@@ -153,7 +158,7 @@ class ShardedPallasStep3D:
             interpret=interpret, dyn_patches=self.has_patches,
             max_patches=self.P, k=self.slab_k, sc=self.sc,
             emit_rho=self.sc, edge_io=self.sc,
-            y_ghosts=self.two_axis)
+            y_ghosts=self.two_axis, mixed=self.mixed)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(
@@ -276,8 +281,12 @@ class ShardedPallasStep3D:
 
         planes = {}
         for r, box, sub in self.patch_subs:
-            planes[self._slot_of_row[r]] = compute_patch_plane(
-                g, sub, f, r, Z, Y, X, it, qinv=self._qinv_np)
+            p = compute_patch_plane(
+                g, sub, f, r, Z, Y, X, it, qinv=self._qinv_np,
+                mixed=self.mixed)
+            if self.mixed is not None:
+                p = self.mixed.quant(p)
+            planes[self._slot_of_row[r]] = p
 
         zero = jnp.zeros((g.Q, Y, X), f.dtype)
         cols = []
@@ -300,12 +309,16 @@ class ShardedPallasStep3D:
 
     def pad_state(self, f):
         f = f[self._qperm]
+        if self.mixed is not None:
+            f = self.mixed.quant(f, qorder=self._qperm)
         if self.sc:
             return self._sharded_init(f)
         return f
 
     def crop_state(self, carry):
         f = carry[0] if self.sc else carry
+        if self.mixed is not None:
+            f = self.mixed.dequant(f, qorder=self._qperm)
         return f[self._qinv]
 
     def step(self, carry, it=0):
@@ -340,6 +353,10 @@ class ShardedPallasStep2D:
         from sailfish_tpu.ops.pallas_step2d import (
             PallasStep2D, compute_patch_block_2d, make_kernel_2d,
             pick_block_size)
+        if getattr(builder, 'mixed', None) is not None:
+            raise NotImplementedError(
+                'mixed 16-bit storage is not yet wired into the '
+                'sharded fused kernel; use the XLA engine')
         self.builder = builder
         self.mesh = mesh
         self.nshards = mesh.shape['y']

@@ -65,7 +65,18 @@ class SubdomainRunner:
     def _init_state(self):
         dtype = self.config.dtype
         self.builder = self.sim.make_step_builder(self.maps, dtype)
+        if (self.config.precision == 'mixed'
+                and getattr(self.builder, 'mixed', None) is None):
+            raise NotImplementedError(
+                '--precision=mixed covers single-fluid scenes only '
+                '(multiphase density deviations exceed any useful '
+                'fixed-point range); use --precision=single')
         self.f = self.sim.make_initial_state(self.builder, dtype)
+        if getattr(self.builder, 'mixed', None) is not None:
+            # snap the initial state to the int16 grid once, so both
+            # engines (and any restart) iterate from identical codes
+            mx = self.builder.mixed
+            self.f = jax.jit(lambda a: mx.dequant(mx.quant(a)))(self.f)
         self.mesh = None
         mesh_shape = pmesh.parse_mesh_shape(
             getattr(self.config, 'mesh', ''), self.sim.dim)
@@ -470,6 +481,12 @@ class SubdomainRunner:
                                   dtype=self.config.dtype)
                       for i in range(len(leaves))]
         self.f = jax.tree.unflatten(treedef, new_leaves)
+        if getattr(self.builder, 'mixed', None) is not None:
+            # a mixed-mode checkpoint is already on the int16 grid
+            # (identity here); a single-precision one restored into a
+            # mixed run gets snapped once
+            mx = self.builder.mixed
+            self.f = jax.jit(lambda a: mx.dequant(mx.quant(a)))(self.f)
         # device-hook states are registered in before_main_loop (after
         # restore); stash the leaves for overlay once hooks exist
         self._pending_hook_leaves = [
