@@ -34,7 +34,7 @@ from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
                    max_patches=0, sc=False, emit_rho=False,
-                   edge_io=False):
+                   edge_io=False, mixed=None):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -75,6 +75,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
+    # mixed storage (ops/mixed.py): int16 codes through the DMAs and
+    # block cache, fp32 math; dequant before the x-roll (Mosaic has no
+    # 16-bit rotate), requant at the out-buffer store
+    sdtype = jnp.int16 if mixed is not None else dtype
+    assert not (mixed is not None and sc)
     basis = g.basis  # (Q, 2) as (cx, cy)
     opp = [int(o) for o in g.opposite]
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
@@ -272,6 +277,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
                 plane = row_shifted(i, cy)
+                if mixed is not None:
+                    plane = mixed.dequant_i(i, plane)
                 if cx:
                     plane = pltpu.roll(plane, cx % X, axis=1)
                 fs.append(plane)
@@ -329,6 +336,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     if has_mask:
                         vi = jnp.where(is_dry, fs[opp[i]],
                                        jnp.where(is_keep, fs[i], vi))
+                    if mixed is not None:
+                        vi = mixed.quant_i(i, vi)
                     out_buf[oslot, i] = vi
                 pltpu.make_async_copy(out_buf.at[oslot],
                                       out_hbm.at[:, pl.ds(k * by, by)],
@@ -343,6 +352,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 if o == i:
                     if has_mask:
                         vi = jnp.where(is_dry | is_keep, fs[i], vi)
+                    if mixed is not None:
+                        vi = mixed.quant_i(i, vi)
                     out_buf[oslot, i] = vi
                     continue
                 if has_mask:
@@ -351,6 +362,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     vo = jnp.where(is_dry, fs[i],
                                    jnp.where(is_keep, fs[o], vo))
                     vi = vi2
+                if mixed is not None:
+                    vi = mixed.quant_i(i, vi)
+                    vo = mixed.quant_i(o, vo)
                 out_buf[oslot, i] = vi
                 out_buf[oslot, o] = vo
             pltpu.make_async_copy(out_buf.at[oslot],
@@ -503,8 +517,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
             5 if edge_io else 1)
     scratch = [
-        pltpu.VMEM((4, Q, by, X), dtype),
-        pltpu.VMEM((2, Q, by, X), dtype),
+        pltpu.VMEM((4, Q, by, X), sdtype),
+        pltpu.VMEM((2, Q, by, X), sdtype),
     ]
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -530,7 +544,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if edge_io:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # redge
 
-    out_shape = jax.ShapeDtypeStruct((Q, Y, X), dtype)
+    out_shape = jax.ShapeDtypeStruct((Q, Y, X), sdtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     # in-place update (see the 3D kernel for the measurement); the
     # kernel never reads out_hbm and each block's single HBM read
@@ -558,7 +572,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
 
 
 def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
-                            interpret=False):
+                            interpret=False, mixed=None):
     """Pallas patch-block prologue for native-BC blocks (the 2D
     counterpart of pallas_step.make_bc_patch_kernel_3d): one program
     per block gathers the block plus its two periodic wrap rows from
@@ -578,10 +592,14 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
     g = builder.grid
     Q = g.Q
     dtype = builder.dtype
+    sdtype = jnp.int16 if mixed is not None else dtype
+    # int16 tiles are (16, 128): the aligned wrap-row slivers must be
+    # 16-row under mixed storage
+    sub_t = 16 if mixed is not None else 8
     basis = g.basis
     blocks = tuple(int(b) for b in blocks)
     R = len(blocks)
-    assert Y % 8 == 0, Y
+    assert Y % sub_t == 0, Y
 
     def kernel(f_hbm, mask_hbm, bcp_hbm, out_hbm,
                src_buf, lo_buf, hi_buf, mask_buf, bcp_buf, sems):
@@ -591,14 +609,14 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
             y0 = blk * by
             ylo = (y0 - 1) % Y
             yhi = (y0 + by) % Y
-            lo_base, lo_off = (ylo // 8) * 8, ylo % 8
-            hi_base, hi_off = (yhi // 8) * 8, yhi % 8
+            lo_base, lo_off = (ylo // sub_t) * sub_t, ylo % sub_t
+            hi_base, hi_off = (yhi // sub_t) * sub_t, yhi % sub_t
             c0 = pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(lo_base, 8)], lo_buf, sems.at[0])
+                f_hbm.at[:, pl.ds(lo_base, sub_t)], lo_buf, sems.at[0])
             c1 = pltpu.make_async_copy(
                 f_hbm.at[:, pl.ds(y0, by)], src_buf, sems.at[0])
             c2 = pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(hi_base, 8)], hi_buf, sems.at[0])
+                f_hbm.at[:, pl.ds(hi_base, sub_t)], hi_buf, sems.at[0])
             cm = pltpu.make_async_copy(mask_hbm.at[t], mask_buf,
                                        sems.at[1])
             cp = pltpu.make_async_copy(bcp_hbm.at[:, t], bcp_buf,
@@ -620,6 +638,9 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
                          hi_buf[i, hi_off:hi_off + 1]], axis=0)
                 else:
                     p = src_buf[i]
+                if mixed is not None:
+                    # dequant BEFORE the roll (no 16-bit rotate)
+                    p = mixed.dequant_i(i, p)
                 if cx:
                     p = pltpu.roll(p, cx % X, axis=1)
                 fsl.append(p)
@@ -627,7 +648,10 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
             out = _bc_patch_compute(builder, bc_instances, fsl, mrow,
                                     bcp_buf)
             for i in range(Q):
-                src_buf[i] = out[i]
+                vi = out[i]
+                if mixed is not None:
+                    vi = mixed.quant_i(i, vi)
+                src_buf[i] = vi
             co = pltpu.make_async_copy(src_buf, out_hbm.at[:, t],
                                        sems.at[0])
             co.start()
@@ -644,10 +668,10 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
         grid=(R,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Q, R, by, X), dtype),
-        scratch_shapes=[pltpu.VMEM((Q, by, X), dtype),
-                        pltpu.VMEM((Q, 8, X), dtype),
-                        pltpu.VMEM((Q, 8, X), dtype),
+        out_shape=jax.ShapeDtypeStruct((Q, R, by, X), sdtype),
+        scratch_shapes=[pltpu.VMEM((Q, by, X), sdtype),
+                        pltpu.VMEM((Q, sub_t, X), sdtype),
+                        pltpu.VMEM((Q, sub_t, X), sdtype),
                         pltpu.VMEM((by, X), jnp.int32),
                         pltpu.VMEM((3, by, X), dtype),
                         pltpu.SemaphoreType.DMA((3,))],
@@ -776,20 +800,25 @@ def pick_block_size(Q, Y, X, min_blocks=4):
     return by
 
 
-def compute_patch_block_2d(g, sub, f, box, by, X, it=0):
-    """Exact XLA recompute of one patched y-block -> (Q, by, X)."""
+def compute_patch_block_2d(g, sub, f, box, by, X, it=0, mixed=None):
+    """Exact XLA recompute of one patched y-block -> (Q, by, X).
+    ``mixed``: the state holds int16 codes; windows are dequantized
+    (the caller requantizes the returned block)."""
     def axes_shift(vec):
         return (int(vec[1]), int(vec[0]))
 
-    f_box = f[(slice(None),) + box].reshape(g.Q, -1)
-    fs_box = jnp.stack([
+    def dq(x):
+        return x if mixed is None else mixed.dequant(x)
+
+    f_box = dq(f[(slice(None),) + box].reshape(g.Q, -1))
+    fs_box = dq(jnp.stack([
         window_shifted(f[i], box, axes_shift(g.basis[i]))
-        .reshape(-1) for i in range(g.Q)])
+        .reshape(-1) for i in range(g.Q)]))
 
     def sampler(vec, _f=f, _box=box):
         sh = axes_shift(-np.asarray(vec))
-        return jnp.stack([window_shifted(_f[i], _box, sh)
-                          .reshape(-1) for i in range(g.Q)])
+        return dq(jnp.stack([window_shifted(_f[i], _box, sh)
+                             .reshape(-1) for i in range(g.Q)]))
 
     fpost = sub.phases(fs_box, f_box, it, sampler)
     return fpost.reshape(g.Q, by, X)
@@ -801,16 +830,22 @@ class PallasStep2D:
     MAX_PATCH_FRACTION = 0.3
 
     def __init__(self, builder, domain_shape, by=None, interpret=False):
-        if getattr(builder, 'mixed', None) is not None:
-            raise NotImplementedError(
-                'mixed 16-bit storage is not yet wired into the 2D '
-                'fused kernel; use the XLA engine')
         self.builder = builder
+        self.mixed = builder.mixed
         Ys, Xs = domain_shape
         self.shape = domain_shape
         check_plane_tiling(Ys, Xs, interpret, dim=2)
         if by is None:
             by = pick_block_size(builder.grid.Q, Ys, Xs)
+        if self.mixed is not None and not interpret:
+            # int16 tiles are (16, 128): block size and Y must be
+            # 16-row aligned for the block/sliver DMAs
+            if by % 16:
+                by *= 2
+            if by % 16 or Ys % by:
+                raise NotImplementedError(
+                    f'mixed 16-bit storage needs 16-aligned y-blocks '
+                    f'(Y={Ys}, by={by}); use the XLA engine')
         self.by = by
         # native-BC blocks (see pallas_step.NATIVE_BC_TYPES): their
         # patch planes come from the Pallas prologue kernel instead of
@@ -868,7 +903,7 @@ class PallasStep2D:
                 [mask_np[b * by:(b + 1) * by] for b in self.bc_blocks]))
             self.bc_kernel = make_bc_patch_kernel_2d(
                 builder, Ys, Xs, by, self.bc_blocks, self.bc_instances,
-                interpret=interpret)
+                interpret=interpret, mixed=self.mixed)
         # Shan-Chen: emit next step's post-stream rho from the kernel
         # itself (carrying (f, rho) between steps) instead of paying
         # the ~40 B/node rho pre-pass every step; the regular-emission
@@ -878,7 +913,8 @@ class PallasStep2D:
                                      patch_blocks=self.patch_blocks,
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc,
-                                     emit_rho=self.emit_rho)
+                                     emit_rho=self.emit_rho,
+                                     mixed=self.mixed)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_2d(builder, Ys, Xs, by=by,
@@ -904,9 +940,12 @@ class PallasStep2D:
         exactly by the XLA window machinery."""
         xla = {}
         for (box, sub), b in zip(self.patch_subs, self.xla_patch_blocks):
-            xla[b] = compute_patch_block_2d(
+            p = compute_patch_block_2d(
                 self.builder.grid, sub, f, box, self.by,
-                self.shape[1], it)
+                self.shape[1], it, mixed=self.mixed)
+            if self.mixed is not None:
+                p = self.mixed.quant(p)
+            xla[b] = p
         bc = {}
         if self.bc_blocks:
             pv = self.bc_kernel(f, self._bc_mask_blocks, self.bcp)
@@ -942,16 +981,21 @@ class PallasStep2D:
 
     @property
     def padded(self):
-        """True when the between-steps carry is (f, rho) rather than f
-        (emit-rho mode); pad_state/crop_state convert once per chunk."""
-        return self.emit_rho
+        """True when the between-steps carry differs from the public
+        fp32 layout: (f, rho) in emit-rho mode, int16 codes in mixed
+        mode; pad_state/crop_state convert once per chunk."""
+        return self.emit_rho or self.mixed is not None
 
     def pad_state(self, f):
+        if self.mixed is not None:
+            return self.mixed.quant(f)
         if self.emit_rho:
             return (f, self._post_stream_rho(f))
         return f
 
     def crop_state(self, carry):
+        if self.mixed is not None:
+            return self.mixed.dequant(carry)
         return carry[0] if self.emit_rho else carry
 
     def run_steps(self, f, n, it0=0):

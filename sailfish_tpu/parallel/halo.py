@@ -353,11 +353,8 @@ class ShardedPallasStep2D:
         from sailfish_tpu.ops.pallas_step2d import (
             PallasStep2D, compute_patch_block_2d, make_kernel_2d,
             pick_block_size)
-        if getattr(builder, 'mixed', None) is not None:
-            raise NotImplementedError(
-                'mixed 16-bit storage is not yet wired into the '
-                'sharded fused kernel; use the XLA engine')
         self.builder = builder
+        self.mixed = builder.mixed
         self.mesh = mesh
         self.nshards = mesh.shape['y']
         Y, X = domain_shape
@@ -368,6 +365,14 @@ class ShardedPallasStep2D:
         # same block-size policy as the single-device path
         check_plane_tiling(Y_loc, X, interpret, dim=2)
         by = pick_block_size(builder.grid.Q, Y_loc, X)
+        if self.mixed is not None and not interpret:
+            # int16 tiles are (16, 128); see PallasStep2D
+            if by % 16:
+                by *= 2
+            if by % 16 or Y_loc % by:
+                raise NotImplementedError(
+                    'mixed 16-bit storage needs 16-aligned y-blocks '
+                    f'(local Y={Y_loc}, by={by})')
         self.by = by
         NB_loc = Y_loc // by
 
@@ -419,7 +424,8 @@ class ShardedPallasStep2D:
             builder, Y_loc, X, by=by, has_mask=self.has_mask,
             interpret=interpret, sc=self.sc, emit_rho=self.sc,
             edge_io=self.sc,
-            dyn_patches=self.has_patches, max_patches=self.P)
+            dyn_patches=self.has_patches, max_patches=self.P,
+            mixed=self.mixed)
         self.rho_kernel = None
         if self.sc:
             from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d
@@ -506,8 +512,11 @@ class ShardedPallasStep2D:
         _, X = self.shape
         planes = {}
         for b, box, sub in self.patch_subs:
-            planes[self._slot_of_block[b]] = self._patch_fn(
-                g, sub, f, box, self.by, X, it)
+            p = self._patch_fn(
+                g, sub, f, box, self.by, X, it, mixed=self.mixed)
+            if self.mixed is not None:
+                p = self.mixed.quant(p)
+            planes[self._slot_of_block[b]] = p
         zero = jnp.zeros((g.Q, self.by, X), f.dtype)
         cols = []
         for s in range(self.nshards):
@@ -519,14 +528,19 @@ class ShardedPallasStep2D:
 
     @property
     def padded(self):
-        """Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi); the
-        runner wraps step loops in pad_state/crop_state."""
-        return self.sc
+        """Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi); mixed
+        scenes carry int16 codes; the runner wraps step loops in
+        pad_state/crop_state."""
+        return self.sc or self.mixed is not None
 
     def pad_state(self, f):
+        if self.mixed is not None:
+            return self.mixed.quant(f)
         return self._sharded_init(f) if self.sc else f
 
     def crop_state(self, carry):
+        if self.mixed is not None:
+            return self.mixed.dequant(carry)
         return carry[0] if self.sc else carry
 
     def step(self, carry, it=0):

@@ -179,3 +179,43 @@ def test_mixed_sharded_matches_single_device():
         return np.asarray(r.f)
 
     assert np.array_equal(run(''), run('4'))
+
+
+def test_mixed_2d_matches_xla_bitwise():
+    """2D fused kernel under mixed storage (LDC 2D: wall mask +
+    native-BC lid blocks) matches the XLA engine bitwise, and chunking
+    is free of extra rounding."""
+    from ldc_2d import LDCSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(engine, every):
+        ctrl = LBSimulationController(LDCSim, default_config=dict(
+            lat_nx=64, lat_ny=64, max_iters=12, every=every,
+            quiet=True, engine=engine, precision='mixed'))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return np.asarray(r.f)
+
+    f_x = run('xla', 12)
+    f_p = run('pallas', 12)
+    assert np.array_equal(f_x, f_p)
+    assert np.array_equal(f_p, run('pallas', 4))
+
+
+def test_mixed_2d_sharded_matches_single_device():
+    """y-sharded 2D fused stepping under mixed storage: bitwise vs the
+    single-device kernel."""
+    from ldc_2d import LDCSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(mesh):
+        ctrl = LBSimulationController(LDCSim, default_config=dict(
+            lat_nx=64, lat_ny=256, max_iters=12, every=12,
+            quiet=True, engine='pallas', precision='mixed', mesh=mesh))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return np.asarray(r.f)
+
+    assert np.array_equal(run(''), run('4'))
