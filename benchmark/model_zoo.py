@@ -81,6 +81,10 @@ CASES = {
     'd3q19_sc_single_128_zmesh1': ('sc_phase_separation_3d', 3,
                                    dict(lat_nx=128, lat_ny=128,
                                         lat_nz=128, mesh='1')),
+    # ('z','y') 2-axis fused Shan-Chen (rr/ry row carries + psi y-fix)
+    'd3q19_sc_single_128_zymesh1': ('sc_phase_separation_3d', 3,
+                                    dict(lat_nx=128, lat_ny=128,
+                                         lat_nz=128, mesh='1x1')),
     'bin_d2q9_sc_1024_ymesh1': ('binary_fluid.sc_separation_2d', 2,
                                 dict(lat_nx=1024, lat_ny=1024,
                                      mesh='1')),
@@ -90,6 +94,26 @@ CASES = {
     'bin_d2q9_fe_1024_ymesh1': ('binary_fluid.fe_separation_2d', 2,
                                 dict(lat_nx=1024, lat_ny=1024,
                                      mesh='1')),
+    # --precision=mixed: int16 fixed-point storage, fp32 math
+    # (ops/mixed.py) -- halves the HBM streaming bytes
+    'd3q19_bgk_ldc_256_mixed16': ('ldc_3d', 3,
+                                  dict(lat_nx=256, lat_ny=256,
+                                       lat_nz=256, precision='mixed')),
+    'd2q9_bgk_ldc_2048_mixed16': ('ldc_2d', 2,
+                                  dict(lat_nx=2048, lat_ny=2048,
+                                       precision='mixed')),
+    'd3q19_mrt_ldc_128_mixed16': ('ldc_3d', 3,
+                                  dict(lat_nx=128, lat_ny=128,
+                                       lat_nz=128, model='mrt',
+                                       precision='mixed')),
+    'd3q15_bgk_kida_128_mixed16': ('turbulence.kida_vortex', 3,
+                                   dict(lat_nx=128, lat_ny=128,
+                                        lat_nz=128, visc=0.002,
+                                        precision='mixed')),
+    'd2q9_elbm_ldc_1024_mixed16': ('ldc_2d', 2,
+                                   dict(lat_nx=1024, lat_ny=1024,
+                                        model='elbm',
+                                        precision='mixed')),
 }
 
 SIM_CLASSES = {

@@ -580,7 +580,7 @@ def _sc_psi(builder, rho):
     return rho
 
 
-def _sc_shift_moments(builder, mom, psi_of, shape_yx):
+def _sc_shift_moments(builder, mom, psi_of, shape_yx, y_fix=None):
     """Velocity-shift Shan-Chen forcing: u_eq = u + tau F / rho with
     F = -G psi(x) sum_i w_i psi(x + c_i) c_i (matches the XLA engine's
     shan_chen_force exactly; reference shan_chen.mako:9-84).
@@ -588,7 +588,12 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
     ``psi_of(k)`` returns the psi plane at perpendicular offset k
     (3D: the z offset of a (Y, X) plane; 2D: the y row shift of a
     (by, X) block); the in-plane shifts are applied here as periodic
-    lane/sublane rolls."""
+    lane/sublane rolls.
+
+    ``y_fix(p, cy, dz)`` (3D y-sharded meshes): called after the
+    sublane y-roll and before the lane x-roll, to overwrite the one
+    wrapped edge row of the rolled psi plane with the y-neighbor's
+    psi row (the local periodic wrap is wrong under y-sharding)."""
     g = builder.grid
     rho, u, usq, uF = mom
     dtype = rho.dtype
@@ -617,6 +622,9 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx):
             if c:
                 # psi at x + c: roll by -c (sample semantics)
                 p = pltpu.roll(p, (-c) % n, axis=ax)
+                if y_fix is not None and g.dim == 3 \
+                        and ax == p.ndim - 2:
+                    p = y_fix(p, c, int(g.basis[i][2]))
         w = float(g.weights[i])
         for a in range(g.dim):
             c = int(g.basis[i][a])
@@ -741,7 +749,21 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     row overwritten with the x-rolled ghost row. One (k+2)-row window
     DMA per slab per side; row values equal the local wrap when the
     mesh has one y-shard, so results match the 1-axis kernel exactly.
-    Requires sc=False (multiphase scenes shard on z only).
+    With ``sc`` AND ``y_ghosts`` (a ('z','y')-sharded Shan-Chen
+    scene; requires edge_io) four row inputs follow ``rlo``/``rhi``,
+    all of shape (Z+2, 1, X) indexed so entry j+1 holds the row of
+    plane j (entries 0 / Z+1 = the z-ghost planes):
+      * ``rylo``/``ryhi``: the y-neighbors' post-stream rho boundary
+        rows (y = Y-1 from below / y = 0 from above), used to fix the
+        wrapped edge row of each y-rolled psi plane
+        (_sc_shift_moments's y_fix hook);
+      * ``rrlo``/``rrhi``: the CORRECT local edge rows (y = 0 / Y-1)
+        of every rho plane -- the in-kernel emission cannot produce
+        them on a y-shard, so each plane's edge rows are overwritten
+        from these at psi-assembly time (a by-value no-op for the
+        fresh z-edge/ghost planes, whose rows the caller copies in).
+    The sharded caller computes all four in XLA from ppermuted faces
+    with the emission's exact summation order (parallel.halo).
 
     With ``mixed`` set (a MixedScales; --precision=mixed) the state,
     ghosts and patch planes are int16 fixed-point codes (ops/mixed.py):
@@ -770,7 +792,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         assert sc and not patch_rows and not dyn_patches
         assert B >= 3, (B, 'emit_rho needs >= 3 pipeline programs')
     assert not (edge_io and not emit_rho)
-    assert not (y_ghosts and sc)
+    # sc + y_ghosts (a ('z','y')-sharded Shan-Chen scene) additionally
+    # requires edge_io and takes four more row inputs -- see below
+    assert not (y_ghosts and sc and not edge_io)
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
@@ -810,6 +834,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             gylo_hbm = refs[idx]; idx += 1   # (Z+2, Q, X)
             gyhi_hbm = refs[idx]; idx += 1
         rho_hbm = rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
+        rylo_hbm = ryhi_hbm = rrlo_hbm = rrhi_hbm = None
         if sc:
             rho_hbm = refs[idx]; idx += 1
             rglo_hbm = refs[idx]; idx += 1
@@ -817,6 +842,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             if edge_io:
                 rlo_hbm = refs[idx]; idx += 1
                 rhi_hbm = refs[idx]; idx += 1
+            if y_ghosts:
+                rylo_hbm = refs[idx]; idx += 1   # (Z+2, 1, X)
+                ryhi_hbm = refs[idx]; idx += 1
+                rrlo_hbm = refs[idx]; idx += 1
+                rrhi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         pmap_ref = None
@@ -843,8 +873,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, k, Y, X)
         rho_buf = None
+        rylo_buf = ryhi_buf = rrlo_buf = rrhi_buf = None
         if sc:
             rho_buf = refs[idx]; idx += 1   # (2, k+2, Y, X)
+            if y_ghosts:
+                rylo_buf = refs[idx]; idx += 1  # (2, k+2, 1, X)
+                ryhi_buf = refs[idx]; idx += 1
+                rrlo_buf = refs[idx]; idx += 1
+                rrhi_buf = refs[idx]; idx += 1
         ring0 = ring1 = stash0 = stash1 = remit_buf = redge_buf = None
         if emit_rho:
             ring0 = refs[idx]; idx += 1     # (2, n_p1, Y, X) pc base-2
@@ -1040,6 +1076,17 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                             rho_hbm.at[slab_base + k],
                             rho_buf.at[s, k + 1],
                             in_sems.at[s, Q + 3]).start()
+                if y_ghosts:
+                    # (Z+2)-indexed row arrays: entries slab_base ..
+                    # slab_base+k+1 <-> planes slab_base-1..slab_base+k
+                    # (leading dim untiled -> arbitrary offsets)
+                    for j, (arr, buf) in enumerate(
+                            ((rylo_hbm, rylo_buf), (ryhi_hbm, ryhi_buf),
+                             (rrlo_hbm, rrlo_buf),
+                             (rrhi_hbm, rrhi_buf))):
+                        pltpu.make_async_copy(
+                            arr.at[pl.ds(slab_base, k + 2)], buf.at[s],
+                            in_sems.at[s, Q + 6 + j]).start()
 
         def wait_gather_plus(slab_b, s):
             """Wait only the cz=+1 group of slot ``s``. Mirrors the
@@ -1147,6 +1194,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 pltpu.make_async_copy(rho_hbm.at[0],
                                       rho_buf.at[s, k + 1],
                                       in_sems.at[s, Q + 3]).wait()
+                if y_ghosts:
+                    for j, (arr, buf) in enumerate(
+                            ((rylo_hbm, rylo_buf), (ryhi_hbm, ryhi_buf),
+                             (rrlo_hbm, rrlo_buf),
+                             (rrhi_hbm, rrhi_buf))):
+                        pltpu.make_async_copy(
+                            arr.at[pl.ds(0, k + 2)], buf.at[s],
+                            in_sems.at[s, Q + 6 + j]).wait()
 
         def pre_write_waits():
             """In-place safety (out aliases f): the successor slab's
@@ -1230,16 +1285,20 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 ch = ipos[i]
                 gbuf = gylo_buf if cy == 1 else gyhi_buf
                 yrow = 0 if cy == 1 else Y - 1
-                for j in range(k):
-                    row = gbuf[slot, j - cz + 1, ch]      # (X,)
-                    if mixed is not None:
-                        row = mixed.dequant_i(i, row)
-                    if cx:
-                        row = pltpu.roll(row, cx % X, axis=0)
-                    if mixed is not None:
-                        fwork[ch, j, yrow] = row
-                    else:
-                        fs_buf[slot, ch, j, yrow] = row
+                # all k source rows as one 2D (k, X) slice: Mosaic has
+                # no 1D rotate, so the x-shift is a static lane concat
+                # (an exact permutation, identical to pltpu.roll)
+                rows = gbuf[slot, pl.ds(1 - cz, k), ch]
+                if mixed is not None:
+                    rows = mixed.dequant_i(i, rows)
+                if cx:
+                    s = (-cx) % X
+                    rows = jnp.concatenate(
+                        [rows[:, s:], rows[:, :s]], axis=1)
+                if mixed is not None:
+                    fwork[ch, :, pl.ds(yrow, 1)] = rows[:, None]
+                else:
+                    fs_buf[slot, ch, :, pl.ds(yrow, 1)] = rows[:, None]
 
         # moments (read all slabs before any in-place overwrite)
         if mixed is not None:
@@ -1249,14 +1308,44 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         mom_u = _moments(builder, fsl)
         if sc:
             psi_cache = {}
+            yiota = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
 
             def psi_of(dz):
                 if dz not in psi_cache:
-                    psi_cache[dz] = _sc_psi(
-                        builder, rho_buf[slot, pl.ds(1 + dz, k)])
+                    r = rho_buf[slot, pl.ds(1 + dz, k)]
+                    if y_ghosts:
+                        # the carry's edge rows are stale on a y-shard
+                        # (the emission cannot produce them); read the
+                        # fresh rows instead. For the z-edge/ghost
+                        # planes this rewrites identical values.
+                        lo = rrlo_buf[slot, pl.ds(1 + dz, k)]  # (k,1,X)
+                        hi = rrhi_buf[slot, pl.ds(1 + dz, k)]
+                        r = jnp.where(yiota == 0, lo, r)
+                        r = jnp.where(yiota == Y - 1, hi, r)
+                    psi_cache[dz] = _sc_psi(builder, r)
                 return psi_cache[dz]
 
-            mom_u = _sc_shift_moments(builder, mom_u, psi_of, (Y, X))
+            y_fix = None
+            if y_ghosts:
+                psi_row_cache = {}
+
+                def psi_row(side, dz):
+                    if (side, dz) not in psi_row_cache:
+                        buf = ryhi_buf if side == 1 else rylo_buf
+                        psi_row_cache[(side, dz)] = _sc_psi(
+                            builder, buf[slot, pl.ds(1 + dz, k)])
+                    return psi_row_cache[(side, dz)]
+
+                def y_fix(p, cy, dz):
+                    # psi sample at y+cy: the y-roll (-cy) wrapped one
+                    # edge row through the local boundary; overwrite it
+                    # with the y-neighbor's psi row of the same source
+                    # plane (x-rolled afterwards with the whole plane)
+                    edge = Y - 1 if cy == 1 else 0
+                    return jnp.where(yiota == edge, psi_row(cy, dz), p)
+
+            mom_u = _sc_shift_moments(builder, mom_u, psi_of, (Y, X),
+                                      y_fix=y_fix)
         if has_mask:
             m = mask_buf[slot]
             is_dry = m == 1
@@ -1532,8 +1621,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if y_ghosts:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
     if sc:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
-            5 if edge_io else 3)
+        n_sc = 5 if edge_io else 3
+        if y_ghosts:
+            n_sc += 4
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_sc
     scratch = [
         pltpu.VMEM((2, Q, k, Y, X), sdtype),
     ]
@@ -1549,6 +1640,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
     if sc:
         scratch.append(pltpu.VMEM((2, k + 2, Y, X), dtype))
+        if y_ghosts:
+            for _ in range(4):
+                scratch.append(pltpu.VMEM((2, k + 2, 1, X), dtype))
     if emit_rho:
         scratch.append(pltpu.VMEM((2, n_p1, Y, X), dtype))      # ring0
         scratch.append(pltpu.VMEM((2, Q - s_0, Y, X), dtype))   # ring1
@@ -1563,7 +1657,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 6)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, Q + 10)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
@@ -1608,7 +1702,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # rho updates in place too: program b writes planes <=
         # base+k-2, every read of those planes (gathers of programs
         # <= b+1) has already landed by emission time
-        io_aliases[3] = 1
+        io_aliases[3 + (2 if y_ghosts else 0)] = 1
     fused = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -35,14 +35,21 @@ from sailfish_tpu.ops.pallas_step import (
     make_rho_kernel_3d)
 
 
-def stream_rho_edges(grid, ipos, f, glo, ghi):
+def stream_rho_edges(grid, ipos, f, glo, ghi, gylo=None, gyhi=None):
     """Post-stream density of the two local edge z-planes from the
     post-collision state ``f`` (kernel layout) and the ppermuted
     neighbor faces ``glo``/``ghi`` -- the plane the in-kernel emission
     cannot produce on a shard. Source selection, roll and summation
     order are identical to make_rho_kernel_3d (and hence to the
     in-kernel emission), so sharded results stay BITWISE equal to the
-    single-device fused engine. Returns (rho_plane_0, rho_plane_Zm1)."""
+    single-device fused engine. Returns (rho_plane_0, rho_plane_Zm1).
+
+    ``gylo``/``gyhi`` ((Z+2, Q, X); ('z','y') meshes): the y-neighbors'
+    post-collision boundary rows per SOURCE plane; the y-roll's wrapped
+    edge row is overwritten from them BEFORE the x-roll, so the edge
+    planes' own edge rows (the z+y corners) are correct too."""
+    Z = f.shape[1]
+    Y = f.shape[2]
     lo = hi = None
     for i in range(grid.Q):
         cx = int(grid.basis[i][0])
@@ -55,14 +62,80 @@ def stream_rho_edges(grid, ipos, f, glo, ghi):
             p_lo, p_hi = f[ch, 0], f[ch, -1]
         else:
             p_lo, p_hi = f[ch, 1], ghi[ch]
+        src_lo = 0 - cz
+        src_hi = Z - 1 - cz
         if cy:
             p_lo = jnp.roll(p_lo, cy, axis=0)
             p_hi = jnp.roll(p_hi, cy, axis=0)
+            if gylo is not None:
+                # rolled[y] = p[y-cy]: cy=+1 wraps row 0 (true source
+                # y=-1, below-neighbor row Y-1); cy=-1 wraps row Y-1
+                # (true source y=Y, above-neighbor row 0)
+                if cy == 1:
+                    row_lo = gylo[src_lo + 1, ch]
+                    row_hi = gylo[src_hi + 1, ch]
+                    edge = 0
+                else:
+                    row_lo = gyhi[src_lo + 1, ch]
+                    row_hi = gyhi[src_hi + 1, ch]
+                    edge = Y - 1
+                yi = jnp.arange(Y)[:, None]
+                p_lo = jnp.where(yi == edge, row_lo[None, :], p_lo)
+                p_hi = jnp.where(yi == edge, row_hi[None, :], p_hi)
         if cx:
             p_lo = jnp.roll(p_lo, cx, axis=1)
             p_hi = jnp.roll(p_hi, cx, axis=1)
         lo = p_lo if lo is None else lo + p_lo
         hi = p_hi if hi is None else hi + p_hi
+    return lo, hi
+
+
+def stream_rho_edge_rows_3d(grid, ipos, f, glo, ghi, gylo, gyhi):
+    """Post-stream density of the two local edge ROWS (y=0 and y=Y-1)
+    of EVERY local plane, for ('z','y')-sharded Shan-Chen stepping --
+    the rows the in-kernel emission cannot produce on a y-shard.
+    Source/roll/summation order matches the emission, so on a 1-y-shard
+    mesh the values are bitwise identical to the in-kernel rows (and to
+    stream_rho_edges' edge-plane rows at z = 0 / Z-1).
+    Returns (rows_y0, rows_yYm1), each (Z, X)."""
+    Z = f.shape[1]
+    Y = f.shape[2]
+    lo = hi = None
+    for i in range(grid.Q):
+        cx = int(grid.basis[i][0])
+        cy = int(grid.basis[i][1])
+        cz = int(grid.basis[i][2])
+        ch = ipos[i]
+
+        def src_planes(row):
+            """(Z, X): row ``row`` of source plane z - cz for every z
+            (plane -1 from glo, plane Z from ghi)."""
+            core = f[ch, :, row]                       # (Z, X)
+            if cz == 1:
+                return jnp.concatenate(
+                    [glo[ch, row][None], core[:Z - 1]], axis=0)
+            if cz == -1:
+                return jnp.concatenate(
+                    [core[1:], ghi[ch, row][None]], axis=0)
+            return core
+
+        if cy == 1:
+            # row 0 pulls y=-1 (below-neighbor row Y-1, per source
+            # plane); row Y-1 pulls y=Y-2
+            r_lo = gylo[1 - cz:Z + 1 - cz, ch]
+            r_hi = src_planes(Y - 2)
+        elif cy == -1:
+            # row 0 pulls y=1; row Y-1 pulls y=Y (above-neighbor row 0)
+            r_lo = src_planes(1)
+            r_hi = gyhi[1 - cz:Z + 1 - cz, ch]
+        else:
+            r_lo = src_planes(0)
+            r_hi = src_planes(Y - 1)
+        if cx:
+            r_lo = jnp.roll(r_lo, cx, axis=1)
+            r_hi = jnp.roll(r_hi, cx, axis=1)
+        lo = r_lo if lo is None else lo + r_lo
+        hi = r_hi if hi is None else hi + r_hi
     return lo, hi
 
 
@@ -134,10 +207,6 @@ class ShardedPallasStep3D:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC planes needs global psi '
                 'sampling in the patch windows; use the XLA engine')
-        if self.sc and self.two_axis:
-            raise NotImplementedError(
-                'Shan-Chen shards fused on a 1-axis z-mesh only; use '
-                'the XLA engine for 2-axis meshes')
         from sailfish_tpu.ops.pallas_step import pick_slab_k
         heavy = (builder.model in ('mrt', 'trt')
                  or builder.smagorinsky > 0.0)
@@ -241,9 +310,94 @@ class ShardedPallasStep3D:
             return (f, rho, rho[0][None], rho[-1][None], glo[None],
                     ghi[None])
 
+        def _sc_zy_exchange(f2, glo2, ghi2):
+            """Everything the ('z','y') Shan-Chen carry needs from the
+            post-collision state: the f boundary rows per source plane
+            (two-hop corners via the z-ghost extension), the fresh rho
+            edge planes and edge rows, and the (Z+2)-indexed rr arrays
+            whose ghost entries carry the z-neighbors' rows."""
+            face_hi = jnp.concatenate(
+                [glo2[:, None, -1], f2[:, :, -1], ghi2[:, None, -1]],
+                axis=1)
+            face_lo = jnp.concatenate(
+                [glo2[:, None, 0], f2[:, :, 0], ghi2[:, None, 0]],
+                axis=1)
+            gylo = jnp.swapaxes(
+                jax.lax.ppermute(face_hi, 'y', up_y), 0, 1)
+            gyhi = jnp.swapaxes(
+                jax.lax.ppermute(face_lo, 'y', down_y), 0, 1)
+            lo, hi = stream_rho_edges(g, ipos_np, f2, glo2, ghi2,
+                                      gylo=gylo, gyhi=gyhi)
+            rows_lo, rows_hi = stream_rho_edge_rows_3d(
+                g, ipos_np, f2, glo2, ghi2, gylo, gyhi)
+            rrlo = jnp.concatenate(
+                [jax.lax.ppermute(rows_lo[-1:], 'z', up), rows_lo,
+                 jax.lax.ppermute(rows_lo[:1], 'z', down)],
+                axis=0)[:, None, :]
+            rrhi = jnp.concatenate(
+                [jax.lax.ppermute(rows_hi[-1:], 'z', up), rows_hi,
+                 jax.lax.ppermute(rows_hi[:1], 'z', down)],
+                axis=0)[:, None, :]
+            return gylo, gyhi, lo, hi, rrlo, rrhi
+
+        def local_step_sc_zy(f, rho, rlo, rhi, glo, ghi, gylo, gyhi,
+                             rrlo, rrhi, *rest):
+            """('z','y')-sharded Shan-Chen step. The carry holds, per
+            shard: the fresh rho edge planes/rows (the planes/rows the
+            in-kernel emission cannot produce), the post-collision
+            z-faces and y-rows, and the (Z+2)-indexed rr row arrays.
+            psi ghost rows derive from the NEIGHBORS' rr arrays by one
+            y-ppermute (their z-ghost entries already carry the
+            diagonal corners -- the standard two-hop exchange)."""
+            rlo_, rhi_ = rlo[0, 0], rhi[0, 0]
+            glo_, ghi_ = glo[0, 0], ghi[0, 0]
+            gylo_, gyhi_ = gylo[0, 0], gyhi[0, 0]
+            rrlo_, rrhi_ = rrlo[0, 0], rrhi[0, 0]
+            rylo_ = jax.lax.ppermute(rrhi_, 'y', up_y)
+            ryhi_ = jax.lax.ppermute(rrlo_, 'y', down_y)
+            rglo_ = jax.lax.ppermute(rhi_, 'z', up)
+            rghi_ = jax.lax.ppermute(rlo_, 'z', down)
+            args = [f, glo_, ghi_, gylo_, gyhi_, rho, rglo_, rghi_,
+                    rlo_, rhi_, rylo_, ryhi_, rrlo_, rrhi_]
+            if self.has_mask:
+                args.append(rest[0])
+            f2, rho2 = self.kernel(*args)
+            glo2 = jax.lax.ppermute(f2[:, -1], 'z', up)
+            ghi2 = jax.lax.ppermute(f2[:, 0], 'z', down)
+            gylo2, gyhi2, lo, hi, rrlo2, rrhi2 = _sc_zy_exchange(
+                f2, glo2, ghi2)
+            return (f2, rho2, lo[None, None], hi[None, None],
+                    glo2[None, None], ghi2[None, None],
+                    gylo2[None, None], gyhi2[None, None],
+                    rrlo2[None, None], rrhi2[None, None])
+
+        def local_init_sc_zy(f):
+            glo = jax.lax.ppermute(f[:, -1], 'z', up)
+            ghi = jax.lax.ppermute(f[:, 0], 'z', down)
+            # interior rho from the pre-pass kernel (its edge ROWS use
+            # the local y-wrap and stay garbage-but-unread: every read
+            # patches them from the rr arrays)
+            rho = self.rho_kernel(f, glo, ghi)
+            gylo, gyhi, lo, hi, rrlo, rrhi = _sc_zy_exchange(
+                f, glo, ghi)
+            return (f, rho, lo[None, None], hi[None, None],
+                    glo[None, None], ghi[None, None],
+                    gylo[None, None], gyhi[None, None],
+                    rrlo[None, None], rrhi[None, None])
+
         in_specs = [P(None, 'z', 'y', None) if self.two_axis
                     else P(None, 'z', None, None)]
-        if self.sc:
+        if self.sc and self.two_axis:
+            P4 = P('z', 'y', None, None)
+            P5 = P('z', 'y', None, None, None)
+            SPECS = (P(None, 'z', 'y', None),     # f
+                     P('z', 'y', None),           # rho
+                     P4, P4,                      # rlo, rhi
+                     P5, P5,                      # glo, ghi
+                     P5, P5,                      # gylo, gyhi
+                     P5, P5)                      # rrlo, rrhi
+            in_specs = list(SPECS)
+        elif self.sc:
             SPECS = (P(None, 'z', None, None),    # f
                      P('z', None, None),          # rho
                      P('z', None, None),          # rlo
@@ -259,12 +413,16 @@ class ShardedPallasStep3D:
                             if self.two_axis
                             else P(None, 'z', None, None, None))
         if self.sc:
+            step_fn = local_step_sc_zy if self.two_axis \
+                else local_step_sc
+            init_fn = local_init_sc_zy if self.two_axis \
+                else local_init_sc
             self._sharded_step = shard_map(
-                local_step_sc, mesh=mesh, in_specs=tuple(in_specs),
+                step_fn, mesh=mesh, in_specs=tuple(in_specs),
                 out_specs=SPECS, check_vma=False)
             self._sharded_init = shard_map(
-                local_init_sc, mesh=mesh,
-                in_specs=(P(None, 'z', None, None),),
+                init_fn, mesh=mesh,
+                in_specs=(SPECS[0],),
                 out_specs=SPECS, check_vma=False)
         else:
             out_spec = P(None, 'z', 'y', None) if self.two_axis \

@@ -331,12 +331,13 @@ class SubdomainRunner:
                     reasons.append('Shan-Chen is fused for BGK only')
                 if not (self.mesh is None or
                         (self.sim.dim == 3
-                         and list(self.mesh.axis_names) == ['z'])
+                         and list(self.mesh.axis_names)
+                         in (['z'], ['z', 'y']))
                         or (self.sim.dim == 2
                             and list(self.mesh.axis_names) == ['y'])):
                     reasons.append(
-                        'Shan-Chen shards fused on a 3D z-mesh or a '
-                        '2D y-mesh only')
+                        "Shan-Chen shards fused on 3D z / ('z','y') "
+                        'meshes or a 2D y-mesh only')
             if b.equilibrium != 'bgk':
                 reasons.append(f'equilibrium={b.equilibrium}')
             if not (b.body_force is None

@@ -472,3 +472,59 @@ def test_pallas3d_elbm_matches_xla():
     # differences into O(last-step) alpha differences; bitwise-style
     # 1e-6 equivalence is not attainable through the convergence gate
     assert np.max(np.abs(vx - vx_ref)) < 2e-5
+
+
+def test_sharded_sc_two_axis_zy():
+    """Single-component Shan-Chen on a ('z','y') 2-axis mesh: the
+    in-kernel psi sampling reads neighbor rho rows (y_fix), the rho
+    carry's edge planes AND edge rows come from XLA streams of the
+    ppermuted faces, corners ride the two-hop rr/gy extensions.
+    Fields match the single-device fused engine to the same 1-ulp
+    FMA-contraction epsilon the 1-axis test documents
+    (test_multi_pallas.test_sharded_sc_single_3d_bitwise); the carry
+    itself is checked BITWISE against a from-scratch recompute."""
+    import jax
+
+    from sc_phase_separation_3d import SCSim3D
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(mesh):
+        ctrl = LBSimulationController(SCSim3D, default_config=dict(
+            lat_nx=16, lat_ny=16, lat_nz=16, max_iters=10, every=10,
+            quiet=True, engine='pallas', mesh=mesh, seed=7))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.asarray(r.f)
+
+    _, f1 = run('')
+    _, f_z = run('4')     # 1-axis (existing path, regression anchor)
+    r, f_zy = run('2x2')  # 2-axis
+    assert np.max(np.abs(f1 - f_z)) < 1e-6
+    assert np.max(np.abs(f1 - f_zy)) < 1e-6
+
+    # carry self-consistency (order-exact): step the 2-axis carry a
+    # few times and compare against _sharded_init recomputed from the
+    # carried f -- the emitted interior rho, the XLA edge planes and
+    # the rr edge-row arrays must all be BITWISE reproducible
+    p = r._pallas
+    assert p.two_axis and p.sc
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 3, lambda i, c: p.step(c, i), carry)
+    ref = p._sharded_init(carry[0])
+    rho, rlo, rhi = (np.asarray(x) for x in carry[1:4])
+    rho_ref, rlo_ref, rhi_ref = (np.asarray(x) for x in ref[1:4])
+    zl = rho.shape[0] // p.nshards
+    yl = rho.shape[1] // p.ny_shards
+    for s in range(p.nshards):
+        for t in range(p.ny_shards):
+            blk = rho[s * zl:(s + 1) * zl, t * yl:(t + 1) * yl]
+            rb = rho_ref[s * zl:(s + 1) * zl, t * yl:(t + 1) * yl]
+            # interior planes' interior rows: in-kernel emission
+            assert np.array_equal(blk[1:-1, 1:-1], rb[1:-1, 1:-1])
+    assert np.array_equal(rlo, rlo_ref)   # fresh z-edge planes
+    assert np.array_equal(rhi, rhi_ref)
+    rr = tuple(np.asarray(x) for x in carry[8:10])
+    rr_ref = tuple(np.asarray(x) for x in ref[8:10])
+    for a, b in zip(rr, rr_ref):
+        assert np.array_equal(a, b)       # fresh edge rows + corners
