@@ -85,6 +85,13 @@ CASES = {
     'd3q19_sc_single_128_zymesh1': ('sc_phase_separation_3d', 3,
                                     dict(lat_nx=128, lat_ny=128,
                                          lat_nz=128, mesh='1x1')),
+    # 1-axis vs 2-axis sharding-machinery overhead on the plain kernel
+    'd3q19_bgk_ldc_128_zmesh1': ('ldc_3d', 3,
+                                 dict(lat_nx=128, lat_ny=128,
+                                      lat_nz=128, mesh='1')),
+    'd3q19_bgk_ldc_128_zymesh1': ('ldc_3d', 3,
+                                  dict(lat_nx=128, lat_ny=128,
+                                       lat_nz=128, mesh='1x1')),
     'bin_d2q9_sc_1024_ymesh1': ('binary_fluid.sc_separation_2d', 2,
                                 dict(lat_nx=1024, lat_ny=1024,
                                      mesh='1')),
