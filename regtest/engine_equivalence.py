@@ -116,6 +116,21 @@ def main():
         'fe_binary 3d', fe_separation_3d.SeparationFESim3D,
         ('rho', 'phi'), lat_nx=128, lat_ny=64, lat_nz=32,
         max_iters=args.iters3d, every=args.iters3d, tol=2e-5, seed=1)
+    # --precision=mixed (int16 storage, ops/mixed.py): both engines
+    # quantize identically, so agreement is bounded by one int16 code
+    # step (ws = w * range/32767; the XLA engine's fp32 op order on
+    # TPU may flip a rounding boundary): tol covers 2 code steps of
+    # the heaviest-weight distribution
+    ok &= compare(
+        'ldc_3d 128^3 bgk mixed16', ldc_3d.LDCSim,
+        ('rho', 'vx', 'vz'), lat_nx=128, lat_ny=128, lat_nz=128,
+        max_iters=args.iters3d, every=args.iters3d,
+        precision='mixed', tol=3e-5)
+    ok &= compare(
+        'ldc_2d 1024^2 bgk mixed16', ldc_2d.LDCSim,
+        ('rho', 'vx', 'vy'), lat_nx=1024, lat_ny=1024,
+        max_iters=args.iters2d, every=args.iters2d,
+        precision='mixed', tol=3e-5)
     print('PASS' if ok else 'FAIL')
     return 0 if ok else 1
 

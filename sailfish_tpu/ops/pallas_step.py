@@ -1255,6 +1255,30 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # has no 16-bit vector rotate, and one dequant per plane here
         # plus one requant at the store is the conversion minimum
         # anyway (the DMAs stay int16).
+        if y_ghosts:
+            yg_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
+
+        def yg_fix_rows(i, sl):
+            """y-sharded: the roll wrapped one edge row through the
+            LOCAL boundary; select in the neighbors' row instead (the
+            select folds into the existing plane store -- a separate
+            per-row masked store measured ~2x slower at 128^3). Mosaic
+            has no 1D/16-bit rotate, so the row's x-shift is a static
+            lane concat (an exact permutation == pltpu.roll)."""
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            cz = int(basis[i][2])
+            ch = ipos[i]
+            gbuf = gylo_buf if cy == 1 else gyhi_buf
+            yrow = 0 if cy == 1 else Y - 1
+            rows = gbuf[slot, pl.ds(1 - cz, k), ch]     # (k, X)
+            if mixed is not None:
+                rows = mixed.dequant_i(i, rows)
+            if cx:
+                s = (-cx) % X
+                rows = jnp.concatenate(
+                    [rows[:, s:], rows[:, :s]], axis=1)
+            return jnp.where(yg_iota == yrow, rows[:, None], sl)
+
         for i in range(Q):
             cx, cy = int(basis[i][0]), int(basis[i][1])
             if mixed is not None:
@@ -1263,6 +1287,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     sl = pltpu.roll(sl, cy % Y, axis=1)
                 if cx:
                     sl = pltpu.roll(sl, cx % X, axis=2)
+                if y_ghosts and cy:
+                    sl = yg_fix_rows(i, sl)
                 fwork[ipos[i]] = sl
             elif cy or cx:
                 sl = fs_buf[slot, ipos[i]]          # (k, Y, X)
@@ -1270,35 +1296,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     sl = pltpu.roll(sl, cy % Y, axis=1)
                 if cx:
                     sl = pltpu.roll(sl, cx % X, axis=2)
+                if y_ghosts and cy:
+                    sl = yg_fix_rows(i, sl)
                 fs_buf[slot, ipos[i]] = sl
-
-        # y-sharded: the roll wrapped the two edge rows through the
-        # LOCAL boundary; overwrite them with the neighbors' rows
-        # (x-rolled like the rest of the plane)
-        if y_ghosts:
-            for i in range(Q):
-                cy = int(basis[i][1])
-                if cy == 0:
-                    continue
-                cx = int(basis[i][0])
-                cz = int(basis[i][2])
-                ch = ipos[i]
-                gbuf = gylo_buf if cy == 1 else gyhi_buf
-                yrow = 0 if cy == 1 else Y - 1
-                # all k source rows as one 2D (k, X) slice: Mosaic has
-                # no 1D rotate, so the x-shift is a static lane concat
-                # (an exact permutation, identical to pltpu.roll)
-                rows = gbuf[slot, pl.ds(1 - cz, k), ch]
-                if mixed is not None:
-                    rows = mixed.dequant_i(i, rows)
-                if cx:
-                    s = (-cx) % X
-                    rows = jnp.concatenate(
-                        [rows[:, s:], rows[:, :s]], axis=1)
-                if mixed is not None:
-                    fwork[ch, :, pl.ds(yrow, 1)] = rows[:, None]
-                else:
-                    fs_buf[slot, ch, :, pl.ds(yrow, 1)] = rows[:, None]
 
         # moments (read all slabs before any in-place overwrite)
         if mixed is not None:
