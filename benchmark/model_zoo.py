@@ -85,6 +85,9 @@ CASES = {
     'd3q19_sc_single_128_zymesh1': ('sc_phase_separation_3d', 3,
                                     dict(lat_nx=128, lat_ny=128,
                                          lat_nz=128, mesh='1x1')),
+    'bin_d3q19_sc_128_zymesh1': ('binary_fluid.sc_separation_3d', 3,
+                                 dict(lat_nx=128, lat_ny=128,
+                                      lat_nz=128, mesh='1x1')),
     # 1-axis vs 2-axis sharding-machinery overhead on the plain kernel
     'd3q19_bgk_ldc_128_zmesh1': ('ldc_3d', 3,
                                  dict(lat_nx=128, lat_ny=128,

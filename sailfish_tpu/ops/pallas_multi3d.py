@@ -50,7 +50,7 @@ def _check_vmem(*plane_counts_dtypes, Y, X):
 
 def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                             emit_rho=False, edge_io=False,
-                            interpret=False):
+                            y_ghosts=False, interpret=False):
     """fused(f_0.., glo_0.., ghi_0.., rho_0.., rglo_0.., rghi_0..
     [, mask]) -> (out_0..): one z-plane per program, K components.
 
@@ -77,6 +77,22 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
     (parallel.halo.stream_rho_edges) with the identical summation
     order. Signature: fused(f.., glo.., ghi.., rho.., rglo.., rghi..,
     rlo.., rhi..[, mask]) -> (out.., rho_next..).
+
+    With ``y_ghosts=True`` (a ('z','y')-sharded mesh; requires
+    edge_io) six more K-lists of inputs follow ``rhi``, the
+    K-component port of the single-fluid kernel's sc+y_ghosts mode
+    (pallas_step.make_kernel_3d):
+      * ``gylo``/``gyhi`` (Z+2, Q, X): the y-neighbors' post-collision
+        boundary rows per SOURCE plane (entry j+1 <-> plane j; the
+        +-1 entries carry the z+y corners) -- fix the wrapped edge row
+        of every y-rolled pull plane;
+      * ``rylo``/``ryhi`` (Z+2, 1, X): the y-neighbors' post-stream
+        rho boundary rows -- fix the wrapped edge row of every
+        y-rolled psi plane;
+      * ``rrlo``/``rrhi`` (Z+2, 1, X): the CORRECT local edge rows of
+        every rho plane (the emission cannot produce them on a
+        y-shard); each plane's edge rows are overwritten from these at
+        psi time.
     """
     g = mbuilder.grid
     Q = g.Q
@@ -89,6 +105,7 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
     # permuted; math runs in standard direction order via ipos
     perm, ipos, groups = cz_groups(g)
     assert not (edge_io and not emit_rho)
+    assert not (y_ghosts and not edge_io)
     if emit_rho:
         assert Z >= 3, (Z, 'emit_rho needs >= 3 pipeline programs')
     # permuted-space extents of the c_z groups (emit-rho ring/stash
@@ -126,9 +143,18 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         rglo_hbm = refs[idx:idx + K]; idx += K
         rghi_hbm = refs[idx:idx + K]; idx += K
         rlo_hbm = rhi_hbm = None
+        gylo_hbm = gyhi_hbm = None
+        rylo_hbm = ryhi_hbm = rrlo_hbm = rrhi_hbm = None
         if edge_io:
             rlo_hbm = refs[idx:idx + K]; idx += K
             rhi_hbm = refs[idx:idx + K]; idx += K
+        if y_ghosts:
+            gylo_hbm = refs[idx:idx + K]; idx += K  # (Z+2, Q, X)
+            gyhi_hbm = refs[idx:idx + K]; idx += K
+            rylo_hbm = refs[idx:idx + K]; idx += K  # (Z+2, 1, X)
+            ryhi_hbm = refs[idx:idx + K]; idx += K
+            rrlo_hbm = refs[idx:idx + K]; idx += K
+            rrhi_hbm = refs[idx:idx + K]; idx += K
         mask_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
@@ -138,6 +164,15 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
             rho_out_hbm = refs[idx:idx + K]; idx += K
         fs_buf = refs[idx]; idx += 1        # (2, K*Q, Y, X)
         rho_buf = refs[idx]; idx += 1       # (2, 3*K, Y, X)
+        gylo_buf = gyhi_buf = None
+        rylo_buf = ryhi_buf = rrlo_buf = rrhi_buf = None
+        if y_ghosts:
+            gylo_buf = refs[idx]; idx += 1  # (2, K, 3, Q, X)
+            gyhi_buf = refs[idx]; idx += 1
+            rylo_buf = refs[idx]; idx += 1  # (2, K, 3, 1, X)
+            ryhi_buf = refs[idx]; idx += 1
+            rrlo_buf = refs[idx]; idx += 1
+            rrhi_buf = refs[idx]; idx += 1
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
@@ -237,6 +272,20 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 pltpu.make_async_copy(
                     mask_hbm.at[plane_z], mask_buf.at[s, 0],
                     in_sems.at[s, K * (len(groups) + 3)]).start()
+            if y_ghosts:
+                # 3-entry windows (source planes plane_z-1..plane_z+1;
+                # the (Z+2)-indexed arrays' leading dim is untiled)
+                base = K * (len(groups) + 3) + 1
+                for c in range(K):
+                    for j, (arr, buf) in enumerate((
+                            (gylo_hbm, gylo_buf), (gyhi_hbm, gyhi_buf),
+                            (rylo_hbm, rylo_buf), (ryhi_hbm, ryhi_buf),
+                            (rrlo_hbm, rrlo_buf),
+                            (rrhi_hbm, rrhi_buf))):
+                        pltpu.make_async_copy(
+                            arr[c].at[pl.ds(plane_z, 3)],
+                            buf.at[s, c],
+                            in_sems.at[s, base + c * 6 + j]).start()
 
         def wait_gather_plus(s):
             """Wait only the cz=+1 groups (reading source plane z-1)."""
@@ -274,6 +323,17 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 pltpu.make_async_copy(
                     mask_hbm.at[0], mask_buf.at[s, 0],
                     in_sems.at[s, K * (NG + 3)]).wait()
+            if y_ghosts:
+                base = K * (NG + 3) + 1
+                for c in range(K):
+                    for j, (arr, buf) in enumerate((
+                            (gylo_hbm, gylo_buf), (gyhi_hbm, gyhi_buf),
+                            (rylo_hbm, rylo_buf), (ryhi_hbm, ryhi_buf),
+                            (rrlo_hbm, rrlo_buf),
+                            (rrhi_hbm, rrhi_buf))):
+                        pltpu.make_async_copy(
+                            arr[c].at[pl.ds(0, 3)], buf.at[s, c],
+                            in_sems.at[s, base + c * 6 + j]).wait()
 
         def wait_out(s):
             for c in range(K):
@@ -295,7 +355,12 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         wait_gathers(slot)
 
         # in-plane periodic shifts of the pull; channel c*Q+ipos[i]
-        # holds standard direction i of component c
+        # holds standard direction i of component c. y-sharded: the
+        # y-roll wrapped one edge row through the LOCAL boundary --
+        # select in the y-neighbor's row (x-shifted by a static lane
+        # concat: Mosaic has no 1D rotate; an exact permutation)
+        if y_ghosts:
+            yg_iota = jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0)
         for c in range(K):
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
@@ -306,6 +371,17 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                         plane = pltpu.roll(plane, cy % Y, axis=0)
                     if cx:
                         plane = pltpu.roll(plane, cx % X, axis=1)
+                    if y_ghosts and cy:
+                        cz_i = int(basis[i][2])
+                        gbuf = gylo_buf if cy == 1 else gyhi_buf
+                        yrow = 0 if cy == 1 else Y - 1
+                        row = gbuf[slot, c, pl.ds(1 - cz_i, 1),
+                                   ipos[i]]                 # (1, X)
+                        if cx:
+                            sh = (-cx) % X
+                            row = jnp.concatenate(
+                                [row[:, sh:], row[:, :sh]], axis=1)
+                        plane = jnp.where(yg_iota == yrow, row, plane)
                     fs_buf[slot, ch] = plane
 
         fsl = [[fs_buf[slot, c * Q + ipos[i]] for i in range(Q)]
@@ -335,10 +411,30 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
 
         # pseudopotential cross-forces from the 3 neighboring rho
         # planes; psi evaluated once per (component, z-offset) plane
-        # (the exp of the classic potential is the dominant VPU cost)
-        psi_pl = [[psi(rho_buf[slot, c * 3 + j]) for j in range(3)]
+        # (the exp of the classic potential is the dominant VPU cost).
+        # y-sharded: each plane's stale edge rows read the fresh rr
+        # inputs (a by-value no-op for the z-edge/ghost planes)
+        def rho_plane(c, j):
+            r = rho_buf[slot, c * 3 + j]
+            if y_ghosts:
+                lo = rrlo_buf[slot, c, j]     # (1, X)
+                hi = rrhi_buf[slot, c, j]
+                r = jnp.where(yg_iota == 0, lo, r)
+                r = jnp.where(yg_iota == Y - 1, hi, r)
+            return r
+
+        psi_pl = [[psi(rho_plane(c, j)) for j in range(3)]
                   for c in range(K)]
         psi_self = [psi_pl[c][1] for c in range(K)]
+        psi_row_cache = {}
+
+        def psi_row(c, side, j):
+            """psi of the y-neighbor's rho row of source plane j-1+z0
+            (side +1 = above-neighbor row 0, -1 = below row Y-1)."""
+            if (c, side, j) not in psi_row_cache:
+                buf = ryhi_buf if side == 1 else rylo_buf
+                psi_row_cache[(c, side, j)] = psi(buf[slot, c, j])
+            return psi_row_cache[(c, side, j)]
 
         def neighbor_sum(c):
             acc = [None, None, None]
@@ -348,6 +444,12 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 p = psi_pl[c][1 + cz]
                 if cy:
                     p = pltpu.roll(p, (-cy) % Y, axis=0)
+                    if y_ghosts:
+                        # the wrapped edge row reads the y-neighbor's
+                        # psi row (x-rolled below with the plane)
+                        edge = Y - 1 if cy == 1 else 0
+                        p = jnp.where(yg_iota == edge,
+                                      psi_row(c, cy, 1 + cz), p)
                 if cx:
                     p = pltpu.roll(p, (-cx) % X, axis=1)
                 w = float(g.weights[i])
@@ -561,11 +663,18 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 wait_out(nslot)
 
     n_in = (8 * K if edge_io else 6 * K) + (1 if has_mask else 0)
+    if y_ghosts:
+        n_in += 6 * K
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
         pltpu.VMEM((2, K * Q, Y, X), dtype),
         pltpu.VMEM((2, 3 * K, Y, X), dtype),
     ]
+    if y_ghosts:
+        scratch.append(pltpu.VMEM((2, K, 3, Q, X), dtype))   # gylo
+        scratch.append(pltpu.VMEM((2, K, 3, Q, X), dtype))   # gyhi
+        for _ in range(4):                                   # ry/rr
+            scratch.append(pltpu.VMEM((2, K, 3, 1, X), dtype))
     if has_mask:
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if emit_rho:
@@ -577,7 +686,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         scratch.append(pltpu.VMEM((2, K, Y, X), dtype))         # remit
         if not edge_io:
             scratch.append(pltpu.VMEM((2, K, Y, X), dtype))     # redge
-    scratch.append(pltpu.SemaphoreType.DMA((2, K * (len(groups) + 3) + 1)))
+    scratch.append(pltpu.SemaphoreType.DMA(
+        (2, K * (len(groups) + 3) + 1 + (6 * K if y_ghosts else 0))))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))         # remit

@@ -28,7 +28,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
                                           classify_nodes, cz_groups,
                                           make_rho_kernel_3d)
-from sailfish_tpu.parallel.halo import stream_rho_edges
+from sailfish_tpu.parallel.halo import (stream_rho_edges,
+                                         stream_rho_edge_rows_3d)
 
 
 def _ring(nshards):
@@ -37,11 +38,13 @@ def _ring(nshards):
     return up, down
 
 
-def _check_z_mesh(mesh, Z):
-    if list(mesh.axis_names) != ['z']:
+def _check_z_mesh(mesh, Z, allow_zy=False):
+    axes = list(mesh.axis_names)
+    if axes != ['z'] and not (allow_zy and axes == ['z', 'y']):
         raise NotImplementedError(
-            'the sharded fused multi-component kernel shards the z '
-            f'axis only; got mesh axes {mesh.axis_names}')
+            'the sharded fused multi-component kernel shards '
+            + ("z or ('z','y')" if allow_zy else 'the z axis only')
+            + f'; got mesh axes {mesh.axis_names}')
     nshards = mesh.shape['z']
     assert Z % nshards == 0
     Z_loc = Z // nshards
@@ -71,8 +74,12 @@ class ShardedPallasSCMulti3D:
         Z, Y, X = domain_shape
         self.shape = domain_shape
         self.mesh = mesh
-        self.nshards, Z_loc = _check_z_mesh(mesh, Z)
-        check_plane_tiling(Y, X, interpret)
+        self.nshards, Z_loc = _check_z_mesh(mesh, Z, allow_zy=True)
+        self.two_axis = 'y' in mesh.axis_names
+        self.ny_shards = mesh.shape['y'] if self.two_axis else 1
+        assert Y % self.ny_shards == 0
+        Y_loc = Y // self.ny_shards
+        check_plane_tiling(Y_loc, X, interpret)
         b0 = mbuilder.b0
         K = self.K = len(mbuilder.components)
         mask_np, patch_rows = classify_nodes(b0.maps)
@@ -89,22 +96,123 @@ class ShardedPallasSCMulti3D:
         isz = np.dtype(np.float32).itemsize
         _check_vmem((2 * K * Q, isz), (2 * 3 * K, isz),
                     (2 * K * (n_p1 + (Q - s_0)) + 2 * K, isz),
-                    (2 if self.has_mask else 0, 4), Y=Y, X=X)
+                    (2 if self.has_mask else 0, 4), Y=Y_loc, X=X)
         self.mask_global = None
+        self._mask_spec = P('z', 'y', None) if self.two_axis \
+            else P('z', None, None)
         if self.has_mask:
             self.mask_global = jax.device_put(
                 jnp.asarray(mask_np),
-                NamedSharding(mesh, P('z', None, None)))
+                NamedSharding(mesh, self._mask_spec))
         self.kernel = make_kernel_3d_sc_multi(
-            mbuilder, Z_loc, Y, X, has_mask=self.has_mask,
-            emit_rho=True, edge_io=True, interpret=interpret)
-        self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y, X,
+            mbuilder, Z_loc, Y_loc, X, has_mask=self.has_mask,
+            emit_rho=True, edge_io=True, y_ghosts=self.two_axis,
+            interpret=interpret)
+        self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y_loc, X,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
         self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
         self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
         up, down = _ring(self.nshards)
+        up_y, down_y = _ring(self.ny_shards)
         g = mbuilder.grid
+
+        def _zy_exchange(f2, glo2, ghi2):
+            """Per-component ('z','y') carry pieces from the
+            post-collision state (the K-component twin of
+            parallel.halo's _sc_zy_exchange)."""
+            face_hi = jnp.concatenate(
+                [glo2[:, None, -1], f2[:, :, -1], ghi2[:, None, -1]],
+                axis=1)
+            face_lo = jnp.concatenate(
+                [glo2[:, None, 0], f2[:, :, 0], ghi2[:, None, 0]],
+                axis=1)
+            gylo = jnp.swapaxes(
+                jax.lax.ppermute(face_hi, 'y', up_y), 0, 1)
+            gyhi = jnp.swapaxes(
+                jax.lax.ppermute(face_lo, 'y', down_y), 0, 1)
+            lo, hi = stream_rho_edges(g, ipos_np, f2, glo2, ghi2,
+                                      gylo=gylo, gyhi=gyhi)
+            rows_lo, rows_hi = stream_rho_edge_rows_3d(
+                g, ipos_np, f2, glo2, ghi2, gylo, gyhi)
+            rrlo = jnp.concatenate(
+                [jax.lax.ppermute(rows_lo[-1:], 'z', up), rows_lo,
+                 jax.lax.ppermute(rows_lo[:1], 'z', down)],
+                axis=0)[:, None, :]
+            rrhi = jnp.concatenate(
+                [jax.lax.ppermute(rows_hi[-1:], 'z', up), rows_hi,
+                 jax.lax.ppermute(rows_hi[:1], 'z', down)],
+                axis=0)[:, None, :]
+            return gylo, gyhi, lo, hi, rrlo, rrhi
+
+        def local_step_zy(*args):
+            i = 0
+            fs = list(args[i:i + K]); i += K
+            rhos = list(args[i:i + K]); i += K
+            rlos = [a[0, 0] for a in args[i:i + K]]; i += K
+            rhis = [a[0, 0] for a in args[i:i + K]]; i += K
+            glos = [a[0, 0] for a in args[i:i + K]]; i += K
+            ghis = [a[0, 0] for a in args[i:i + K]]; i += K
+            gylos = [a[0, 0] for a in args[i:i + K]]; i += K
+            gyhis = [a[0, 0] for a in args[i:i + K]]; i += K
+            rrlos = [a[0, 0] for a in args[i:i + K]]; i += K
+            rrhis = [a[0, 0] for a in args[i:i + K]]; i += K
+            mask = args[i] if self.has_mask else None
+            rglos = [jax.lax.ppermute(r, 'z', up) for r in rhis]
+            rghis = [jax.lax.ppermute(r, 'z', down) for r in rlos]
+            rylos = [jax.lax.ppermute(r, 'y', up_y) for r in rrhis]
+            ryhis = [jax.lax.ppermute(r, 'y', down_y) for r in rrlos]
+            kargs = (fs + glos + ghis + rhos + rglos + rghis
+                     + rlos + rhis + gylos + gyhis + rylos + ryhis
+                     + rrlos + rrhis)
+            if self.has_mask:
+                kargs.append(mask)
+            out = self.kernel(*kargs)
+            fs2 = out[:K]
+            rhos2 = out[K:]
+            glos2 = [jax.lax.ppermute(f[:, -1], 'z', up) for f in fs2]
+            ghis2 = [jax.lax.ppermute(f[:, 0], 'z', down) for f in fs2]
+            gy_lo, gy_hi, los, his, rr_lo, rr_hi = [], [], [], [], \
+                [], []
+            for c in range(K):
+                gylo, gyhi, lo, hi, rrlo, rrhi = _zy_exchange(
+                    fs2[c], glos2[c], ghis2[c])
+                gy_lo.append(gylo[None, None])
+                gy_hi.append(gyhi[None, None])
+                los.append(lo[None, None])
+                his.append(hi[None, None])
+                rr_lo.append(rrlo[None, None])
+                rr_hi.append(rrhi[None, None])
+            return (tuple(fs2) + tuple(rhos2) + tuple(los)
+                    + tuple(his)
+                    + tuple(f[None, None] for f in glos2)
+                    + tuple(f[None, None] for f in ghis2)
+                    + tuple(gy_lo) + tuple(gy_hi)
+                    + tuple(rr_lo) + tuple(rr_hi))
+
+        def local_init_zy(*fs):
+            glos = [jax.lax.ppermute(f[:, -1], 'z', up) for f in fs]
+            ghis = [jax.lax.ppermute(f[:, 0], 'z', down) for f in fs]
+            # pre-pass rho (edge rows stale-but-unread: reads patch
+            # them from the rr arrays)
+            rhos = [self.rho_kernel(f, gl, gh)
+                    for f, gl, gh in zip(fs, glos, ghis)]
+            gy_lo, gy_hi, los, his, rr_lo, rr_hi = [], [], [], [], \
+                [], []
+            for c, f in enumerate(fs):
+                gylo, gyhi, lo, hi, rrlo, rrhi = _zy_exchange(
+                    f, glos[c], ghis[c])
+                gy_lo.append(gylo[None, None])
+                gy_hi.append(gyhi[None, None])
+                los.append(lo[None, None])
+                his.append(hi[None, None])
+                rr_lo.append(rrlo[None, None])
+                rr_hi.append(rrhi[None, None])
+            return (tuple(fs) + tuple(rhos) + tuple(los) + tuple(his)
+                    + tuple(f[None, None] for f in glos)
+                    + tuple(f[None, None] for f in ghis)
+                    + tuple(gy_lo) + tuple(gy_hi)
+                    + tuple(rr_lo) + tuple(rr_hi))
 
         def local_step(*args):
             i = 0
@@ -148,20 +256,33 @@ class ShardedPallasSCMulti3D:
                     + tuple(f[None] for f in glos)
                     + tuple(f[None] for f in ghis))
 
-        FSPEC = P(None, 'z', None, None)
-        RSPEC = P('z', None, None)
-        ESPEC = P('z', None, None)
-        GSPEC = P('z', None, None, None)
-        carry_specs = ((FSPEC,) * K + (RSPEC,) * K + (ESPEC,) * 2 * K
-                       + (GSPEC,) * 2 * K)
+        if self.two_axis:
+            FSPEC = P(None, 'z', 'y', None)
+            RSPEC = P('z', 'y', None)
+            P4 = P('z', 'y', None, None)
+            P5 = P('z', 'y', None, None, None)
+            carry_specs = ((FSPEC,) * K + (RSPEC,) * K
+                           + (P4,) * 2 * K      # rlo, rhi
+                           + (P5,) * 2 * K      # glo, ghi
+                           + (P5,) * 2 * K      # gylo, gyhi
+                           + (P5,) * 2 * K)     # rrlo, rrhi
+            step_fn, init_fn = local_step_zy, local_init_zy
+        else:
+            FSPEC = P(None, 'z', None, None)
+            RSPEC = P('z', None, None)
+            ESPEC = P('z', None, None)
+            GSPEC = P('z', None, None, None)
+            carry_specs = ((FSPEC,) * K + (RSPEC,) * K
+                           + (ESPEC,) * 2 * K + (GSPEC,) * 2 * K)
+            step_fn, init_fn = local_step, local_init
         in_specs = carry_specs
         if self.has_mask:
-            in_specs = in_specs + (P('z', None, None),)
+            in_specs = in_specs + (self._mask_spec,)
         self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=in_specs,
+            step_fn, mesh=mesh, in_specs=in_specs,
             out_specs=carry_specs, check_vma=False)
         self._sharded_init = shard_map(
-            local_init, mesh=mesh, in_specs=(FSPEC,) * K,
+            init_fn, mesh=mesh, in_specs=(FSPEC,) * K,
             out_specs=carry_specs, check_vma=False)
 
     @property

@@ -267,16 +267,20 @@ class SubdomainRunner:
             if self.sim.dim not in (2, 3):
                 reasons.append(f'dim={self.sim.dim}')
             if self.mesh is not None:
+                axes = list(self.mesh.axis_names)
+                # Shan-Chen mixtures also shard on ('z','y'); FE's
+                # 2-plane phi stencil keeps it 1-axis for now
+                sc_multi = isinstance(b, ShanChenMultiStepBuilder)
                 mesh_ok = (
                     (self.sim.dim == 3
-                     and list(self.mesh.axis_names) == ['z'])
-                    or (self.sim.dim == 2
-                        and list(self.mesh.axis_names) == ['y']))
+                     and (axes == ['z']
+                          or (sc_multi and axes == ['z', 'y'])))
+                    or (self.sim.dim == 2 and axes == ['y']))
                 if not mesh_ok:
                     reasons.append(
-                        'multi-component scenes shard fused on a 3D '
-                        'z-mesh or a 2D y-mesh only; got '
-                        f'{list(self.mesh.axis_names)}')
+                        "multi-component scenes shard fused on 3D z "
+                        "(SC mixtures: also ('z','y')) or 2D y meshes "
+                        f'only; got {axes}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons
