@@ -737,7 +737,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
 
 
 def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
-                      emit_phi=False, edge_io=False, interpret=False):
+                      emit_phi=False, edge_io=False, y_ghosts=False,
+                      interpret=False):
     """Fused binary free-energy 3D step:
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi, phi_lo2, phi_lo1,
     phi_hi1, phi_hi2[, pedge_lo, pedge_hi][, mask]
@@ -764,7 +765,17 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     the wrap epilogue is dropped and the two stale local edge planes of
     the phi INPUT are read from separate (Y, X) inputs
     ``pedge_lo``/``pedge_hi`` (the sharded caller computes them in XLA
-    from ppermuted post-collision faces, identical summation order)."""
+    from ppermuted post-collision faces, identical summation order).
+
+    With ``y_ghosts=True`` (a ('z','y')-sharded mesh; requires
+    edge_io, excludes wetting -- the wall mirror widens the phi
+    stencil's y-reach to 2 rows) eight more inputs follow
+    ``pedge_hi``, the FE port of the SC kernels' zy machinery:
+    ``gylo0/gylo1/gyhi0/gyhi1`` (Z+2, Q, X) f boundary rows per source
+    plane; ``pylo/pyhi`` (Z+2, 1, X) the y-neighbors' phi boundary
+    rows (fix the wrapped edge row of each y-rolled phi sample);
+    ``prlo/prhi`` (Z+2, 1, X) the CORRECT local edge rows of every phi
+    plane, overwritten at sample time."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -774,6 +785,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     # cz-grouped Q layout (pallas_step.cz_groups)
     perm, ipos, groups = cz_groups(g)
     assert not (edge_io and not emit_phi)
+    assert not (y_ghosts and not edge_io)
+    assert not (y_ghosts and wetting)
     if emit_phi:
         assert Z >= 3, (Z, 'emit_phi needs >= 3 pipeline programs')
     n_m1 = n_p1 = 0
@@ -810,9 +823,18 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         phi_hbm = refs[idx]; idx += 1
         phi_ghosts = refs[idx:idx + 4]; idx += 4   # lo2, lo1, hi1, hi2
         pedge_lo = pedge_hi = None
+        gylo_hbm = gyhi_hbm = None
+        pylo_hbm = pyhi_hbm = prlo_hbm = prhi_hbm = None
         if edge_io:
             pedge_lo = refs[idx]; idx += 1
             pedge_hi = refs[idx]; idx += 1
+        if y_ghosts:
+            gylo_hbm = refs[idx:idx + 2]; idx += 2  # (Z+2, Q, X)
+            gyhi_hbm = refs[idx:idx + 2]; idx += 2
+            pylo_hbm = refs[idx]; idx += 1          # (Z+2, 1, X)
+            pyhi_hbm = refs[idx]; idx += 1
+            prlo_hbm = refs[idx]; idx += 1
+            prhi_hbm = refs[idx]; idx += 1
         mask_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
@@ -827,6 +849,15 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             phi_out_hbm = refs[idx]; idx += 1
         fs_buf = refs[idx]; idx += 1        # (2, 2Q, Y, X)
         phi_buf = refs[idx]; idx += 1       # (2, 5, Y, X): z0-2..z0+2
+        gylo_buf = gyhi_buf = None
+        pylo_buf = pyhi_buf = prlo_buf = prhi_buf = None
+        if y_ghosts:
+            gylo_buf = refs[idx]; idx += 1  # (2, 2, 3, Q, X)
+            gyhi_buf = refs[idx]; idx += 1
+            pylo_buf = refs[idx]; idx += 1  # (2, 3, 1, X)
+            pyhi_buf = refs[idx]; idx += 1
+            prlo_buf = refs[idx]; idx += 1
+            prhi_buf = refs[idx]; idx += 1
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1
@@ -947,6 +978,22 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                                     orient_buf.at[s, j],
                                     in_sems.at[s, 2 * NG + 6 + j],
                                     plane_z + dz, 1, 1)
+            if y_ghosts:
+                # 3-entry windows over the (Z+2)-indexed row arrays
+                # (source planes plane_z-1..plane_z+1; wetting is
+                # excluded, so its sem slots are free)
+                pairs_yg = [(gylo_hbm[0], gylo_buf.at[s, 0]),
+                            (gylo_hbm[1], gylo_buf.at[s, 1]),
+                            (gyhi_hbm[0], gyhi_buf.at[s, 0]),
+                            (gyhi_hbm[1], gyhi_buf.at[s, 1]),
+                            (pylo_hbm, pylo_buf.at[s]),
+                            (pyhi_hbm, pyhi_buf.at[s]),
+                            (prlo_hbm, prlo_buf.at[s]),
+                            (prhi_hbm, prhi_buf.at[s])]
+                for j, (arr, buf) in enumerate(pairs_yg):
+                    pltpu.make_async_copy(
+                        arr.at[pl.ds(plane_z, 3)], buf,
+                        in_sems.at[s, 2 * NG + 6 + j]).start()
 
         def wait_gather_plus(s):
             """Wait only the cz=+1 groups (reading source plane z-1)."""
@@ -986,6 +1033,19 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                     pltpu.make_async_copy(
                         orient_hbm.at[0], orient_buf.at[s, j],
                         in_sems.at[s, 2 * NG + 6 + j]).wait()
+            if y_ghosts:
+                pairs_yg = [(gylo_hbm[0], gylo_buf.at[s, 0]),
+                            (gylo_hbm[1], gylo_buf.at[s, 1]),
+                            (gyhi_hbm[0], gyhi_buf.at[s, 0]),
+                            (gyhi_hbm[1], gyhi_buf.at[s, 1]),
+                            (pylo_hbm, pylo_buf.at[s]),
+                            (pyhi_hbm, pyhi_buf.at[s]),
+                            (prlo_hbm, prlo_buf.at[s]),
+                            (prhi_hbm, prhi_buf.at[s])]
+                for j, (arr, buf) in enumerate(pairs_yg):
+                    pltpu.make_async_copy(
+                        arr.at[pl.ds(0, 3)], buf,
+                        in_sems.at[s, 2 * NG + 6 + j]).wait()
 
         def wait_out(s):
             for c in range(2):
@@ -1006,6 +1066,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
 
         wait_gathers(slot)
 
+        if y_ghosts:
+            yg_iota = jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0)
         for c in range(2):
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
@@ -1016,6 +1078,19 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                         plane = pltpu.roll(plane, cy % Y, axis=0)
                     if cx:
                         plane = pltpu.roll(plane, cx % X, axis=1)
+                    if y_ghosts and cy:
+                        # wrapped edge row <- y-neighbor's row (static
+                        # lane concat: Mosaic has no 1D rotate)
+                        cz_i = int(basis[i][2])
+                        gbuf = gylo_buf if cy == 1 else gyhi_buf
+                        yrow = 0 if cy == 1 else Y - 1
+                        row = gbuf[slot, c, pl.ds(1 - cz_i, 1),
+                                   ipos[i]]
+                        if cx:
+                            sh = (-cx) % X
+                            row = jnp.concatenate(
+                                [row[:, sh:], row[:, :sh]], axis=1)
+                        plane = jnp.where(yg_iota == yrow, row, plane)
                     fs_buf[slot, ch] = plane
 
         fsl = [[fs_buf[slot, c * Q + ipos[i]] for i in range(Q)]
@@ -1033,9 +1108,17 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             u = [u[a] + jnp.asarray(0.5 * fvec[a], dtype)
                  for a in range(3)]
 
-        # phi_w planes at z offset dz with the wall-wetting mirror
+        # phi_w planes at z offset dz with the wall-wetting mirror.
+        # y-sharded (wetting excluded): each plane's stale edge rows
+        # read the fresh pr inputs (a by-value no-op for the fresh
+        # z-edge/ghost planes)
         def phi_w_plane(dz):
             raw = phi_buf[slot, 2 + dz]
+            if y_ghosts:
+                lo = prlo_buf[slot, 1 + dz]     # (1, X)
+                hi = prhi_buf[slot, 1 + dz]
+                raw = jnp.where(yg_iota == 0, lo, raw)
+                raw = jnp.where(yg_iota == Y - 1, hi, raw)
             if not wetting:
                 return raw
             orient = orient_buf[slot, 1 + dz]
@@ -1058,6 +1141,14 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             p = pw[cz]
             if cy:
                 p = pltpu.roll(p, (-cy) % Y, axis=0)
+                if y_ghosts:
+                    # the wrapped edge row reads the y-neighbor's phi
+                    # row of the same source plane (x-rolled with the
+                    # plane below)
+                    buf = pyhi_buf if cy == 1 else pylo_buf
+                    edge = Y - 1 if cy == 1 else 0
+                    p = jnp.where(yg_iota == edge,
+                                  buf[slot, 1 + cz], p)
             if cx:
                 p = pltpu.roll(p, (-cx) % X, axis=1)
             return p
@@ -1285,12 +1376,17 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                 wait_out(nslot)
 
     n_in = (11 + (2 if edge_io else 0) + (1 if has_mask else 0)
-            + (3 if wetting else 0))
+            + (3 if wetting else 0) + (8 if y_ghosts else 0))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
         pltpu.VMEM((2, 2 * Q, Y, X), dtype),
         pltpu.VMEM((2, 5, Y, X), dtype),
     ]
+    if y_ghosts:
+        scratch.append(pltpu.VMEM((2, 2, 3, Q, X), dtype))   # gylo
+        scratch.append(pltpu.VMEM((2, 2, 3, Q, X), dtype))   # gyhi
+        for _ in range(4):                                   # py/pr
+            scratch.append(pltpu.VMEM((2, 3, 1, X), dtype))
     if has_mask:
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if wetting:
@@ -1304,7 +1400,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         scratch.append(pltpu.VMEM((2, Y, X), dtype))            # remit
         if not edge_io:
             scratch.append(pltpu.VMEM((2, Y, X), dtype))        # redge
-    scratch.append(pltpu.SemaphoreType.DMA((2, 2 * len(groups) + 9)))
+    scratch.append(pltpu.SemaphoreType.DMA(
+        (2, 2 * len(groups) + 9 + (8 if y_ghosts else 0))))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     if emit_phi:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit

@@ -326,8 +326,12 @@ class ShardedPallasFE3D:
         Z, Y, X = domain_shape
         self.shape = domain_shape
         self.mesh = mesh
-        self.nshards, Z_loc = _check_z_mesh(mesh, Z)
-        check_plane_tiling(Y, X, interpret)
+        self.nshards, Z_loc = _check_z_mesh(mesh, Z, allow_zy=True)
+        self.two_axis = 'y' in mesh.axis_names
+        self.ny_shards = mesh.shape['y'] if self.two_axis else 1
+        assert Y % self.ny_shards == 0
+        Y_loc = Y // self.ny_shards
+        check_plane_tiling(Y_loc, X, interpret)
         b0 = mbuilder.b0
         mask_np, patch_rows = classify_nodes(b0.maps)
         if patch_rows:
@@ -336,6 +340,11 @@ class ShardedPallasFE3D:
                 'complex-BC scenes use the XLA engine')
         self.has_mask = bool((mask_np != 0).any())
         self.wetting = bool(mbuilder._has_dry_nodes)
+        if self.two_axis and self.wetting:
+            raise NotImplementedError(
+                "FE wetting widens the phi stencil's y-reach to two "
+                "rows; ('z','y') meshes cover non-wetting FE scenes "
+                'only -- use a 1-axis z-mesh or the XLA engine')
         Q = mbuilder.grid.Q
         _, ipos_np, groups = cz_groups(mbuilder.grid)
         n_m1 = sum(c for cz, _, c in groups if cz == -1)
@@ -345,12 +354,14 @@ class ShardedPallasFE3D:
         _check_vmem((4 * Q, isz), (10, isz),
                     (2 * (n_p1 + (Q - s_0)) + 2, isz),
                     (2 if self.has_mask else 0, 4),
-                    (6 if self.wetting else 0, 4), Y=Y, X=X)
+                    (6 if self.wetting else 0, 4), Y=Y_loc, X=X)
         self.mask_global = None
+        self._mask_spec = P('z', 'y', None) if self.two_axis \
+            else P('z', None, None)
         if self.has_mask:
             self.mask_global = jax.device_put(
                 jnp.asarray(mask_np),
-                NamedSharding(mesh, P('z', None, None)))
+                NamedSharding(mesh, self._mask_spec))
         self.orient_global = None
         if self.wetting:
             orient_np = np.asarray(mbuilder._dry_orient)
@@ -368,16 +379,104 @@ class ShardedPallasFE3D:
             self.orient_hi = jax.device_put(
                 jnp.asarray(ohi), NamedSharding(mesh, P('z', None, None)))
         self.kernel = make_kernel_3d_fe(
-            mbuilder, Z_loc, Y, X, has_mask=self.has_mask,
+            mbuilder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             wetting=self.wetting, emit_phi=True, edge_io=True,
-            interpret=interpret)
-        self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y, X,
+            y_ghosts=self.two_axis, interpret=interpret)
+        self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y_loc, X,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
         self._qperm = jnp.asarray(np.asarray(qperm, np.int32))
         self._qinv = jnp.asarray(np.asarray(qinv, np.int32))
         up, down = _ring(self.nshards)
+        up_y, down_y = _ring(self.ny_shards)
         g = mbuilder.grid
+
+        def _fe_zy_exchange(f0_2, f1_2, glo0_2, glo1_2, ghi0_2,
+                            ghi1_2):
+            """('z','y') carry pieces from the post-collision state:
+            f boundary rows per source plane for BOTH components, the
+            fresh phi edge planes/rows, and the (Z+2)-indexed pr
+            arrays (two-hop corners via the z-ghost entries)."""
+            gys = []
+            for f2, glo2, ghi2 in ((f0_2, glo0_2, ghi0_2),
+                                   (f1_2, glo1_2, ghi1_2)):
+                face_hi = jnp.concatenate(
+                    [glo2[:, None, -1], f2[:, :, -1],
+                     ghi2[:, None, -1]], axis=1)
+                face_lo = jnp.concatenate(
+                    [glo2[:, None, 0], f2[:, :, 0],
+                     ghi2[:, None, 0]], axis=1)
+                gys.append((
+                    jnp.swapaxes(
+                        jax.lax.ppermute(face_hi, 'y', up_y), 0, 1),
+                    jnp.swapaxes(
+                        jax.lax.ppermute(face_lo, 'y', down_y), 0, 1)))
+            (gylo0, gyhi0), (gylo1, gyhi1) = gys
+            lo, hi = stream_rho_edges(g, ipos_np, f1_2, glo1_2,
+                                      ghi1_2, gylo=gylo1, gyhi=gyhi1)
+            rows_lo, rows_hi = stream_rho_edge_rows_3d(
+                g, ipos_np, f1_2, glo1_2, ghi1_2, gylo1, gyhi1)
+            prlo = jnp.concatenate(
+                [jax.lax.ppermute(rows_lo[-1:], 'z', up), rows_lo,
+                 jax.lax.ppermute(rows_lo[:1], 'z', down)],
+                axis=0)[:, None, :]
+            prhi = jnp.concatenate(
+                [jax.lax.ppermute(rows_hi[-1:], 'z', up), rows_hi,
+                 jax.lax.ppermute(rows_hi[:1], 'z', down)],
+                axis=0)[:, None, :]
+            return gylo0, gylo1, gyhi0, gyhi1, lo, hi, prlo, prhi
+
+        def local_step_zy(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
+                          ghi1, gylo0, gylo1, gyhi0, gyhi1, prlo,
+                          prhi, *rest):
+            pelo_, pehi_ = pelo[0, 0], pehi[0, 0]
+            glo0_, glo1_ = glo0[0, 0], glo1[0, 0]
+            ghi0_, ghi1_ = ghi0[0, 0], ghi1[0, 0]
+            prlo_, prhi_ = prlo[0, 0], prhi[0, 0]
+            pylo_ = jax.lax.ppermute(prhi_, 'y', up_y)
+            pyhi_ = jax.lax.ppermute(prlo_, 'y', down_y)
+            # phi z-ghosts: +-1 = the neighbors' fresh edge planes
+            # (valid rows); +-2 planes are only read under wetting
+            # (excluded here) -- pass the interior planes unchanged
+            lo1 = jax.lax.ppermute(pehi_, 'z', up)
+            lo2 = jax.lax.ppermute(phi[-2], 'z', up)
+            hi1 = jax.lax.ppermute(pelo_, 'z', down)
+            hi2 = jax.lax.ppermute(phi[1], 'z', down)
+            kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
+                     phi, lo2, lo1, hi1, hi2, pelo_, pehi_,
+                     gylo0[0, 0], gylo1[0, 0], gyhi0[0, 0],
+                     gyhi1[0, 0], pylo_, pyhi_, prlo_, prhi_]
+            if self.has_mask:
+                kargs.append(rest[0])
+            f0_2, f1_2, phi2 = self.kernel(*kargs)
+            glo0_2 = jax.lax.ppermute(f0_2[:, -1], 'z', up)
+            glo1_2 = jax.lax.ppermute(f1_2[:, -1], 'z', up)
+            ghi0_2 = jax.lax.ppermute(f0_2[:, 0], 'z', down)
+            ghi1_2 = jax.lax.ppermute(f1_2[:, 0], 'z', down)
+            (gylo0_2, gylo1_2, gyhi0_2, gyhi1_2, lo, hi, prlo2,
+             prhi2) = _fe_zy_exchange(f0_2, f1_2, glo0_2, glo1_2,
+                                      ghi0_2, ghi1_2)
+            return (f0_2, f1_2, phi2, lo[None, None], hi[None, None],
+                    glo0_2[None, None], glo1_2[None, None],
+                    ghi0_2[None, None], ghi1_2[None, None],
+                    gylo0_2[None, None], gylo1_2[None, None],
+                    gyhi0_2[None, None], gyhi1_2[None, None],
+                    prlo2[None, None], prhi2[None, None])
+
+        def local_init_zy(f0, f1):
+            glo0 = jax.lax.ppermute(f0[:, -1], 'z', up)
+            glo1 = jax.lax.ppermute(f1[:, -1], 'z', up)
+            ghi0 = jax.lax.ppermute(f0[:, 0], 'z', down)
+            ghi1 = jax.lax.ppermute(f1[:, 0], 'z', down)
+            phi = self.rho_kernel(f1, glo1, ghi1)
+            (gylo0, gylo1, gyhi0, gyhi1, lo, hi, prlo,
+             prhi) = _fe_zy_exchange(f0, f1, glo0, glo1, ghi0, ghi1)
+            return (f0, f1, phi, lo[None, None], hi[None, None],
+                    glo0[None, None], glo1[None, None],
+                    ghi0[None, None], ghi1[None, None],
+                    gylo0[None, None], gylo1[None, None],
+                    gyhi0[None, None], gyhi1[None, None],
+                    prlo[None, None], prhi[None, None])
 
         def local_step(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
                        ghi1, *rest):
@@ -415,23 +514,36 @@ class ShardedPallasFE3D:
             return (f0, f1, phi, phi[0][None], phi[-1][None],
                     glo0[None], glo1[None], ghi0[None], ghi1[None])
 
-        FSPEC = P(None, 'z', None, None)
-        RSPEC = P('z', None, None)
-        GSPEC = P('z', None, None, None)
-        carry_specs = (FSPEC, FSPEC, RSPEC, RSPEC, RSPEC,
-                       GSPEC, GSPEC, GSPEC, GSPEC)
+        if self.two_axis:
+            FSPEC = P(None, 'z', 'y', None)
+            RSPEC = P('z', 'y', None)
+            P4 = P('z', 'y', None, None)
+            P5 = P('z', 'y', None, None, None)
+            carry_specs = (FSPEC, FSPEC, RSPEC,
+                           P4, P4,              # pelo, pehi
+                           P5, P5, P5, P5,      # glo0/1, ghi0/1
+                           P5, P5, P5, P5,      # gylo0/1, gyhi0/1
+                           P5, P5)              # prlo, prhi
+            step_fn, init_fn = local_step_zy, local_init_zy
+        else:
+            FSPEC = P(None, 'z', None, None)
+            RSPEC = P('z', None, None)
+            GSPEC = P('z', None, None, None)
+            carry_specs = (FSPEC, FSPEC, RSPEC, RSPEC, RSPEC,
+                           GSPEC, GSPEC, GSPEC, GSPEC)
+            step_fn, init_fn = local_step, local_init
         in_specs = carry_specs
         if self.has_mask:
-            in_specs = in_specs + (P('z', None, None),)
+            in_specs = in_specs + (self._mask_spec,)
         if self.wetting:
             in_specs = in_specs + (P('z', None, None),
                                    P('z', None, None),
                                    P('z', None, None))
         self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=in_specs,
+            step_fn, mesh=mesh, in_specs=in_specs,
             out_specs=carry_specs, check_vma=False)
         self._sharded_init = shard_map(
-            local_init, mesh=mesh, in_specs=(FSPEC, FSPEC),
+            init_fn, mesh=mesh, in_specs=(FSPEC, FSPEC),
             out_specs=carry_specs, check_vma=False)
 
     @property

@@ -268,19 +268,22 @@ class SubdomainRunner:
                 reasons.append(f'dim={self.sim.dim}')
             if self.mesh is not None:
                 axes = list(self.mesh.axis_names)
-                # Shan-Chen mixtures also shard on ('z','y'); FE's
-                # 2-plane phi stencil keeps it 1-axis for now
-                sc_multi = isinstance(b, ShanChenMultiStepBuilder)
+                # SC mixtures and non-wetting FE also shard on
+                # ('z','y'); FE wetting widens the phi stencil's
+                # y-reach to 2 rows and stays 1-axis
+                zy_ok = (isinstance(b, ShanChenMultiStepBuilder)
+                         or not getattr(b, '_has_dry_nodes', False))
                 mesh_ok = (
                     (self.sim.dim == 3
                      and (axes == ['z']
-                          or (sc_multi and axes == ['z', 'y'])))
+                          or (zy_ok and axes == ['z', 'y'])))
                     or (self.sim.dim == 2 and axes == ['y']))
                 if not mesh_ok:
                     reasons.append(
                         "multi-component scenes shard fused on 3D z "
-                        "(SC mixtures: also ('z','y')) or 2D y meshes "
-                        f'only; got {axes}')
+                        "meshes, ('z','y') meshes (SC mixtures + "
+                        'non-wetting FE) or 2D y meshes only; got '
+                        f'{axes}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons

@@ -485,3 +485,39 @@ def test_sharded_sc_multi_3d_two_axis_zy():
     for j in range(2 * K, 10 * K):   # edges, faces, gy, rr
         assert np.array_equal(np.asarray(carry[j]),
                               np.asarray(ref[j])), j
+
+
+def test_sharded_fe_3d_two_axis_zy():
+    """Non-wetting binary FE on a ('z','y') 2-axis mesh: the phi
+    samples' wrapped y-rows read neighbor rows (py), every phi plane's
+    stale edge rows read the fresh pr arrays, corners ride the
+    two-hop extensions. Fields match single-device to the documented
+    1-ulp FMA epsilon; the carry is bitwise reproducible."""
+    import jax
+
+    from fe_separation_3d import SeparationFESim3D
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasFE3D
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationFESim3D, dims, '')
+    r, fs_n = _run_sharded(SeparationFESim3D, dims, '2x2')
+    assert isinstance(r._pallas, ShardedPallasFE3D)
+    assert r._pallas.two_axis and not r._pallas.wetting
+    for a, b in zip(fs_1, fs_n):
+        assert np.max(np.abs(a - b)) < 1e-6
+
+    p = r._pallas
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 3, lambda i, c: p.step(c, i), carry)
+    ref = p._sharded_init(*carry[:2])
+    phi = np.asarray(carry[2])
+    phi_ref = np.asarray(ref[2])
+    zl = phi.shape[0] // p.nshards
+    yl = phi.shape[1] // p.ny_shards
+    for s in range(p.nshards):
+        for t in range(p.ny_shards):
+            blk = phi[s * zl:(s + 1) * zl, t * yl:(t + 1) * yl]
+            rb = phi_ref[s * zl:(s + 1) * zl, t * yl:(t + 1) * yl]
+            assert np.array_equal(blk[1:-1, 1:-1], rb[1:-1, 1:-1])
+    for j in range(3, 15):   # edges, faces, gy, pr
+        assert np.array_equal(np.asarray(carry[j]),
+                              np.asarray(ref[j])), j
