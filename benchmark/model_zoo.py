@@ -88,6 +88,9 @@ CASES = {
     'bin_d3q19_sc_128_zymesh1': ('binary_fluid.sc_separation_3d', 3,
                                  dict(lat_nx=128, lat_ny=128,
                                       lat_nz=128, mesh='1x1')),
+    'bin_d3q19_fe_128_zymesh1': ('binary_fluid.fe_separation_3d', 3,
+                                 dict(lat_nx=128, lat_ny=128,
+                                      lat_nz=128, mesh='1x1')),
     # 1-axis vs 2-axis sharding-machinery overhead on the plain kernel
     'd3q19_bgk_ldc_128_zmesh1': ('ldc_3d', 3,
                                  dict(lat_nx=128, lat_ny=128,
