@@ -24,7 +24,12 @@ def main():
 
     n = 256
     warmup = 20
-    iters = 200
+    # 1000 iters = 1.68e10 node-updates ~= 4 s of kernel per repeat:
+    # the fixed ~60 ms dispatch/materialize cost of a measurement
+    # through the remote-device tunnel drops to ~1.5% of the sample
+    # (headline_protocol.md fit t0 ~= 60 ms; at the round-2 chunk of
+    # 3.4e9 it biased the headline ~7% low)
+    iters = 1000
 
     ctrl = LBSimulationController(LDCSim, default_config={
         'lat_nx': n, 'lat_ny': n, 'lat_nz': n,

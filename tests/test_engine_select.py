@@ -74,4 +74,6 @@ def test_auto_fallback_warns_sharded_multiphase_2axis(monkeypatch,
     with caplog.at_level(logging.WARNING):
         engine = r._select_engine(jnp.float32)
     assert engine == 'xla'
-    assert any('y-mesh' in rec.getMessage() for rec in caplog.records)
+    assert any('2D y meshes' in rec.getMessage()
+               for rec in caplog.records), \
+        [rec.getMessage() for rec in caplog.records]
