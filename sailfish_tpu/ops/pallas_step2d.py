@@ -34,9 +34,22 @@ from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
                    max_patches=0, sc=False, emit_rho=False,
-                   edge_io=False, mixed=None):
+                   edge_io=False, mixed=None, x_ghosts=False):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
+
+    ``x_ghosts`` (the x-sharded mode, 2D ('y','x') / ('x',) meshes):
+    the x-streaming lane roll wraps within the local shard; an extra
+    (Y, 128) fp32 input supplies, for each direction with c_x != 0
+    (lane j = direction ``xdirs[j]``), the correct post-roll wrap
+    column -- f_i of the x-neighbor at row y - c_y, with the wrapped
+    y entry resolved from the diagonal neighbor by the caller
+    (parallel.halo.ShardedPallasStep2D builds it with two ppermute
+    hops; the reference's corner/edge partial transfers,
+    subdomain_connection.py:238-449). The kernel overwrites the one
+    wrapped lane (0 for c_x = +1, X-1 for c_x = -1) after each roll.
+    Columns arrive pre-dequantized, so the mode composes with
+    ``mixed``; excludes ``sc`` and patches (those scenes fall back).
 
     ``patch_blocks``: y-block indices overlaid from the XLA prologue.
     The y-wrap blocks ALWAYS come from the two (Q, by, X) ghost inputs:
@@ -90,6 +103,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if emit_rho:
         assert sc and not patch_blocks and not dyn_patches
     assert not (edge_io and not emit_rho)
+    assert not (x_ghosts and (sc or patch_blocks or dyn_patches))
+    xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
 
     if NB < 4:
         raise NotImplementedError(
@@ -100,6 +115,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         f_hbm = refs[idx]; idx += 1
         glo_hbm = refs[idx]; idx += 1
         ghi_hbm = refs[idx]; idx += 1
+        xcol_hbm = None
+        if x_ghosts:
+            xcol_hbm = refs[idx]; idx += 1   # (Y, 128) fp32 columns
         rho_hbm = None
         rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
         if sc:
@@ -125,6 +143,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             rho_out_hbm = refs[idx]; idx += 1
         blk_buf = refs[idx]; idx += 1     # (4, Q, by, X) rotating cache
         out_buf = refs[idx]; idx += 1     # (2, Q, by, X)
+        xcol_buf = None
+        if x_ghosts:
+            xcol_buf = refs[idx]; idx += 1  # (2, by, 128)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
@@ -148,6 +169,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         redge_sems = None
         if edge_io:
             redge_sems = refs[idx]; idx += 1  # DMA (2,)
+        xcol_sems = None
+        if x_ghosts:
+            xcol_sems = refs[idx]; idx += 1   # DMA (2,)
 
         k = pl.program_id(0)
 
@@ -198,6 +222,16 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                                   out_hbm.at[:, pl.ds(0, by)],
                                   out_sems.at[oslot]).wait()
 
+        def start_xcol(b, slot):
+            pltpu.make_async_copy(
+                xcol_hbm.at[pl.ds(b * by, by)],
+                xcol_buf.at[slot], xcol_sems.at[slot]).start()
+
+        def wait_xcol(slot):
+            pltpu.make_async_copy(
+                xcol_hbm.at[pl.ds(0, by)],
+                xcol_buf.at[slot], xcol_sems.at[slot]).wait()
+
         # slot(b) = (b + 4) % 4 in program-relative block coordinates;
         # program k consumes blocks k-1, k, k+1 and prefetches k+2 into
         # slot (k+2) % 4 = (k-2) % 4, whose block was consumed at k-1.
@@ -215,6 +249,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                         rsrc=rglo_hbm if edge_io else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
+            if x_ghosts:
+                start_xcol(0, jnp.int32(0))
             if edge_io:
                 # fresh local edge rows, persistent for the whole grid
                 c0 = pltpu.make_async_copy(rlo_hbm, redge_buf.at[0],
@@ -239,6 +275,15 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         def _():
             start_block(k + 2, s_pref, src=ghi_hbm,
                         rsrc=rghi_hbm if edge_io else None)
+
+        if x_ghosts:
+            # ghost-column blocks ride a 2-slot pipeline of their own:
+            # program k prefetches block k+1 into the slot program k-1
+            # finished reading (the grid is sequential), and waits on
+            # its own slot before assembling planes
+            @pl.when(k + 1 < NB)
+            def _():
+                start_xcol(k + 1, jax.lax.rem(k + 1, 2))
 
         # block k+1 was started by program k-1 (or warmup)
         wait_block(s_next)
@@ -273,6 +318,12 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             wait_out(oslot)
 
         def normal_body():
+            xblk = lanes_ix = None
+            if x_ghosts:
+                wait_xcol(jax.lax.rem(k, 2))
+                xblk = xcol_buf[jax.lax.rem(k, 2)]   # (by, 128) fp32
+                lanes_ix = jax.lax.broadcasted_iota(
+                    jnp.int32, (by, X), 1)
             fs = []
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
@@ -281,6 +332,13 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     plane = mixed.dequant_i(i, plane)
                 if cx:
                     plane = pltpu.roll(plane, cx % X, axis=1)
+                    if x_ghosts:
+                        # the roll wrapped one lane within the shard;
+                        # overwrite it with the neighbor's column
+                        j = xdirs.index(i)
+                        col = xblk[:, j:j + 1]
+                        lane = 0 if cx == 1 else X - 1
+                        plane = jnp.where(lanes_ix == lane, col, plane)
                 fs.append(plane)
             mom_u = _moments(builder, fs)
             if sc:
@@ -513,6 +571,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     wait_out(jax.lax.rem(k + 1, 2))
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    if x_ghosts:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if sc:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
             5 if edge_io else 1)
@@ -520,6 +580,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         pltpu.VMEM((4, Q, by, X), sdtype),
         pltpu.VMEM((2, Q, by, X), sdtype),
     ]
+    if x_ghosts:
+        scratch.append(pltpu.VMEM((2, by, 128), dtype))
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
@@ -543,6 +605,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # remit
     if edge_io:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # redge
+    if x_ghosts:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))   # xcol
 
     out_shape = jax.ShapeDtypeStruct((Q, Y, X), sdtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)

@@ -498,31 +498,43 @@ class ShardedPallasStep3D:
 
 
 class ShardedPallasStep2D:
-    """y-sharded 2D fused stepping over a 1-axis mesh: each shard runs
-    the block-cached 2D kernel with its wrap blocks replaced by
-    ppermute'd neighbor boundary blocks; complex-BC y-blocks go through
-    the same dynamic patch mode as 3D."""
+    """Sharded 2D fused stepping over ('y',), ('x',) or ('y', 'x')
+    meshes: each shard runs the block-cached 2D kernel with its y-wrap
+    blocks replaced by ppermute'd neighbor boundary blocks and (when x
+    is sharded) its x-roll wrap lanes overwritten from ppermute'd
+    neighbor ghost columns; complex-BC y-blocks go through the same
+    dynamic patch mode as 3D (y-sharding only -- patch windows pull
+    across x-shard seams). The 2-axis corner values flow by a second
+    ppermute hop of the ghost columns' edge entries, the TPU analog of
+    the reference's corner/edge partial transfers
+    (subdomain_connection.py:238-449)."""
 
     def __init__(self, builder, domain_shape, mesh, interpret=False):
-        if list(mesh.axis_names) != ['y']:
+        axes = list(mesh.axis_names)
+        if axes not in (['y'], ['x'], ['y', 'x']):
             raise NotImplementedError(
-                'the sharded 2D fused kernel shards the y axis only; '
-                f'got mesh axes {mesh.axis_names}')
+                "the sharded 2D fused kernel shards ('y',), ('x',) or "
+                f"('y', 'x') meshes; got mesh axes {mesh.axis_names}")
         from sailfish_tpu.ops.pallas_step2d import (
             PallasStep2D, compute_patch_block_2d, make_kernel_2d,
             pick_block_size)
         self.builder = builder
         self.mixed = builder.mixed
         self.mesh = mesh
-        self.nshards = mesh.shape['y']
+        self.y_sharded = 'y' in axes
+        self.x_sharded = 'x' in axes
+        ny = mesh.shape['y'] if self.y_sharded else 1
+        nx = mesh.shape['x'] if self.x_sharded else 1
+        self.nshards = ny
         Y, X = domain_shape
-        assert Y % self.nshards == 0
-        Y_loc = Y // self.nshards
+        assert Y % ny == 0 and X % nx == 0
+        Y_loc = Y // ny
+        X_loc = X // nx
         self.shape = domain_shape
 
         # same block-size policy as the single-device path
-        check_plane_tiling(Y_loc, X, interpret, dim=2)
-        by = pick_block_size(builder.grid.Q, Y_loc, X)
+        check_plane_tiling(Y_loc, X_loc, interpret, dim=2)
+        by = pick_block_size(builder.grid.Q, Y_loc, X_loc)
         if self.mixed is not None and not interpret:
             # int16 tiles are (16, 128); see PallasStep2D
             if by % 16:
@@ -540,13 +552,21 @@ class ShardedPallasStep2D:
             raise NotImplementedError(
                 f'{len(patch_blocks)}/{Y // by} y-blocks need complex-BC '
                 'patches; use the XLA engine for this scene')
+        if patch_blocks and self.x_sharded:
+            raise NotImplementedError(
+                'complex-BC patch windows pull across x-shard seams; '
+                'x-sharded 2D fused stepping covers mask-class BCs '
+                '(bounce-back/keep) only')
         self.has_patches = bool(patch_blocks)
         self.has_mask = bool((mask_np != 0).any())
         self.mask_global = None
+        self._fspec = P(None, 'y' if self.y_sharded else None,
+                        'x' if self.x_sharded else None)
+        mspec = P('y' if self.y_sharded else None,
+                  'x' if self.x_sharded else None)
         if self.has_mask:
             self.mask_global = jax.device_put(
-                jnp.asarray(mask_np),
-                NamedSharding(mesh, P('y', None)))
+                jnp.asarray(mask_np), NamedSharding(mesh, mspec))
 
         self.P = 0
         self._patch_fn = compute_patch_block_2d
@@ -574,30 +594,82 @@ class ShardedPallasStep2D:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC blocks needs global psi '
                 'sampling in the patch windows; use the XLA engine')
+        if self.sc and self.x_sharded:
+            raise NotImplementedError(
+                'sharded 2D Shan-Chen stepping shards the y axis only '
+                '(the psi stencil would need x-neighbor density '
+                'columns)')
         if self.sc and NB_loc < 4:
             raise NotImplementedError(
                 'sharded 2D Shan-Chen stepping needs >= 4 y-blocks '
                 f'per shard (Y_loc={Y_loc}, by={by})')
         self.kernel = make_kernel_2d(
-            builder, Y_loc, X, by=by, has_mask=self.has_mask,
+            builder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
             interpret=interpret, sc=self.sc, emit_rho=self.sc,
             edge_io=self.sc,
             dyn_patches=self.has_patches, max_patches=self.P,
-            mixed=self.mixed)
+            mixed=self.mixed, x_ghosts=self.x_sharded)
         self.rho_kernel = None
         if self.sc:
             from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d
             self.rho_kernel = make_rho_kernel_2d(
-                builder, Y_loc, X, by=by, interpret=interpret)
+                builder, Y_loc, X_loc, by=by, interpret=interpret)
 
-        up = [(i, (i + 1) % self.nshards) for i in range(self.nshards)]
-        down = [(i, (i - 1) % self.nshards) for i in range(self.nshards)]
+        up = [(i, (i + 1) % ny) for i in range(ny)]
+        down = [(i, (i - 1) % ny) for i in range(ny)]
+        upx = [(i, (i + 1) % nx) for i in range(nx)]
+        downx = [(i, (i - 1) % nx) for i in range(nx)]
         g = builder.grid
+        basis = g.basis
+        xdirs = [i for i in range(g.Q) if int(basis[i][0]) != 0]
+        mx = self.mixed
+
+        def build_xcols(f_local):
+            """(Y_loc, 128) fp32, lane j = the post-roll wrap column
+            for direction xdirs[j]: f_i of the x-neighbor at row
+            y - c_y, the wrapped y entry resolved from the DIAGONAL
+            neighbor by a second ppermute hop (corner transfer). The
+            kernel overwrites the one lane its local roll wrapped."""
+            # from the x-1 neighbor: its last column (for c_x = +1
+            # pulls); from the x+1 neighbor: its first column
+            recv_last = jax.lax.ppermute(
+                f_local[:, :, X_loc - 1], 'x', upx)
+            recv_first = jax.lax.ppermute(f_local[:, :, 0], 'x', downx)
+            cols = []
+            for i in xdirs:
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                src = recv_last[i] if cx == 1 else recv_first[i]
+                if mx is not None:
+                    src = mx.dequant_i(i, src)
+                if cy:
+                    shifted = jnp.roll(src, cy)
+                    if self.y_sharded:
+                        if cy == 1:
+                            e = jax.lax.ppermute(
+                                src[Y_loc - 1:], 'y', up)
+                            shifted = jnp.concatenate(
+                                [e, shifted[1:]], axis=0)
+                        else:
+                            e = jax.lax.ppermute(src[:1], 'y', down)
+                            shifted = jnp.concatenate(
+                                [shifted[:-1], e], axis=0)
+                    src = shifted
+                cols.append(src)
+            xc = jnp.stack(cols, axis=1).astype(jnp.float32)
+            return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
 
         def local_step(f_local, *rest):
-            ghost_lo = jax.lax.ppermute(f_local[:, -by:], 'y', up)
-            ghost_hi = jax.lax.ppermute(f_local[:, :by], 'y', down)
+            if self.y_sharded:
+                ghost_lo = jax.lax.ppermute(f_local[:, -by:], 'y', up)
+                ghost_hi = jax.lax.ppermute(f_local[:, :by], 'y', down)
+            else:
+                # local periodic wrap; materialized copies (the kernel
+                # writes f in place)
+                ghost_lo = f_local[:, -by:]
+                ghost_hi = f_local[:, :by]
             args = [f_local, ghost_lo, ghost_hi]
+            if self.x_sharded:
+                args.append(build_xcols(f_local))
             r = 0
             if self.has_mask:
                 args.append(rest[r]); r += 1
@@ -638,7 +710,7 @@ class ShardedPallasStep2D:
             lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi)
             return (f, rho, lo[None], hi[None], glo[None], ghi[None])
 
-        in_specs = [P(None, 'y', None)]
+        in_specs = [self._fspec]
         if self.sc:
             SPECS = (P(None, 'y', None),      # f
                      P('y', None),            # rho
@@ -648,7 +720,7 @@ class ShardedPallasStep2D:
                      P('y', None, None, None))  # ghi
             in_specs = list(SPECS)
         if self.has_mask:
-            in_specs.append(P('y', None))
+            in_specs.append(mspec)
         if self.has_patches:
             in_specs.append(P('y', None))
             in_specs.append(P(None, 'y', None, None, None))
@@ -663,7 +735,7 @@ class ShardedPallasStep2D:
         else:
             self._sharded_step = shard_map(
                 local_step, mesh=mesh, in_specs=tuple(in_specs),
-                out_specs=P(None, 'y', None), check_vma=False)
+                out_specs=self._fspec, check_vma=False)
 
     def _compute_patches_padded(self, f, it=0):
         g = self.builder.grid

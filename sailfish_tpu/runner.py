@@ -315,10 +315,12 @@ class SubdomainRunner:
                 (self.sim.dim == 3
                  and list(self.mesh.axis_names) in (['z'], ['z', 'y']))
                 or (self.sim.dim == 2
-                    and list(self.mesh.axis_names) == ['y'])):
+                    and list(self.mesh.axis_names)
+                    in (['y'], ['x'], ['y', 'x']))):
             reasons.append(
-                "the fused kernel shards 3D z / ('z','y') and 2D y "
-                f'meshes only (got {list(self.mesh.axis_names)})')
+                "the fused kernel shards 3D z / ('z','y') and 2D "
+                "y / x / ('y','x') meshes only "
+                f'(got {list(self.mesh.axis_names)})')
         # the builder-shape checks only apply to plain StepBuilders
         # (a coupled/derived builder type is itself the blocker and
         # was reported above; don't poke at attributes it lacks)

@@ -69,6 +69,31 @@ def test_mixed_chunk_independence():
     assert np.array_equal(run(12), run(4))
 
 
+def test_mixed_sharded_two_axis_yx():
+    """('y','x')-sharded mixed stepping: ghost columns are dequantized
+    on the XLA side (dequant is exact fp32 either way), so the
+    x-sharded kernel composes with int16 storage. A flipped rounding
+    tie at the shard seam would shift one code (~1e-5 in u); gate at a
+    few steps."""
+    from taylor_green_2d import TaylorGreenSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(mesh):
+        ctrl = LBSimulationController(TaylorGreenSim, default_config=dict(
+            lat_nx=256, lat_ny=128, max_iters=16, every=16, visc=0.01,
+            quiet=True, mesh=mesh, engine='pallas', precision='mixed'))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.asarray(r.f), np.array(r.sim.vx)
+
+    _, f_ref, vx_ref = run('')
+    engine, f, vx = run('2x2')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-4
+    assert np.max(np.abs(f - f_ref)) < 1e-5
+
+
 def test_mixed_xla_patch_rows_match():
     """A scene with a non-native outflow plane (NTCopy) exercises the
     XLA compute_patch_plane path under mixed storage, alongside a

@@ -190,6 +190,46 @@ def test_sharded_pallas2d_periodic_and_ldc():
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
 
 
+def test_sharded_pallas2d_two_axis_yx():
+    """('y','x')-sharded 2D fused kernel: the x-roll wrap lanes are
+    overwritten from ppermuted neighbor ghost columns, with the corner
+    values flowing by a second ppermute hop (the TPU analog of the
+    reference's corner/edge partial transfers,
+    subdomain_connection.py:238-449). Periodic scene + a mask-BC
+    bounce-back channel vs the XLA engine, on 2x2 and x-heavy 1x4
+    meshes."""
+    from poiseuille import PoiseuilleSim
+    from taylor_green_2d import TaylorGreenSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(sim_cls, mesh, engine, **cfg):
+        ctrl = LBSimulationController(sim_cls, default_config=dict(
+            quiet=True, mesh=mesh, engine=engine, **cfg))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    cfg = dict(lat_nx=256, lat_ny=128, max_iters=20, every=20,
+               visc=0.01)
+    _, vx_ref, rho_ref = run(TaylorGreenSim, '', 'xla', **cfg)
+    for mesh in ('2x2', '1x4'):
+        engine, vx, rho = run(TaylorGreenSim, mesh, 'pallas', **cfg)
+        assert engine == 'pallas'
+        assert np.max(np.abs(vx - vx_ref)) < 1e-6, mesh
+        assert np.max(np.abs(rho - rho_ref)) < 1e-5, mesh
+
+    # bounce-back walls at the y edges (mask class), periodic + body
+    # force along the sharded x axis
+    cfg = dict(lat_nx=256, lat_ny=128, max_iters=20, every=20,
+               visc=0.05, horizontal=True)
+    _, vx_ref, rho_ref = run(PoiseuilleSim, '', 'xla', **cfg)
+    engine, vx, rho = run(PoiseuilleSim, '2x2', 'pallas', **cfg)
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    assert np.max(np.abs(rho - rho_ref)) < 1e-5
+
+
 def test_pallas3d_shan_chen_matches_xla():
     """3D single-component Shan-Chen on the fused path vs XLA."""
     from sailfish_tpu.controller import LBSimulationController
