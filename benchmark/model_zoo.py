@@ -107,6 +107,13 @@ CASES = {
     'bin_d2q9_fe_1024_ymesh1': ('binary_fluid.fe_separation_2d', 2,
                                 dict(lat_nx=1024, lat_ny=1024,
                                      mesh='1')),
+    # 2D x-axis sharding (ghost-column lanes): periodic Taylor-Green
+    # (the complex-BC lid stays y-only) vs its single-device row
+    'd2q9_bgk_tg_2048': ('taylor_green_2d', 2,
+                         dict(lat_nx=2048, lat_ny=2048, visc=0.01)),
+    'd2q9_bgk_tg_2048_yxmesh1': ('taylor_green_2d', 2,
+                                 dict(lat_nx=2048, lat_ny=2048,
+                                      visc=0.01, mesh='1x1')),
     # --precision=mixed: int16 fixed-point storage, fp32 math
     # (ops/mixed.py) -- halves the HBM streaming bytes
     'd3q19_bgk_ldc_256_mixed16': ('ldc_3d', 3,
@@ -141,6 +148,7 @@ SIM_CLASSES = {
     'ternary_fluid.sc_drop_2d': 'TernaryDropSim',
     'binary_fluid.fe_separation_3d': 'SeparationFESim3D',
     'binary_fluid.sc_separation_3d': 'SeparationSCSim',
+    'taylor_green_2d': 'TaylorGreenSim',
 }
 
 

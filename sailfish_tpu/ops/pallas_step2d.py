@@ -318,12 +318,14 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             wait_out(oslot)
 
         def normal_body():
-            xblk = lanes_ix = None
+            xblk = mask_l0 = mask_lT = None
             if x_ghosts:
                 wait_xcol(jax.lax.rem(k, 2))
                 xblk = xcol_buf[jax.lax.rem(k, 2)]   # (by, 128) fp32
                 lanes_ix = jax.lax.broadcasted_iota(
                     jnp.int32, (by, X), 1)
+                mask_l0 = lanes_ix == 0
+                mask_lT = lanes_ix == X - 1
             fs = []
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
@@ -337,8 +339,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                         # overwrite it with the neighbor's column
                         j = xdirs.index(i)
                         col = xblk[:, j:j + 1]
-                        lane = 0 if cx == 1 else X - 1
-                        plane = jnp.where(lanes_ix == lane, col, plane)
+                        mask = mask_l0 if cx == 1 else mask_lT
+                        plane = jnp.where(mask, col, plane)
                 fs.append(plane)
             mom_u = _moments(builder, fs)
             if sc:
