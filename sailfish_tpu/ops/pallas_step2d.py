@@ -318,14 +318,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             wait_out(oslot)
 
         def normal_body():
-            xblk = mask_l0 = mask_lT = None
+            xblk = None
             if x_ghosts:
                 wait_xcol(jax.lax.rem(k, 2))
                 xblk = xcol_buf[jax.lax.rem(k, 2)]   # (by, 128) fp32
-                lanes_ix = jax.lax.broadcasted_iota(
-                    jnp.int32, (by, X), 1)
-                mask_l0 = lanes_ix == 0
-                mask_lT = lanes_ix == X - 1
             fs = []
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])
@@ -333,14 +329,19 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 if mixed is not None:
                     plane = mixed.dequant_i(i, plane)
                 if cx:
-                    plane = pltpu.roll(plane, cx % X, axis=1)
                     if x_ghosts:
-                        # the roll wrapped one lane within the shard;
-                        # overwrite it with the neighbor's column
-                        j = xdirs.index(i)
-                        col = xblk[:, j:j + 1]
-                        mask = mask_l0 if cx == 1 else mask_lT
-                        plane = jnp.where(mask, col, plane)
+                        # static lane concat with the neighbor column
+                        # standing in for the wrapped lane (replaces
+                        # roll + select; same shift cost, no masking)
+                        col = xblk[:, xdirs.index(i):xdirs.index(i) + 1]
+                        if cx == 1:
+                            plane = jnp.concatenate(
+                                [col, plane[:, :X - 1]], axis=1)
+                        else:
+                            plane = jnp.concatenate(
+                                [plane[:, 1:], col], axis=1)
+                    else:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
                 fs.append(plane)
             mom_u = _moments(builder, fs)
             if sc:
