@@ -73,6 +73,7 @@ def main():
     import ldc_2d_entropic
     import sc_phase_separation
     import sc_separation_2d
+    import taylor_green_2d
 
     ok = True
     ok &= compare(
@@ -89,6 +90,13 @@ def main():
         'ldc_2d 1024^2 bgk', ldc_2d.LDCSim, ('rho', 'vx', 'vy'),
         lat_nx=1024, lat_ny=1024,
         max_iters=args.iters2d, every=args.iters2d)
+    # ('y','x')-meshed fused path on real hardware: ghost-column lanes
+    # + two-hop corner exchange on a one-chip mesh (N-device equality
+    # is gated on the virtual CPU mesh, tests/test_sharded_pallas.py)
+    ok &= compare(
+        'tg_2d 2048^2 yx-mesh 1x1', taylor_green_2d.TaylorGreenSim,
+        ('rho', 'vx', 'vy'), lat_nx=2048, lat_ny=2048, visc=0.01,
+        max_iters=args.iters2d, every=args.iters2d, mesh='1x1')
     # entropic collision: fused product-form feq + series/Newton alpha
     # (the alpha convergence gate amplifies ulp differences; loose tol)
     ok &= compare(
