@@ -4,9 +4,8 @@
 A low-viscosity phase (phi = -1, tau_b) pushes into a high-viscosity
 phase (phi = +1, tau_a) between two plates; the perturbed interface is
 unstable and grows fingers. Counterpart of the reference's
-examples/binary_fluid/fe_viscous_fingering.py (which additionally used
-an MRT collision for the fluid grid; the phi-interpolated BGK here
-captures the same instability).
+examples/binary_fluid/fe_viscous_fingering.py, including its MRT
+collision on the fluid grid ('model': 'mrt', reference :42).
 """
 
 import numpy as np
@@ -46,6 +45,7 @@ class FingeringFESim(LBBinaryFluidFreeEnergy, LBForcedSim):
             'kappa': 9.18e-5,
             'Gamma': 25.0,
             'A': 1.41e-4,
+            'model': 'mrt',
             'periodic_x': True,
             'periodic_y': True,
             'periodic_z': True,

@@ -94,6 +94,10 @@ class LBBinaryFluidFreeEnergy(LBBinaryFluidBase):
                            help='relaxation time of the A component')
         group.add_argument('--tau_b', type=float, default=1.0,
                            help='relaxation time of the B component')
+        group.add_argument('--model', type=str, choices=['bgk', 'mrt'],
+                           default='bgk',
+                           help='LB collision model for the fluid grid '
+                           '(reference lb_binary.py:175)')
 
     @classmethod
     def fields(cls):
@@ -113,6 +117,7 @@ class LBBinaryFluidFreeEnergy(LBBinaryFluidBase):
             wall_grad_phase=cfg.bc_wall_grad_phase,
             body_force=body_force,
             eq_force_map=getattr(self, '_eq_force_map', None),
+            model=getattr(cfg, 'model', 'bgk'),
             dtype=dtype)
 
 

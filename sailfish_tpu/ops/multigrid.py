@@ -248,9 +248,17 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
 
     def __init__(self, grid, maps, *, tau_a, tau_b, tau_phi, A, kappa,
                  Gamma, wall_grad_phase=0.0, body_force=None,
-                 eq_force_map=None, dtype=None):
+                 eq_force_map=None, model='bgk', dtype=None):
         super().__init__(grid, maps, [(tau_a + tau_b) / 2.0, tau_phi],
                          body_force=body_force, dtype=dtype)
+        #: fluid-grid collision: 'bgk' or 'mrt' (reference --model,
+        #: lb_binary.py:175; MRT relaxation relaxation.mako:15-54)
+        if model not in ('bgk', 'mrt'):
+            raise ValueError(f'free-energy model must be bgk or mrt, '
+                             f'got {model!r}')
+        self.fe_model = model
+        if model == 'mrt':
+            self._prepare_fe_mrt()
         #: target_grid -> force source grid (None = bare fluid velocity);
         #: reference use_force_for_equilibrium (lb_base.py:341-367)
         self.eq_force_map = dict(eq_force_map or {})
@@ -269,6 +277,35 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
                                     if nt.get_node_type(t).wet_node])
         self._dry_orient = jnp.asarray(m.orientation * dry.astype(np.int32))
         self._has_dry_nodes = bool(dry.any())
+
+    def _prepare_fe_mrt(self):
+        """FE-MRT projection matrices (reference sym.free_energy_mrt_matrix,
+        sym.py:450-466): per-moment rates are 0 for the conserved moments,
+        1/tau0 (the LOCAL phi-interpolated tau) for the shear-stress
+        moments, and exactly 1 for every remaining kinetic moment. Since
+        tau0 varies per node, split M^-1 diag(s) M into two constant Q x Q
+        projections applied at trace time:
+          relax = P_rest @ fneq + (1/tau0) * P_shear @ fneq."""
+        g = self.grid
+        e_shear = np.zeros(g.Q)
+        e_shear[g.mrt_shear] = 1.0
+        e_rest = np.ones(g.Q)
+        e_rest[g.mrt_shear] = 0.0
+        e_rest[g.mrt_conserved] = 0.0
+        self._fe_p_shear = g.mrt_inv @ np.diag(e_shear) @ g.mrt_matrix
+        self._fe_p_rest = g.mrt_inv @ np.diag(e_rest) @ g.mrt_matrix
+
+    def _fe_mrt_project(self, arr, inv_tau0):
+        """M^-1 diag(s) M @ arr with the per-node shear rate 1/tau0."""
+        dtype = arr.dtype
+        flat = arr.reshape(self.grid.Q, -1)
+        prec = (jax.lax.Precision.HIGHEST
+                if dtype == jnp.float32 else None)
+        rest = jnp.einsum('qp,pn->qn', jnp.asarray(self._fe_p_rest, dtype),
+                          flat, precision=prec).reshape(arr.shape)
+        shear = jnp.einsum('qp,pn->qn', jnp.asarray(self._fe_p_shear, dtype),
+                           flat, precision=prec).reshape(arr.shape)
+        return rest + inv_tau0[None] * shear
 
     def common_velocity(self, fss, rhos):
         u = eq.momentum(self.grid, fss[0]) / rhos[0][None]
@@ -369,14 +406,33 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
         # phi-interpolated relaxation time (relaxation_common.mako:156-164)
         tau0 = self.tau_b + (jnp.clip(phi, -1.0, 1.0) + 1.0) * \
             (self.tau_a - self.tau_b) * 0.5
-        fpost0 = fss[0] + (feq - fss[0]) / tau0[None]
+        inv_tau0 = 1.0 / tau0
+        if self.fe_model == 'mrt':
+            # FE-MRT (reference relaxation.mako:15-54): non-conserved
+            # non-shear moments of the fluid grid relax fully (rate 1);
+            # shear moments at the LOCAL 1/tau0; order parameter stays
+            # BGK at tau_phi (the reference's grid_idx==1 branch).
+            fpost0 = fss[0] - self._fe_mrt_project(fss[0] - feq, inv_tau0)
+        else:
+            fpost0 = fss[0] + (feq - fss[0]) * inv_tau0[None]
         if self.body_force is not None:
             bf = np.asarray(self.body_force, dtype=np.float64).reshape(-1)
             fvec = jnp.asarray(bf, u.dtype).reshape(
                 (g.dim,) + (1,) * rho.ndim)
-            # the discrete-force correction must use the LOCAL
-            # phi-interpolated tau, matching the collision above
-            fpost0 = fpost0 + co.guo_force_terms(
-                g, u, fvec, 1.0 / tau0, rho)
+            if self.fe_model == 'mrt':
+                # moment-space Guo forcing: (I - S/2) F_i with the same
+                # per-moment rates as the collision (the MRT
+                # generalization of the (1 - 1/(2 tau)) prefactor; the
+                # reference instead adds the prefactor-free Kusumaatmaja
+                # term, sym_force.py:162-182 -- identical to O(F) with
+                # 2nd-order discrete accuracy here)
+                Fi = co.guo_force_terms(g, u, fvec, 0.0, rho)
+                fpost0 = fpost0 + Fi - 0.5 * self._fe_mrt_project(
+                    Fi, inv_tau0)
+            else:
+                # the discrete-force correction must use the LOCAL
+                # phi-interpolated tau, matching the collision above
+                fpost0 = fpost0 + co.guo_force_terms(
+                    g, u, fvec, inv_tau0, rho)
         fpost1 = fss[1] + (geq - fss[1]) / self.tau_phi
         return [fpost0, fpost1]

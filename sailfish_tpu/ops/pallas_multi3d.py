@@ -1543,6 +1543,10 @@ class PallasStepFE3D:
     def __init__(self, mbuilder, domain_shape, interpret=False):
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
+        if getattr(mbuilder, 'fe_model', 'bgk') != 'bgk':
+            raise NotImplementedError(
+                'the fused FE kernel implements the BGK collision only; '
+                '--model=mrt scenes use the XLA engine')
         b0 = mbuilder.b0
         mask_np, patch_rows = classify_nodes(b0.maps)
         if patch_rows:

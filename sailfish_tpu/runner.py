@@ -266,6 +266,10 @@ class SubdomainRunner:
             reasons = []
             if self.sim.dim not in (2, 3):
                 reasons.append(f'dim={self.sim.dim}')
+            if getattr(b, 'fe_model', 'bgk') != 'bgk':
+                reasons.append(
+                    'the free-energy MRT collision (--model=mrt) runs '
+                    'on the XLA engine only')
             if self.mesh is not None:
                 axes = list(self.mesh.axis_names)
                 # SC mixtures and non-wetting FE also shard on

@@ -77,3 +77,26 @@ def test_auto_fallback_warns_sharded_multiphase_2axis(monkeypatch,
     assert any('2D y meshes' in rec.getMessage()
                for rec in caplog.records), \
         [rec.getMessage() for rec in caplog.records]
+
+
+def test_fe_mrt_names_reason(monkeypatch, caplog):
+    """--model=mrt on the FE binary model is XLA-engine-only and says
+    so (both in auto-fallback and when pallas is requested)."""
+    import jax
+    import jax.numpy as jnp
+    from fe_separation_2d import SeparationFESim
+    np.random.seed(3)
+    ctrl = LBSimulationController(SeparationFESim, default_config=dict(
+        quiet=True, lat_nx=128, lat_ny=128, max_iters=0, every=0,
+        model='mrt'))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    with caplog.at_level(logging.WARNING):
+        engine = r._select_engine(jnp.float32)
+    assert engine == 'xla'
+    assert any('MRT' in rec.getMessage() for rec in caplog.records), \
+        [rec.getMessage() for rec in caplog.records]
+    r.config.engine = 'pallas'
+    with pytest.raises(ValueError, match='MRT'):
+        r._select_engine(jnp.float32)
