@@ -207,6 +207,17 @@ class ForceObject:
 class LBForcedSim(LBSim):
     """Adds constant body forces (reference lb_base.py:305-394)."""
 
+    @classmethod
+    def add_options(cls, group, dim):
+        group.add_argument('--force_implementation', type=str,
+                           choices=['guo', 'edm', 'velocity_shift'],
+                           default='guo',
+                           help='how body forces enter the collision '
+                           '(reference lb_base.py:325-328): guo '
+                           '(2nd-order, default), edm (exact difference '
+                           'method), velocity_shift (Shan-Chen-style '
+                           'tau-scaled equilibrium shift)')
+
     def __init__(self, config):
         super().__init__(config)
         self._forces = {}

@@ -118,6 +118,7 @@ class LBBinaryFluidFreeEnergy(LBBinaryFluidBase):
             body_force=body_force,
             eq_force_map=getattr(self, '_eq_force_map', None),
             model=getattr(cfg, 'model', 'bgk'),
+            force_model=getattr(cfg, 'force_implementation', 'guo'),
             dtype=dtype)
 
 
@@ -145,4 +146,5 @@ class LBBinaryFluidShanChen(LBBinaryFluidBase, LBForcedSim):
             self.grid, maps, [tau, cfg.tau_phi], couplings,
             potential=cfg.sc_potential,
             body_forces=[self.body_force(0), self.body_force(1)],
+            force_model=getattr(cfg, 'force_implementation', 'guo'),
             dtype=dtype)

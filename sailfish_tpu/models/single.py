@@ -105,10 +105,12 @@ class LBFluidSim(LBSim):
         from sailfish_tpu.ops.step import StepBuilder
         cfg = self.config
         body_force = None
+        force_model = 'guo'
         if isinstance(self, LBForcedSim):
             bf = self.body_force(0)
             if bf is not None:
                 body_force = bf
+            force_model = getattr(cfg, 'force_implementation', 'guo')
         smag = 0.0
         if cfg.subgrid == 'les-smagorinsky':
             smag = cfg.smagorinsky_const
@@ -124,6 +126,7 @@ class LBFluidSim(LBSim):
             regularized=cfg.regularized,
             smagorinsky=smag,
             body_force=body_force,
+            force_model=force_model,
             dtype=dtype,
             **kwargs)
 

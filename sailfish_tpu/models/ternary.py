@@ -104,4 +104,5 @@ class LBTernaryFluidShanChen(LBTernaryFluidBase, LBForcedSim):
             self.grid, maps, [tau, cfg.tau_phi, cfg.tau_theta], couplings,
             potential=cfg.sc_potential,
             body_forces=[self.body_force(k) for k in range(3)],
+            force_model=getattr(cfg, 'force_implementation', 'guo'),
             dtype=dtype)

@@ -73,7 +73,12 @@ class MultigridStepBuilder:
     subclasses via ``collide_all``."""
 
     def __init__(self, grid, maps, taus, *, body_force=None,
-                 body_forces=None, dtype=None):
+                 body_forces=None, force_model='guo', dtype=None):
+        if force_model != 'guo':
+            raise NotImplementedError(
+                'multi-component models implement Guo body forcing only '
+                f'(got --force_implementation={force_model}); edm and '
+                'velocity_shift cover single-fluid models')
         import sailfish_tpu.node_type as nt
         for bad in (nt.NTGuoDensity, nt.NTWallTMS):
             if bad.id in maps.present_types:
@@ -150,11 +155,13 @@ class ShanChenMultiStepBuilder(MultigridStepBuilder):
     with pseudopotential cross-forces F_k."""
 
     def __init__(self, grid, maps, taus, couplings, *, potential='linear',
-                 body_force=None, body_forces=None, dtype=None):
+                 body_force=None, body_forces=None, force_model='guo',
+                 dtype=None):
         """couplings: dict {(j, k): G_jk} (symmetric; includes (k, k) for
         self-interaction, cf. reference force_couplings)."""
         super().__init__(grid, maps, taus, body_force=body_force,
-                         body_forces=body_forces, dtype=dtype)
+                         body_forces=body_forces, force_model=force_model,
+                         dtype=dtype)
         self.couplings = dict(couplings)
         self.potential = potential
 
@@ -248,9 +255,11 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
 
     def __init__(self, grid, maps, *, tau_a, tau_b, tau_phi, A, kappa,
                  Gamma, wall_grad_phase=0.0, body_force=None,
-                 eq_force_map=None, model='bgk', dtype=None):
+                 eq_force_map=None, model='bgk', force_model='guo',
+                 dtype=None):
         super().__init__(grid, maps, [(tau_a + tau_b) / 2.0, tau_phi],
-                         body_force=body_force, dtype=dtype)
+                         body_force=body_force, force_model=force_model,
+                         dtype=dtype)
         #: fluid-grid collision: 'bgk' or 'mrt' (reference --model,
         #: lb_binary.py:175; MRT relaxation relaxation.mako:15-54)
         if model not in ('bgk', 'mrt'):

@@ -101,6 +101,10 @@ class StepBuilder:
         self.regularized = regularized
         self.smagorinsky = smagorinsky
         self.body_force = body_force      # None | (dim,) numpy | field
+        if force_model not in ('guo', 'edm', 'velocity_shift'):
+            raise ValueError(
+                f'force_model must be guo, edm or velocity_shift; '
+                f'got {force_model!r}')
         self.force_model = force_model
         self.dtype = dtype
         # 16-bit fixed-point distribution storage (--precision=mixed;
@@ -650,10 +654,17 @@ class StepBuilder:
             F = co.shan_chen_force(g, rho, rho, self.sc_coupling,
                                    self.sc_potential)
             u_eq = u_eq + self.tau * F / rho[None]
-        if self.force_dev is not None and self.force_model == 'guo':
-            # Velocity shift: u* = u + a/2 enters the equilibrium (body
-            # forces are ACCELERATIONS; reference sym_force.py:121-161).
-            u_eq = u_eq + 0.5 * self.force_dev
+        if self.force_dev is not None:
+            # Equilibrium-velocity handling per --force_implementation
+            # (reference relaxation_common.mako:109-133 fluid_velocity):
+            # guo shifts by a/2 (forces are ACCELERATIONS,
+            # sym_force.py:121-161), velocity_shift by tau*a (Shan-Chen
+            # style; the whole force enters through the shift), edm
+            # leaves the bare velocity.
+            if self.force_model == 'guo':
+                u_eq = u_eq + 0.5 * self.force_dev
+            elif self.force_model == 'velocity_shift':
+                u_eq = u_eq + self.tau * self.force_dev
         if self.model in ('mrt', 'trt'):
             fpost = co.mrt_collide(g, fs, rho, u_eq, self.mrt_rates,
                                    incompressible=self.incompressible)
@@ -672,10 +683,14 @@ class StepBuilder:
             if self.force_model == 'guo':
                 fpost = fpost + co.guo_force_terms(
                     g, u_eq, self.force_dev, self.tau_inv, rho)
-            else:
+            elif self.force_model == 'edm':
                 fpost = fpost + co.edm_shift(
                     g, rho, u, self.force_dev,
                     incompressible=self.incompressible)
+            # velocity_shift: no post-relaxation term -- the force acts
+            # entirely through the tau-scaled equilibrium shift above
+            # (reference relaxation_common.mako:93-121 applies no
+            # apply_body_force increment for velocity_shift)
         return fpost
 
     def _post_collision(self, fs, fpost):

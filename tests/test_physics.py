@@ -226,3 +226,81 @@ def test_porous_anisotropy_direction():
     kz = k_along('z')
     kx = k_along('x')
     assert kz > 1.15 * kx, (kz, kx)
+
+
+@pytest.mark.parametrize('fimpl', ['guo', 'edm', 'velocity_shift'])
+def test_poiseuille_force_implementations(fimpl):
+    """All three --force_implementation schemes (reference
+    lb_base.py:325-328) produce the analytic parabola at low forcing."""
+    from poiseuille import PoiseuilleSim, PoiseuilleSubdomain
+    from sailfish_tpu.geo import LBGeometry2D
+    N = 32
+    ctrl = _run_controller(
+        PoiseuilleSim, LBGeometry2D,
+        lat_nx=N, lat_ny=N, visc=0.1, max_iters=3000, every=3000,
+        quiet=True, wall='halfbb', stationary=True,
+        force_implementation=fimpl)
+    sim = ctrl._runner.sim
+    ref = PoiseuilleSubdomain.velocity_profile(ctrl.config, np.arange(N))
+    prof = sim.vy[N // 2, :]
+    m = ref > 0
+    err = np.max(np.abs(prof[m] - ref[m])) / ref.max()
+    assert err < 5e-3, (fimpl, err)
+
+
+def test_force_implementations_differ_exactly_at_second_order():
+    """The three --force_implementation schemes (reference
+    sym_force.py:150/:184, relaxation_common.mako:93-121) agree at O(F)
+    and differ by an EXACT closed-form O(F^2) population with zero
+    mass/momentum moments.  Because feq is quadratic in u, one collision
+    step obeys (derivable by expanding feq(u+d)-feq(u)):
+
+        fpost_edm    - fpost_guo = P / (4 tau)
+        fpost_vshift - fpost_guo = (tau - 1 + 1/(4 tau)) P
+
+    with P_i = w_i rho [4.5 (c_i.a)^2 - 1.5 a^2].  P has zero 0th/1st
+    moments (sum_i w_i c_ia c_ib = delta/3), so for a UNIFORM force all
+    three schemes are hydrodynamically identical -- the analytic
+    steady-state gate is test_poiseuille_force_implementations; this
+    test pins the operator-level O(F^2) relation quantitatively."""
+    import jax.numpy as jnp
+
+    from sailfish_tpu import equilibrium as eq
+    from sailfish_tpu import lattice
+    from sailfish_tpu.ops.step import StepBuilder
+    from sailfish_tpu.subdomain import NodeMaps
+
+    grid = lattice.get_grid('D2Q9')
+    maps = NodeMaps((16, 16), 2)
+    a = np.array([0.03, 0.02])
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(1.0 + 0.05 * rng.standard_normal((16, 16)),
+                      jnp.float32)
+    u = jnp.asarray(0.05 * rng.standard_normal((2, 16, 16)), jnp.float32)
+    fs = eq.bgk_equilibrium(grid, rho, u)
+
+    fpost = {}
+    tau = None
+    for fm in ('guo', 'edm', 'velocity_shift'):
+        b = StepBuilder(grid, maps, visc=0.1, body_force=a, force_model=fm)
+        tau = b.tau
+        fpost[fm] = np.asarray(b._collide(fs, rho, u))
+
+    ca = np.asarray(eq.dot_cu(grid, jnp.asarray(
+        a.reshape(2, 1, 1), jnp.float32)))           # (Q, 1, 1)
+    w = np.asarray(grid.weights).reshape(-1, 1, 1)
+    P = w * np.asarray(rho)[None] * (4.5 * ca ** 2 - 1.5 * np.sum(a ** 2))
+
+    d_edm = fpost['edm'] - fpost['guo']
+    d_vs = fpost['velocity_shift'] - fpost['guo']
+    scale = np.max(np.abs(P))
+    assert scale > 1e-5                       # O(F^2) signal above fp32 eps
+    assert np.max(np.abs(d_edm - P / (4 * tau))) < 2e-3 * scale
+    assert np.max(np.abs(d_vs - (tau - 1 + 1 / (4 * tau)) * P)) \
+        < 2e-3 * scale
+    # zero mass/momentum moments: the schemes share the O(F) hydrodynamics
+    basis = np.asarray(grid.basis, dtype=np.float64)  # (Q, dim)
+    for d in (d_edm, d_vs):
+        assert np.max(np.abs(np.sum(d, axis=0))) < 1e-6
+        mom = np.einsum('qa,qxy->axy', basis, d.astype(np.float64))
+        assert np.max(np.abs(mom)) < 1e-6
