@@ -8,9 +8,14 @@ PY ?= python
 
 presubmit: test examples regtest
 
-# tier 1+2+3: unit + BC physics + sharded equivalence (CPU, virtual
-# 8-device mesh; the pallas kernels run in interpret mode)
+# tier 1+2+3 FAST: unit + BC physics + one sharded smoke per engine
+# (CPU, virtual 8-device mesh; < 5 min -- run this on every change)
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+# the full interpret-mode sharded/fused matrix (~40 min on CPU);
+# identical coverage to plain `pytest tests/ -q`
+test_slow:
 	$(PY) -m pytest tests/ -q
 
 # tier 4a: fixed-seed golden reproduction over every example scene
@@ -36,4 +41,4 @@ regtest_engine:
 bench:
 	$(PY) bench.py
 
-.PHONY: presubmit test examples regtest regtest_engine bench
+.PHONY: presubmit test test_slow examples regtest regtest_engine bench

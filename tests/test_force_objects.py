@@ -2,11 +2,14 @@
 lb_base.ForceObject / kernel_force_objects.mako and tracers.mako)."""
 import sys
 
+import pytest
+
 import numpy as np
 
 sys.path.insert(0, 'examples')
 
 
+@pytest.mark.slow
 def test_sphere_drag_and_tracers():
     from sphere_3d import SphereSimulation
     from sailfish_tpu.controller import LBSimulationController

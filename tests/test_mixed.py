@@ -9,6 +9,7 @@ transport physics survives 16-bit storage.
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, 'examples')
 
@@ -31,6 +32,7 @@ def test_quant_roundtrip_identity():
                 (name, i)
 
 
+@pytest.mark.slow
 def test_mixed_pallas_matches_xla_bitwise():
     """LDC 3D (walls in-kernel mask + native-BC lid rows): the fused
     kernel's in-register quantization must equal the XLA engine's
@@ -53,6 +55,7 @@ def test_mixed_pallas_matches_xla_bitwise():
     assert np.array_equal(vx_x, vx_p)
 
 
+@pytest.mark.slow
 def test_mixed_chunk_independence():
     """12 iterations in one chunk == 3 chunks of 4: pad/crop round-trips
     through the public fp32 layout must not add rounding."""
@@ -94,6 +97,7 @@ def test_mixed_sharded_two_axis_yx():
     assert np.max(np.abs(f - f_ref)) < 1e-5
 
 
+@pytest.mark.slow
 def test_mixed_xla_patch_rows_match():
     """A scene with a non-native outflow plane (NTCopy) exercises the
     XLA compute_patch_plane path under mixed storage, alongside a
@@ -187,6 +191,7 @@ def test_mixed_rejects_unsupported():
                     sc_coupling=-5.0, storage='int16')
 
 
+@pytest.mark.slow
 def test_mixed_sharded_matches_single_device():
     """z-sharded fused stepping under mixed storage: the int16 ghost
     faces ppermuted over the ring must reproduce the single-device
@@ -206,6 +211,7 @@ def test_mixed_sharded_matches_single_device():
     assert np.array_equal(run(''), run('4'))
 
 
+@pytest.mark.slow
 def test_mixed_2d_matches_xla_bitwise():
     """2D fused kernel under mixed storage (LDC 2D: wall mask +
     native-BC lid blocks) matches the XLA engine bitwise, and chunking
@@ -228,6 +234,7 @@ def test_mixed_2d_matches_xla_bitwise():
     assert np.array_equal(f_p, run('pallas', 4))
 
 
+@pytest.mark.slow
 def test_mixed_2d_sharded_matches_single_device():
     """y-sharded 2D fused stepping under mixed storage: bitwise vs the
     single-device kernel."""

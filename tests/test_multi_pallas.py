@@ -1,6 +1,8 @@
 """Fused K-component Shan-Chen kernel vs the XLA multigrid engine."""
 import sys
 
+import pytest
+
 import numpy as np
 
 sys.path.insert(0, 'examples')
@@ -19,6 +21,7 @@ def _run(cls, engine, dims, seed=42):
     return r.engine, np.array(r.sim.rho), np.array(r.sim.phi)
 
 
+@pytest.mark.slow
 def test_binary_sc_fused_matches_xla():
     """Cross-coupled binary separation (linear potential)."""
     from sc_separation_2d import SeparationSCSim
@@ -30,6 +33,7 @@ def test_binary_sc_fused_matches_xla():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_sc_fused_walls_and_gravity():
     """Rayleigh-Taylor: walls (in-kernel mask) + per-component body
     force through the fused multi kernel."""
@@ -42,6 +46,7 @@ def test_binary_sc_fused_walls_and_gravity():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_ternary_sc_fused_matches_xla():
     """Three components, classic potential, self-couplings."""
     import importlib.util
@@ -57,6 +62,7 @@ def test_ternary_sc_fused_matches_xla():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_fe_fused_matches_xla():
     """Free-energy separation (periodic) on the fused FE kernel."""
     from fe_separation_2d import SeparationFESim
@@ -68,6 +74,7 @@ def test_binary_fe_fused_matches_xla():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_fe_fused_walls_wetting_force():
     """Two-layer FE Poiseuille: walls + wetting mirror + body force +
     phi-interpolated tau through the fused kernel."""
@@ -80,6 +87,7 @@ def test_binary_fe_fused_walls_wetting_force():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_fe_fused_eq_force_map():
     """use_force_for_equilibrium overrides flow through the fused FE
     kernel (per-target equilibrium velocities)."""
@@ -132,6 +140,7 @@ def _run3(cls, engine, dims, seed=42):
     return r.engine, np.array(r.sim.rho), np.array(r.sim.phi)
 
 
+@pytest.mark.slow
 def test_binary_sc3d_fused_matches_xla():
     """3D binary SC demixing, fully periodic."""
     from sc_separation_3d import SeparationSCSim
@@ -143,6 +152,7 @@ def test_binary_sc3d_fused_matches_xla():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_sc3d_emitted_rho_bitwise():
     """The in-kernel rho emission must be bit-identical to the
     pre-pass kernel recomputed from the carried state (the invariant
@@ -166,6 +176,7 @@ def test_binary_sc3d_emitted_rho_bitwise():
         assert np.array_equal(np.asarray(rhos[c]), np.asarray(ref[c]))
 
 
+@pytest.mark.slow
 def test_binary_sc3d_fused_walls():
     """3D binary SC with bounce-back walls (in-kernel mask)."""
     from sc_separation_3d_walls import WalledSeparationSim
@@ -177,6 +188,7 @@ def test_binary_sc3d_fused_walls():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_fe3d_fused_matches_xla():
     """3D free-energy separation, fully periodic."""
     from fe_separation_3d import SeparationFESim3D
@@ -188,6 +200,7 @@ def test_binary_fe3d_fused_matches_xla():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
 def test_binary_fe3d_emitted_phi_bitwise():
     """In-kernel phi emission vs the pre-pass kernel, bit-exact."""
     import jax
@@ -208,6 +221,7 @@ def test_binary_fe3d_emitted_phi_bitwise():
     assert np.array_equal(np.asarray(phi), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_binary_fe3d_fused_walls_wetting_force():
     """3D FE viscous fingering: walls + wetting mirror + body force +
     eq_force_map through the fused kernel."""
@@ -238,6 +252,7 @@ def _run_sharded(cls, dims, mesh, seed=42):
     return r, tuple(np.asarray(f) for f in state)
 
 
+@pytest.mark.slow
 def test_sharded_sc_multi_3d_bitwise():
     """Binary SC mixture on a 4-way z-mesh == single device, bitwise."""
     from sc_separation_3d import SeparationSCSim
@@ -250,6 +265,7 @@ def test_sharded_sc_multi_3d_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_sc_multi_3d_walls_bitwise():
     """Walls (in-kernel mask) + per-component gravity, sharded."""
     from sc_separation_3d_walls import WalledSeparationSim
@@ -260,6 +276,7 @@ def test_sharded_sc_multi_3d_walls_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_fe_3d_bitwise():
     """Binary free energy on a 4-way z-mesh == single device, bitwise
     (the reach-2 phi stencil exchanges two planes per side)."""
@@ -273,6 +290,7 @@ def test_sharded_fe_3d_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_fe_3d_wetting_force_bitwise():
     """FE with walls + wetting mirror + body force, sharded; the
     static orientation neighbor faces cross shard boundaries."""
@@ -284,6 +302,7 @@ def test_sharded_fe_3d_wetting_force_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_sc_multi_2d_bitwise():
     """Binary SC mixture on a 2-way y-mesh == single device, bitwise
     (2D block kernel: ghost rho blocks + edge-row patches)."""
@@ -297,6 +316,7 @@ def test_sharded_sc_multi_2d_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_sc_multi_2d_walls_gravity_bitwise():
     """Rayleigh-Taylor (walls + per-component gravity) sharded 2D."""
     from sc_rayleigh_taylor_2d import RayleighTaylorSCSim
@@ -307,6 +327,7 @@ def test_sharded_sc_multi_2d_walls_gravity_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_fe_2d_bitwise():
     """Binary free energy on a 2-way y-mesh == single device, bitwise
     (phi wrap blocks carry the neighbors' fresh edge rows)."""
@@ -320,6 +341,7 @@ def test_sharded_fe_2d_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_fe_2d_wetting_force_bitwise():
     """FE Poiseuille: walls + wetting mirror (reach-2 phi stencil
     across shard boundaries) + body force + phi-interpolated tau."""
@@ -331,6 +353,7 @@ def test_sharded_fe_2d_wetting_force_bitwise():
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_sc_single_2d_bitwise():
     """Single-component Shan-Chen on a 2-way y-mesh == single device
     (2D block kernel, edge_io carry). Tight epsilon: XLA CPU
@@ -386,6 +409,7 @@ def test_sharded_sc_single_2d_bitwise():
         assert np.array_equal(rhi[s], ref_hi[s])
 
 
+@pytest.mark.slow
 def test_sharded_sc_single_3d_bitwise():
     """Single-component Shan-Chen sharded (edge_io slab kernel) ==
     single device (wrap-epilogue emission), bitwise."""
@@ -445,6 +469,7 @@ def test_sharded_sc_single_3d_bitwise():
         assert np.array_equal(rhi[s], refblk[-1])
 
 
+@pytest.mark.slow
 def test_sharded_sc_multi_3d_two_axis_zy():
     """Binary SC mixture on a ('z','y') 2-axis mesh: K-component port
     of the single-fluid zy machinery (per-component gy/ry/rr carries,
@@ -487,6 +512,7 @@ def test_sharded_sc_multi_3d_two_axis_zy():
                               np.asarray(ref[j])), j
 
 
+@pytest.mark.slow
 def test_sharded_fe_3d_two_axis_zy():
     """Non-wetting binary FE on a ('z','y') 2-axis mesh: the phi
     samples' wrapped y-rows read neighbor rows (py), every phi plane's

@@ -10,6 +10,7 @@ sys.path.insert(0, 'examples')
 sys.path.insert(0, 'examples/binary_fluid')
 
 
+@pytest.mark.slow
 def test_laplace_law_sc_drop():
     """Delta p * R should be radius-independent (= sigma in 2D)."""
     from sc_laplace_2d import measure_surface_tension

@@ -87,6 +87,7 @@ def test_pallas2d_space_dependent_dynamic_matches_xla():
     assert vx_b[-1, N // 2] > vx_b[-1, 3] > 0
 
 
+@pytest.mark.slow
 def test_pallas2d_mrt_matches_xla():
     """Parity-split MRT in the fused kernel vs the dense moment-space
     XLA reference."""
@@ -115,6 +116,7 @@ def test_pallas2d_shan_chen_matches_xla():
 
 @pytest.mark.parametrize('bc_pair', ['equilibrium', 'zouhe',
                                      'regularized'])
+@pytest.mark.slow
 def test_pallas2d_native_bc_blocks_match_xla(bc_pair):
     """2D native in-kernel BC blocks (velocity inlet y=0, density
     outlet y=Y-1) vs the XLA engine."""
@@ -165,6 +167,7 @@ def test_pallas2d_native_bc_blocks_match_xla(bc_pair):
     assert np.max(np.abs(vy_a - vy_b)) < 2e-6
 
 
+@pytest.mark.slow
 def test_pallas2d_elbm_matches_xla():
     """Entropic collision (product feq + series/Newton alpha) through
     the fused kernel, incl. the lid patch block (ELBM keeps the exact

@@ -64,6 +64,7 @@ def test_sharded_equivalence(mesh):
         assert np.array_equal(a, b), f'{name} differs for mesh {mesh}'
 
 
+@pytest.mark.slow
 def test_sharded_equivalence_3d():
     from ldc_3d import LDCSim
 
@@ -130,6 +131,7 @@ def test_periodic_shear_decay():
     assert abs(nu - visc) / visc < 0.02, nu
 
 
+@pytest.mark.slow
 def test_viscosity_all_3d_grids():
     """Shear-wave decay through the full step for every 3D lattice:
     measured viscosity from the Fourier-mode amplitude within 1%
@@ -181,6 +183,7 @@ def test_viscosity_all_3d_grids():
         assert abs(nu - visc) / visc < tol, (name, nu)
 
 
+@pytest.mark.slow
 def test_porous_channel_permeability():
     """The porous-media showcase's Darcy measurement against the exact
     parallel-plate permeability k = H^3 / (12 L_y) with the full-way
@@ -205,6 +208,7 @@ def test_porous_channel_permeability():
     assert abs(k - k_exact) / k_exact < 0.02, (k, k_exact)
 
 
+@pytest.mark.slow
 def test_porous_anisotropy_direction():
     """Grains elongated along z must conduct better along z than x
     (k_z > k_x), the headline result of the showcase study."""

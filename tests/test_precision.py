@@ -1,6 +1,8 @@
 """--precision=double end-to-end (reference codegen.py:19-29 text
 transform; here just jax_enable_x64 + dtype plumbing, XLA engine)."""
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -24,6 +26,7 @@ def _run_ldc(tmp_path, precision):
     return dict(np.load(base + '.0.0000050.npz'))
 
 
+@pytest.mark.slow
 def test_double_precision_runs_and_matches_single(tmp_path):
     dbl = _run_ldc(tmp_path, 'double')
     sgl = _run_ldc(tmp_path, 'single')

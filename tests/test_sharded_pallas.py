@@ -4,6 +4,7 @@ regtest/subdomains suite for the fast path."""
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, 'examples')
 
@@ -31,6 +32,7 @@ def test_sharded_pallas_matches_xla():
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas_complex_bc_ldc():
     """The headline scene itself (LDC: lid plane = complex-BC patch) runs
     z-sharded on the fused kernel via dynamic patch planes and matches the
@@ -54,6 +56,7 @@ def test_sharded_pallas_complex_bc_ldc():
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas_patch_on_shard_boundary():
     """Complex-BC planes falling on the first/last local row of a shard
     exercise the patch/ghost interaction: duct flow with velocity inlet
@@ -76,6 +79,7 @@ def test_sharded_pallas_patch_on_shard_boundary():
     assert np.max(np.abs(vx2 - vx_ref)) < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas_two_axis_zy():
     """('z','y')-sharded fused kernel (ghost-row overwrite + two-hop
     corner exchange) vs the XLA engine and vs the single-device fused
@@ -116,6 +120,7 @@ def test_sharded_pallas_two_axis_zy():
     assert np.max(np.abs(rho - rho_1)) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_pallas_trt_ldc():
     """TRT collision through the sharded fused path."""
     from ldc_3d import LDCSim
@@ -136,6 +141,7 @@ def test_sharded_pallas_trt_ldc():
     assert np.max(np.abs(vx - vx_ref)) < 2e-6
 
 
+@pytest.mark.slow
 def test_pallas3d_les_forced_matches_xla():
     """LES-Smagorinsky (local tau field) + body force in the fused
     kernel vs the XLA engine."""
@@ -159,6 +165,7 @@ def test_pallas3d_les_forced_matches_xla():
     assert np.max(np.abs(vx - vx_ref)) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_pallas2d_periodic_and_ldc():
     """y-sharded 2D fused kernel: periodic scene (ghost blocks) and the
     lid cavity (dynamic patch blocks) vs the XLA engine."""
@@ -190,6 +197,7 @@ def test_sharded_pallas2d_periodic_and_ldc():
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas2d_two_axis_yx():
     """('y','x')-sharded 2D fused kernel: the x-roll wrap lanes are
     overwritten from ppermuted neighbor ghost columns, with the corner
@@ -230,6 +238,7 @@ def test_sharded_pallas2d_two_axis_yx():
     assert np.max(np.abs(rho - rho_ref)) < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas3d_shan_chen_matches_xla():
     """3D single-component Shan-Chen on the fused path vs XLA."""
     from sailfish_tpu.controller import LBSimulationController
@@ -268,6 +277,7 @@ def test_pallas3d_shan_chen_matches_xla():
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
 
 
+@pytest.mark.slow
 def test_pallas3d_sc_emit_rho_bitwise():
     """The emit-rho Shan-Chen kernel (in-kernel post-stream density
     emission, (f, rho) carry) is bit-identical to the rho pre-pass
@@ -401,6 +411,7 @@ import pytest
     ('equilibrium', 'bgk'), ('zouhe', 'bgk'),
     ('regularized', 'bgk'), ('regularized', 'mrt'),
 ])
+@pytest.mark.slow
 def test_pallas3d_native_bc_rows_match_xla(bc_pair, model):
     """The in-kernel native-BC path (mask codes >= 3: macro solve +
     reconstruction + collide inside the fused kernel, replacing the
@@ -490,6 +501,7 @@ def test_pallas3d_padding_rejects_shan_chen():
         PallasStep3D(b, (8, 12, 128), interpret=False)
 
 
+@pytest.mark.slow
 def test_pallas3d_elbm_matches_xla():
     """Entropic collision (product feq + alpha dispatch) in the fused
     3D kernel vs the XLA engine, incl. the LDC lid patch plane."""
@@ -514,6 +526,7 @@ def test_pallas3d_elbm_matches_xla():
     assert np.max(np.abs(vx - vx_ref)) < 2e-5
 
 
+@pytest.mark.slow
 def test_sharded_sc_two_axis_zy():
     """Single-component Shan-Chen on a ('z','y') 2-axis mesh: the
     in-kernel psi sampling reads neighbor rho rows (y_fix), the rho
