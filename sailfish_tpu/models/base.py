@@ -224,14 +224,47 @@ class LBForcedSim(LBSim):
         self._eq_force_map = {}
 
     def add_body_force(self, force, grid=0, accel=True):
-        """Accumulate a constant body force (acceleration if accel=True;
-        with accel=False the value is a force density, identical for the
-        rho~1 scenes that use it) on distribution grid ``grid``."""
-        f = np.asarray(force, dtype=np.float64)
-        if grid in self._forces:
-            self._forces[grid] = self._forces[grid] + f
-        else:
-            self._forces[grid] = f
+        """Accumulate a body force (acceleration if accel=True; with
+        accel=False the value is a force density, identical for the rho~1
+        scenes that use it) on distribution grid ``grid``.
+
+        ``force`` may be a constant (dim,) vector or a DynamicValue of
+        per-component time/space callables (reference lb_base.py:346-352
+        accepts sympy expressions of S.time / S.gx); dynamic forces are
+        evaluated on device each step by the engine (StepBuilder.force_at).
+        Mixed constant+dynamic accumulation composes into a DynamicValue.
+        """
+        from sailfish_tpu import node_type as nt
+        prev = self._forces.get(grid)
+        dyn_new = isinstance(force, nt.DynamicValue) or \
+            any(callable(c) for c in tuple(force))
+        if not dyn_new and not isinstance(prev, nt.DynamicValue):
+            f = np.asarray(force, dtype=np.float64)
+            self._forces[grid] = f if prev is None else prev + f
+            return
+
+        def expr_sum(a, b):
+            if not callable(a) and not callable(b):
+                return float(a) + float(b)
+            arity = max(nt.DynamicValue.arity(a),
+                        nt.DynamicValue.arity(b), 1)
+
+            def combined(t, *coords):
+                return (nt.DynamicValue.evaluate(a, t, coords)
+                        + nt.DynamicValue.evaluate(b, t, coords))
+            combined._dyn_arity = arity
+            return combined
+
+        exprs = tuple(force)
+        if prev is not None:
+            prev_exprs = tuple(prev)
+            if len(prev_exprs) != len(exprs):
+                raise ValueError(
+                    f'body force on grid {grid} has {len(prev_exprs)} '
+                    f'components; cannot accumulate {len(exprs)}')
+            exprs = tuple(expr_sum(a, b)
+                          for a, b in zip(prev_exprs, exprs))
+        self._forces[grid] = nt.DynamicValue(*exprs)
 
     def use_force_for_equilibrium(self, force_grid, target_grid):
         """Select which grid's body force shifts the velocity used in

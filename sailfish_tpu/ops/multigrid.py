@@ -91,6 +91,13 @@ class MultigridStepBuilder:
         self.dtype = dtype
         if body_forces is None:
             body_forces = [body_force] + [None] * (len(self.taus) - 1)
+        for bf in body_forces:
+            if bf is not None and (isinstance(bf, nt.DynamicValue)
+                                   or any(callable(c) for c in tuple(bf))):
+                raise NotImplementedError(
+                    'DynamicValue body forces cover single-fluid models '
+                    'only (StepBuilder.force_at); multi-component models '
+                    'take constant per-component forces')
         self.body_forces = body_forces
         self.body_force = body_forces[0]
         self.components = []

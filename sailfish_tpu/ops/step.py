@@ -213,9 +213,24 @@ class StepBuilder:
         # Window sub-builders preset _coords_np with GLOBAL coordinates
         # sliced to their box; rebuilding from the window shape would hand
         # user callbacks window-local indices.
+        # Body forces may be DynamicValues too (reference lb_base.py
+        # :346-352): keep the expressions and evaluate them on device at
+        # each step's iteration index instead of baking a constant.
+        self.force_expr = None
+        if self.body_force is not None and (
+                isinstance(self.body_force, nt.DynamicValue)
+                or any(callable(c) for c in self.body_force)):
+            exprs = tuple(self.body_force)
+            if len(exprs) != g.dim:
+                raise ValueError(
+                    f'body force needs {g.dim} components; got {len(exprs)}')
+            self.force_expr = exprs
+
         self._coords_cache = ()
+        force_exprs = self.force_expr or ()
         if any(nt.DynamicValue.arity(e) > 1
-               for _, _, exprs in m.dynamic for e in exprs):
+               for _, _, exprs in m.dynamic for e in exprs) or \
+                any(nt.DynamicValue.arity(e) > 1 for e in force_exprs):
             coords_np = getattr(self, '_coords_np', None)
             if coords_np is None:
                 coords_np = global_coord_arrays(m.type_map.shape)
@@ -232,12 +247,13 @@ class StepBuilder:
                 not getattr(self, '_is_window', False):
             self._build_extended_copy_gathers()
 
-        if self.body_force is not None:
+        if self.body_force is not None and self.force_expr is None:
             bf = np.asarray(self.body_force, dtype=np.float64)
             if bf.ndim == 1:
                 bf = bf.reshape((g.dim,) + (1,) * len(m.type_map.shape))
             self.force_dev = jnp.asarray(bf, dtype=self.dtype)
         else:
+            # dynamic forces are evaluated per step (force_at)
             self.force_dev = None
 
         if self.model in ('mrt', 'trt'):
@@ -636,10 +652,32 @@ class StepBuilder:
                 fs = jnp.where(mask[None], freg, fs)
         return fs
 
-    def _collide(self, fs, rho, u, u_eq=None):
+    def force_at(self, it):
+        """The device body-force field at iteration ``it``: the baked
+        constant, or DynamicValue expressions evaluated on device inside
+        the trace (reference lb_base.py:346-352 accepts time/space
+        dependent forces)."""
+        if self.force_expr is None:
+            return self.force_dev
+        t = jnp.asarray(it, dtype=self.dtype)
+        coords = self._coords_cache
+        shape = self.maps.type_map.shape
+        vals = [jnp.asarray(nt.DynamicValue.evaluate(e, t, coords),
+                            dtype=self.dtype) for e in self.force_expr]
+        if any(v.ndim for v in vals):
+            vals = [jnp.broadcast_to(v, shape) for v in vals]
+        else:
+            vals = [jnp.reshape(v, (1,) * len(shape)) for v in vals]
+        return jnp.stack(vals)
+
+    def _collide(self, fs, rho, u, u_eq=None, force=None):
         """``u_eq`` overrides the equilibrium velocity (used by multi-grid
-        couplings: common-velocity Shan-Chen, free-energy)."""
+        couplings: common-velocity Shan-Chen, free-energy); ``force``
+        overrides the body-force field (the step passes force_at(it) so
+        DynamicValue forces see the current iteration)."""
         g = self.grid
+        if force is None:
+            force = self.force_dev
         tau_inv = self.tau_inv
         if self.smagorinsky > 0.0:
             feq = self.feq(rho, u)
@@ -654,7 +692,7 @@ class StepBuilder:
             F = co.shan_chen_force(g, rho, rho, self.sc_coupling,
                                    self.sc_potential)
             u_eq = u_eq + self.tau * F / rho[None]
-        if self.force_dev is not None:
+        if force is not None:
             # Equilibrium-velocity handling per --force_implementation
             # (reference relaxation_common.mako:109-133 fluid_velocity):
             # guo shifts by a/2 (forces are ACCELERATIONS,
@@ -662,9 +700,9 @@ class StepBuilder:
             # style; the whole force enters through the shift), edm
             # leaves the bare velocity.
             if self.force_model == 'guo':
-                u_eq = u_eq + 0.5 * self.force_dev
+                u_eq = u_eq + 0.5 * force
             elif self.force_model == 'velocity_shift':
-                u_eq = u_eq + self.tau * self.force_dev
+                u_eq = u_eq + self.tau * force
         if self.model in ('mrt', 'trt'):
             fpost = co.mrt_collide(g, fs, rho, u_eq, self.mrt_rates,
                                    incompressible=self.incompressible)
@@ -679,13 +717,13 @@ class StepBuilder:
         else:
             feq2 = self.feq(rho, u_eq)
             fpost = fs + tau_inv * (feq2 - fs)
-        if self.force_dev is not None:
+        if force is not None:
             if self.force_model == 'guo':
                 fpost = fpost + co.guo_force_terms(
-                    g, u_eq, self.force_dev, self.tau_inv, rho)
+                    g, u_eq, force, self.tau_inv, rho)
             elif self.force_model == 'edm':
                 fpost = fpost + co.edm_shift(
-                    g, rho, u, self.force_dev,
+                    g, rho, u, force,
                     incompressible=self.incompressible)
             # velocity_shift: no post-relaxation term -- the force acts
             # entirely through the tau-scaled equilibrium shift above
@@ -759,7 +797,7 @@ class StepBuilder:
         params = self.bc_params(it)
         rho, u = self._solve_macro_bc(fs, rho, u, params)
         fs2 = self._pre_collision_bc(fs, rho, u)
-        fpost = self._collide(fs2, rho, u)
+        fpost = self._collide(fs2, rho, u, force=self.force_at(it))
         if self.has_dry:
             fpost = jnp.where(self.dev['wet'][None], fpost, fs2)
         fpost = self._post_collision(fs2, fpost)
@@ -780,8 +818,9 @@ class StepBuilder:
         fs = self.streamed(f)
         rho, u = eq.macroscopic(self.grid, fs)
         rho, u = self._solve_macro_bc(fs, rho, u, self.bc_params(it))
-        if self.force_dev is not None:
-            u = u + 0.5 * self.force_dev
+        force = self.force_at(it)
+        if force is not None:
+            u = u + 0.5 * force
         return rho, u
 
     def build(self):

@@ -354,9 +354,11 @@ class SubdomainRunner:
             if b.equilibrium != 'bgk':
                 reasons.append(f'equilibrium={b.equilibrium}')
             if not (b.body_force is None
-                    or (np.asarray(b.body_force).ndim == 1
+                    or (b.force_expr is None
+                        and np.asarray(b.body_force).ndim == 1
                         and b.force_model == 'guo')):
-                reasons.append('non-uniform or non-Guo body force')
+                reasons.append(
+                    'non-uniform, dynamic or non-Guo body force')
         eligible = not reasons
         if choice == 'xla':
             return 'xla'

@@ -308,3 +308,95 @@ def test_force_implementations_differ_exactly_at_second_order():
         assert np.max(np.abs(np.sum(d, axis=0))) < 1e-6
         mom = np.einsum('qa,qxy->axy', basis, d.astype(np.float64))
         assert np.max(np.abs(mom)) < 1e-6
+
+
+def test_dynamic_body_force_constant_matches_static():
+    """A DynamicValue body force that happens to be constant in time must
+    reproduce the baked-constant run (the per-step force_at evaluation vs
+    the force_dev constant; reference lb_base.py:346-352)."""
+    from poiseuille import PoiseuilleSim
+    from sailfish_tpu.geo import LBGeometry2D
+    from sailfish_tpu import node_type as snt
+
+    class DynForceSim(PoiseuilleSim):
+        def __init__(self, config):
+            # skip PoiseuilleSim.__init__'s constant add_body_force
+            super(PoiseuilleSim, self).__init__(config)
+            accel = self.subdomain.pressure_grad(config)
+            self.add_body_force(snt.DynamicValue(
+                0.0, lambda t, _a=accel: _a + 0.0 * t))
+
+    def run(cls):
+        ctrl = _run_controller(cls, LBGeometry2D, lat_nx=24, lat_ny=24,
+                               visc=0.1, max_iters=200, every=200,
+                               quiet=True, wall='halfbb')
+        sim = ctrl._runner.sim
+        return np.array(sim.vy), np.array(sim.rho)
+
+    vy_d, rho_d = run(DynForceSim)
+    vy_s, rho_s = run(PoiseuilleSim)
+    assert np.max(np.abs(vy_d - vy_s)) < 1e-7
+    assert np.max(np.abs(rho_d - rho_s)) < 1e-7
+
+
+def test_pulsatile_body_force_womersley():
+    """An oscillating DynamicValue body force drives a closed channel;
+    the velocity profile matches the analytic Womersley solution
+    u = Im[(a0/(i w))(1 - cosh(k y)/cosh(k h)) e^{iwt}], k = sqrt(iw/nu)
+    (reference lb_base.py:346-352 accepts time-dependent forces; the
+    BC-driven counterpart is the womersley example golden)."""
+    import jax.numpy as jnp
+
+    from sailfish_tpu import node_type as snt
+    from sailfish_tpu.geo import LBGeometry2D
+    from sailfish_tpu.models.base import LBForcedSim
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import NTHalfBBWall
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    NY = 18                        # halfbb walls: effective width 16
+    OMEGA = 2.0 * np.pi / 600.0    # Womersley alpha = h sqrt(w/nu) = 2.6
+    A0 = 1e-5
+    VISC = 0.1
+
+    class Channel(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            self.set_node((hy == 0) | (hy == self.gy - 1), NTHalfBBWall)
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+
+    class PulsatileForceSim(LBFluidSim, LBForcedSim):
+        subdomain = Channel
+
+        @classmethod
+        def modify_config(cls, config):
+            config.periodic_x = True
+
+        def __init__(self, config):
+            super().__init__(config)
+            self.add_body_force(snt.DynamicValue(
+                lambda t: A0 * jnp.sin(OMEGA * t), 0.0))
+
+    # 3 periods: the startup transient decays as exp(-nu (pi/W)^2 t)
+    # (slowest channel mode, W = NY) ~ 2e-3 by t = 1800
+    steps = 1800
+    ctrl = _run_controller(PulsatileForceSim, LBGeometry2D,
+                           lat_nx=8, lat_ny=NY, visc=VISC,
+                           max_iters=steps, every=steps, quiet=True)
+    sim = ctrl._runner.sim
+    prof = np.array(sim.vx[:, 4])
+
+    # NTHalfBBWall nodes are fluid; the no-slip plane sits half a cell
+    # beyond them (location=-0.5), so the hydrodynamic half-width is
+    # NY/2 (examples/poiseuille.py channel_width convention). A per-node
+    # amplitude/phase fit against this h matches to <1%.
+    y = np.arange(NY)
+    h = NY / 2.0
+    yc = y - (NY - 1) / 2.0
+    k = np.sqrt(1j * OMEGA / VISC)
+    uhat = (A0 / (1j * OMEGA)) * (1.0 - np.cosh(k * yc) / np.cosh(k * h))
+    ana = np.imag(uhat * np.exp(1j * OMEGA * steps))
+    amp = np.max(np.abs(uhat))
+    err = np.max(np.abs(prof - ana)) / amp
+    assert err < 0.03, err
