@@ -59,17 +59,21 @@ NATIVE_BC_TYPES = (nt.NTEquilibriumVelocity, nt.NTEquilibriumDensity,
                    nt.NTRegularizedVelocity, nt.NTRegularizedDensity)
 
 
-def classify_nodes(maps, native_bc=False):
+def classify_nodes(maps, native_bc=False, return_patch_mask=False):
     """Split nodes into kernel-native vs patch-requiring classes.
 
-    Returns (mask, patch_rows[, bc_instances]): mask is int32 (*S) with
+    Returns (mask, patch_rows[, bc_instances][, patch_mask]): mask is
+    int32 (*S) with
     0 = collide, 1 = dry reflect (NTFullBBWall), 2 = keep (excluded
     nodes), 3+j = native-BC instance j (``native_bc=True`` only);
     patch_rows is the sorted list of z-planes containing any node type
     the kernel does not handle natively; bc_instances is a list of
     (type_id, orientation_code) in mask-code order. A NATIVE_BC_TYPES
     node that shares a row with a patch-requiring node keeps mask 0 --
-    the patch overlay recomputes the whole row anyway."""
+    the patch overlay recomputes the whole row anyway. With
+    ``return_patch_mask=True`` the boolean per-node patch-requiring map
+    is appended (used to project onto y-rows for wall-normal-y scenes,
+    PallasStep3D patch_yrows)."""
     tm = maps.type_map
     mask = np.zeros(tm.shape, dtype=np.int32)
     patch_needed = np.zeros(tm.shape, dtype=bool)
@@ -107,7 +111,11 @@ def classify_nodes(maps, native_bc=False):
                 continue
             mask[sel] = 3 + len(bc_instances)
             bc_instances.append((tid, k, sel))
+        if return_patch_mask:
+            return mask, rows, bc_instances, patch_needed
         return mask, rows, bc_instances
+    if return_patch_mask:
+        return mask, rows, patch_needed
     return mask, rows
 
 
@@ -673,7 +681,7 @@ def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
                    sc=False, emit_rho=False, edge_io=False,
-                   y_ghosts=False, k=1, mixed=None):
+                   y_ghosts=False, k=1, mixed=None, patch_yrows=()):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -765,6 +773,21 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     The sharded caller computes all four in XLA from ppermuted faces
     with the emission's exact summation order (parallel.halo).
 
+    With ``patch_yrows`` (static y-row indices) the complex-BC rows run
+    NORMAL to z: scenes like the turbulence channel (walls normal to y)
+    put BC nodes on every z-plane, so plane patching would overlay the
+    whole domain. Instead the caller's XLA prologue recomputes those few
+    y-rows over ALL z (compute_patch_yrow) into a (Z, Q, R, X) array;
+    each program DMAs its slab's (k, Q, R, X) window alongside the
+    gathers and selects the rows into the post-collision slab right
+    before the store (the yg_fix_rows pattern -- the select folds into
+    the existing plane store, and the patched rows ride the normal
+    output write, so no separate overlay DMA or drain is needed).
+    Signature: fused(f, ghost_lo, ghost_hi[, mask], ypatch) -> out.
+    Mutually exclusive with patch_rows/dyn_patches/sc/y_ghosts; ELBM
+    excluded (the garbage pre-overlay rows would join the Newton
+    convergence vote).
+
     With ``mixed`` set (a MixedScales; --precision=mixed) the state,
     ghosts and patch planes are int16 fixed-point codes (ops/mixed.py):
     the DMA pipeline, rolls and ghost-row overwrites move raw codes
@@ -786,6 +809,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     basis = g.basis  # (Q, 3) as (cx, cy, cz)
     patch_rows = tuple(int(r) for r in patch_rows)
     assert not (patch_rows and dyn_patches)
+    patch_yrows = tuple(int(r) for r in patch_yrows)
+    if patch_yrows:
+        assert not (patch_rows or dyn_patches or sc or y_ghosts)
+        assert builder.model != 'elbm'
+    R_y = len(patch_yrows)
     assert Z % k == 0, (Z, k)
     B = Z // k
     if emit_rho:
@@ -857,6 +885,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if dyn_patches:
             pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
+        ypatch_hbm = None
+        if patch_yrows:
+            ypatch_hbm = refs[idx]; idx += 1   # (Z, Q, R_y, X)
         out_hbm = refs[idx]; idx += 1
         rho_out_hbm = None
         if emit_rho:
@@ -881,6 +912,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 ryhi_buf = refs[idx]; idx += 1
                 rrlo_buf = refs[idx]; idx += 1
                 rrhi_buf = refs[idx]; idx += 1
+        ypatch_buf = None
+        if patch_yrows:
+            ypatch_buf = refs[idx]; idx += 1  # (2, k, Q, R_y, X)
         ring0 = ring1 = stash0 = stash1 = remit_buf = redge_buf = None
         if emit_rho:
             ring0 = refs[idx]; idx += 1     # (2, n_p1, Y, X) pc base-2
@@ -983,6 +1017,12 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 pltpu.make_async_copy(
                     mask_hbm.at[pl.ds(slab_base, k)], mask_buf.at[s],
                     in_sems.at[s, Q]).start()
+            if patch_yrows:
+                # (k, Q, R_y, X) window of the prologue's y-rows; the
+                # Q+1 sem slot is free (sc excludes patch_yrows)
+                pltpu.make_async_copy(
+                    ypatch_hbm.at[pl.ds(slab_base, k)],
+                    ypatch_buf.at[s], in_sems.at[s, Q + 1]).start()
             if sc:
                 # rho rows slab_base-1 .. slab_base+k (periodic edges
                 # read the ghost inputs; under edge_io the STALE local
@@ -1162,6 +1202,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 pltpu.make_async_copy(mask_hbm.at[pl.ds(0, k)],
                                       mask_buf.at[s],
                                       in_sems.at[s, Q]).wait()
+            if patch_yrows:
+                pltpu.make_async_copy(ypatch_hbm.at[pl.ds(0, k)],
+                                      ypatch_buf.at[s],
+                                      in_sems.at[s, Q + 1]).wait()
             if sc:
                 if edge_io:
                     # edge slabs split the window copy (edge row from
@@ -1351,6 +1395,22 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             is_dry = m == 1
             is_keep = m == 2
 
+        yp_fix = None
+        if patch_yrows:
+            yp_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
+
+            def yp_fix(i, v):
+                """Overlay the prologue's exact complex-BC y-rows into
+                the post-collision slab before the store (the in-kernel
+                values there are wrapped-roll garbage, never written)."""
+                ch = ipos[i]
+                for jr, r in enumerate(patch_yrows):
+                    rows = ypatch_buf[slot, :, ch, jr]      # (k, X)
+                    if mixed is not None:
+                        rows = mixed.dequant_i(i, rows)
+                    v = jnp.where(yp_iota == r, rows[:, None], v)
+                return v
+
         if builder.model == 'elbm':
             # overlaid rows' collide results are discarded; keep their
             # (possibly 2-cycling) lanes out of the Newton loop's
@@ -1396,6 +1456,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 if o == i:
                     if has_mask:
                         vi = jnp.where(is_dry | is_keep, fi, vi)
+                    if yp_fix is not None:
+                        vi = yp_fix(i, vi)
                     if mixed is not None:
                         vi = mixed.quant_i(i, vi)
                     fs_buf[slot, ipos[i]] = vi
@@ -1406,6 +1468,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     vo = jnp.where(is_dry, fi,
                                    jnp.where(is_keep, fo, vo))
                     vi = vi2
+                if yp_fix is not None:
+                    vi = yp_fix(i, vi)
+                    vo = yp_fix(o, vo)
                 if mixed is not None:
                     vi = mixed.quant_i(i, vi)
                     vo = mixed.quant_i(o, vo)
@@ -1643,6 +1708,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if y_ghosts:
             for _ in range(4):
                 scratch.append(pltpu.VMEM((2, k + 2, 1, X), dtype))
+    if patch_yrows:
+        scratch.append(pltpu.VMEM((2, k, Q, R_y, X), sdtype))
     if emit_rho:
         scratch.append(pltpu.VMEM((2, n_p1, Y, X), dtype))      # ring0
         scratch.append(pltpu.VMEM((2, Q - s_0, Y, X), dtype))   # ring1
@@ -1656,6 +1723,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if patch_yrows:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 10)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
@@ -1674,6 +1743,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         vmem_need += 4 * (k + 2) * max(Q, 8) * X * sbytes
     if has_mask:
         vmem_need += 2 * k * Y * X * 4
+    if patch_yrows:
+        # R_y rows tile-round to 8 sublanes per (slab, q)
+        vmem_need += 2 * k * Q * max(R_y, 8) * X * sbytes
     if sc:
         vmem_need += 2 * (k + 2) * Y * X * 4
     if emit_rho:
@@ -1907,6 +1979,46 @@ def compute_patch_plane(g, sub, f, r, Z, Y, X, it=0, qinv=None,
     return fpost.reshape(g.Q, Y, X)
 
 
+def compute_patch_yrow(g, sub, f, r, Z, Y, X, it=0, qinv=None,
+                       pad_x=0, mixed=None):
+    """Row analog of compute_patch_plane: run the window sub-builder's
+    full phase sequence for global y-row ``r`` over ALL z-planes and
+    return the (Q, Z, X) post-collision slab (standard Q order).
+
+    Used when a scene's complex-BC nodes live on a few y-rows (walls
+    normal to y -- the turbulence channel layout): plane patching would
+    overlay every z-plane and push the scene off the fused path. Reads
+    go through a compact (Q, Z, 2*PATCH_HALO+1, X) slab of y-rows; z
+    and x shifts wrap periodically over the full window extents,
+    matching the XLA engine's jnp.roll gathers (the BC chain replaces
+    any cross-wall samples)."""
+    rows = [((r + o) % Y) for o in range(-PATCH_HALO, PATCH_HALO + 1)]
+    slab = jnp.concatenate([f[:, :, q:q + 1] for q in rows], axis=2)
+    if qinv is not None:
+        slab = slab[jnp.asarray(qinv)]
+    if pad_x:
+        slab = slab[..., :X]
+    if mixed is not None:
+        slab = mixed.dequant(slab)
+    box = (slice(0, Z), slice(PATCH_HALO, PATCH_HALO + 1), slice(0, X))
+
+    def axes_shift(vec):
+        return (int(vec[2]), int(vec[1]), int(vec[0]))
+
+    f_box = slab[(slice(None),) + box].reshape(g.Q, -1)
+    fs_box = jnp.stack([
+        window_shifted(slab[i], box, axes_shift(g.basis[i]))
+        .reshape(-1) for i in range(g.Q)])
+
+    def sampler(vec, _slab=slab, _box=box):
+        sh = axes_shift(-np.asarray(vec))
+        return jnp.stack([window_shifted(_slab[i], _box, sh)
+                          .reshape(-1) for i in range(g.Q)])
+
+    fpost = sub.phases(fs_box, f_box, it, sampler)
+    return fpost.reshape(g.Q, Z, X)
+
+
 def check_plane_tiling(Y, X, interpret=False, dim=3):
     """Mosaic DMAs slice whole (Y, X) planes out of (sublane, lane)-tiled
     (8, 128) buffers; partial-tile plane shapes are rejected by the
@@ -2048,6 +2160,8 @@ class PallasStep3D:
 
     # refuse the fused path when too much of the domain needs plane patches
     MAX_PATCH_FRACTION = 0.25
+    # y-row patch mode: cap the unrolled per-direction row selects
+    MAX_PATCH_YROWS = 8
 
     def __init__(self, builder, domain_shape, interpret=False,
                  require_no_patches=False, slab_k=None):
@@ -2067,11 +2181,12 @@ class PallasStep3D:
                      and not require_no_patches)
         self.bc_instances = ()
         if native_ok:
-            mask_np, patch_rows, bc_inst = classify_nodes(
-                builder.maps, native_bc=True)
+            mask_np, patch_rows, bc_inst, pmask_np = classify_nodes(
+                builder.maps, native_bc=True, return_patch_mask=True)
             self.bc_instances = tuple((tid, k) for tid, k, _ in bc_inst)
         else:
-            mask_np, patch_rows = classify_nodes(builder.maps)
+            mask_np, patch_rows, pmask_np = classify_nodes(
+                builder.maps, return_patch_mask=True)
         self.bc_rows = tuple(sorted(
             int(z) for z in np.unique(np.nonzero(mask_np >= 3)[0])))
         # Mosaic rejects partial-tile plane DMAs (Y%8 / X%128). Pad the
@@ -2142,15 +2257,48 @@ class PallasStep3D:
         # on the XLA engine, as before.
         self.xla_patch_rows = patch_rows
         self.patch_rows = sorted(set(patch_rows) | set(self.bc_rows))
+        self.patch_yrows = ()
         if len(self.patch_rows) > self.MAX_PATCH_FRACTION * Zs:
-            raise NotImplementedError(
-                f'{len(self.patch_rows)}/{Zs} z-planes need complex-BC '
-                'overlays; use the XLA engine for this scene')
-        if require_no_patches and self.patch_rows:
+            # BC faces normal to x or y put a node on every z-plane.
+            # If the complex-BC nodes project onto a FEW y-rows (walls
+            # normal to y: the turbulence-channel layout,
+            # examples/turbulence/channel_flow.py), patch those rows
+            # instead: an XLA prologue recomputes them over all z
+            # (compute_patch_yrow) and the kernel selects them into
+            # each output slab (make_kernel_3d patch_yrows).
+            yrows = sorted(int(y) for y in np.unique(
+                np.nonzero(pmask_np)[1]))
+            blockers = []
+            if builder.model == 'elbm':
+                blockers.append('ELBM (overlaid rows would join the '
+                                'Newton convergence vote)')
+            if builder.sc_coupling != 0.0:
+                blockers.append('Shan-Chen (global psi sampling)')
+            if self.bc_rows:
+                blockers.append('native-BC z-rows present')
+            if self.pad_y or self.pad_x:
+                blockers.append('tile padding (pad garbage would feed '
+                                'the row prologue)')
+            if len(yrows) > min(self.MAX_PATCH_YROWS,
+                                self.MAX_PATCH_FRACTION * Ys):
+                blockers.append(
+                    f'{len(yrows)} distinct complex-BC y-rows (max '
+                    f'{self.MAX_PATCH_YROWS})')
+            if blockers:
+                raise NotImplementedError(
+                    f'{len(self.patch_rows)}/{Zs} z-planes need '
+                    'complex-BC overlays and the y-row patch mode does '
+                    f'not apply ({"; ".join(blockers)}); use the XLA '
+                    'engine for this scene')
+            self.patch_yrows = tuple(yrows)
+            self.patch_rows = []
+            self.xla_patch_rows = []
+        if require_no_patches and (self.patch_rows or self.patch_yrows):
             raise NotImplementedError(
                 'the sharded fused kernel currently requires all boundary '
                 'handling to be in-kernel (walls/obstacles only); planes '
-                f'{self.patch_rows} need complex-BC patches')
+                f'{self.patch_rows or list(self.patch_yrows)} need '
+                'complex-BC patches')
         self.has_mask = bool((mask_np != 0).any())
         self.mask = jnp.asarray(mask_np) if self.has_mask else None
         self.sc = builder.sc_coupling != 0.0
@@ -2176,7 +2324,8 @@ class PallasStep3D:
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc,
                                      emit_rho=self.emit_rho,
-                                     k=slab_k, mixed=self.mixed)
+                                     k=slab_k, mixed=self.mixed,
+                                     patch_yrows=self.patch_yrows)
         # Pallas patch prologue for the native-BC rows: parameter
         # planes ([rho_bc, vel_*], padded with safe values -- pad nodes
         # are masked out), the rows' mask planes, the tiny per-row
@@ -2227,6 +2376,29 @@ class PallasStep3D:
                    slice(0, self.shape[2]))
             self.patch_subs.append(
                 (box, self.builder.for_window(box, flatten=True)))
+        # y-row mode: one all-z window per complex-BC y-row
+        self.ypatch_subs = []
+        for r in self.patch_yrows:
+            box = (slice(0, self.shape[0]), slice(r, r + 1),
+                   slice(0, self.shape[2]))
+            self.ypatch_subs.append(
+                self.builder.for_window(box, flatten=True))
+
+    def _compute_ypatches(self, f, it=0):
+        """Complex-BC y-rows as a (Z, Q, R, X) array in kernel layout
+        (z leading for per-slab window DMAs), ordered like
+        self.patch_yrows, recomputed exactly by the XLA window
+        machinery (compute_patch_yrow)."""
+        Z, Y, X = self.shape
+        planes = [compute_patch_yrow(
+            self.builder.grid, sub, f, r, Z, Y, X, it,
+            qinv=self._qinv_np, pad_x=self.pad_x, mixed=self.mixed)
+            for sub, r in zip(self.ypatch_subs, self.patch_yrows)]
+        p = jnp.stack(planes, axis=2)           # (Q, Z, R, X)
+        if self.mixed is not None:
+            p = self.mixed.quant(p)
+        p = p[self._qperm]
+        return jnp.moveaxis(p, 0, 1)            # (Z, Q, R, X)
 
     def _compute_patches(self, f, it=0):
         """Patch planes (Q, P, Y, X) in kernel layout, ordered like
@@ -2280,6 +2452,8 @@ class PallasStep3D:
             args.append(self.mask)
         if self.patch_rows:
             args.append(self._compute_patches(f, it))
+        if self.patch_yrows:
+            args.append(self._compute_ypatches(f, it))
         out = self.kernel(*args)
         if self.emit_rho:
             return tuple(out)

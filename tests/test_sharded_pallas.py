@@ -581,3 +581,88 @@ def test_sharded_sc_two_axis_zy():
     rr_ref = tuple(np.asarray(x) for x in ref[8:10])
     for a, b in zip(rr, rr_ref):
         assert np.array_equal(a, b)       # fresh edge rows + corners
+
+
+def _yrow_channel_classes(wall_cls):
+    """A y-normal-wall channel (the turbulence-channel layout,
+    examples/turbulence/channel_flow.py): complex-BC nodes on every
+    z-plane but only two y-rows -- the patch_yrows kernel mode."""
+    import numpy as np_
+    from sailfish_tpu.models.base import LBForcedSim
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Chan(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            self.set_node((hy == 0) | (hy == self.gy - 1), wall_cls)
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+            sim.vx[:] = 0.02 * np_.sin(2 * np_.pi * hz / self.gz) \
+                * np_.sin(np_.pi * hy / self.gy)
+
+    class ChanSim(LBFluidSim, LBForcedSim):
+        subdomain = Chan
+
+        @classmethod
+        def modify_config(cls, config):
+            config.periodic_x = True
+            config.periodic_z = True
+
+        def __init__(self, config):
+            super().__init__(config)
+            self.add_body_force((1e-5, 0.0, 0.0))
+
+    return ChanSim
+
+
+def _run_yrow_channel(wall_cls, engine, **extra):
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.geo import LBGeometry3D
+    cfg = dict(lat_nx=32, lat_ny=16, lat_nz=16, visc=0.05,
+               max_iters=20, every=20, quiet=True, engine=engine)
+    cfg.update(extra)
+    ctrl = LBSimulationController(
+        _yrow_channel_classes(wall_cls), LBGeometry3D,
+        default_config=cfg)
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+    r._fields_to_host()
+    return r, np.array(r.sim.vx), np.array(r.sim.vy), np.array(r.sim.rho)
+
+
+def test_pallas3d_yrow_patches_tms_channel():
+    """Neighbor-sampling BC rows NORMAL to y (TMS walls at y=0/Y-1, the
+    turbulence-channel layout) run fused through the y-row patch mode
+    (XLA prologue over all z + in-kernel row select) and match the XLA
+    engine; plane patching would have overlaid every z-plane and
+    refused (round-3 gap: regtest/channel_loglaw_live.py ran wholly on
+    the XLA engine)."""
+    from sailfish_tpu.node_type import NTWallTMS
+    rp, vx_p, vy_p, rho_p = _run_yrow_channel(NTWallTMS, 'pallas')
+    assert rp.engine == 'pallas'
+    assert rp._pallas.patch_yrows == (0, 15)
+    assert rp._pallas.patch_rows == [] and not rp._pallas.has_mask
+    _, vx_x, vy_x, rho_x = _run_yrow_channel(NTWallTMS, 'xla')
+    assert np.max(np.abs(vx_p - vx_x)) < 2e-6
+    assert np.max(np.abs(vy_p - vy_x)) < 2e-6
+    assert np.max(np.abs(rho_p - rho_x)) < 2e-6
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('wall', ['bbl', 'hbb'])
+def test_pallas3d_yrow_patches_wall_families(wall):
+    """Link-tagged half-way walls take the y-row patch path too; full-way
+    walls stay on the in-kernel dry mask (no patches at all)."""
+    from sailfish_tpu.node_type import NTFullBBWall, NTHalfBBWall
+    cls = NTHalfBBWall if wall == 'bbl' else NTFullBBWall
+    rp, vx_p, vy_p, rho_p = _run_yrow_channel(cls, 'pallas')
+    assert rp.engine == 'pallas'
+    if wall == 'bbl':
+        assert rp._pallas.patch_yrows == (0, 15)
+    else:
+        assert rp._pallas.patch_yrows == () and rp._pallas.has_mask
+    _, vx_x, vy_x, rho_x = _run_yrow_channel(cls, 'xla')
+    assert np.max(np.abs(vx_p - vx_x)) < 2e-6
+    assert np.max(np.abs(vy_p - vy_x)) < 2e-6
+    assert np.max(np.abs(rho_p - rho_x)) < 2e-6
