@@ -114,6 +114,22 @@ CASES = {
     'd2q9_bgk_tg_2048_yxmesh1': ('taylor_green_2d', 2,
                                  dict(lat_nx=2048, lat_ny=2048,
                                       visc=0.01, mesh='1x1')),
+    # TMS-wall turbulent channel (walls normal to y -> the kernel's
+    # y-row patch mode). H = 63: the TMS wall is wet with location
+    # 0.5, so wall-normal = 2H+2 = 128 (a multiple of 8);
+    # streamwise=384 keeps the lane dim a 128 multiple. The _xla row
+    # quantifies the fused speedup on the same scene.
+    'd3q19_tms_channel_h63': ('turbulence.channel_flow', 3,
+                              dict(H=63, wall='tms',
+                                   streamwise=384)),
+    'd3q19_tms_channel_h63_xla': ('turbulence.channel_flow', 3,
+                                  dict(H=63, wall='tms',
+                                       streamwise=384,
+                                       engine='xla')),
+    'd3q19_tms_channel_h63_mixed16': ('turbulence.channel_flow', 3,
+                                      dict(H=63, wall='tms',
+                                           streamwise=384,
+                                           precision='mixed')),
     # --precision=mixed: int16 fixed-point storage, fp32 math
     # (ops/mixed.py) -- halves the HBM streaming bytes
     'd3q19_bgk_ldc_256_mixed16': ('ldc_3d', 3,
@@ -149,6 +165,7 @@ SIM_CLASSES = {
     'binary_fluid.fe_separation_3d': 'SeparationFESim3D',
     'binary_fluid.sc_separation_3d': 'SeparationSCSim',
     'taylor_green_2d': 'TaylorGreenSim',
+    'turbulence.channel_flow': 'ChannelSim',
 }
 
 

@@ -91,7 +91,7 @@ class CapillaryWaveSim(LBBinaryFluidFreeEnergy):
             return jax.lax.cond(jnp.mod(it, every) == 0, do,
                                 lambda s: s, series)
 
-        self._height_hook = self.add_device_hook(init, hook)
+        self._height_hook = self.add_device_hook(init, hook, every=every)
         self._runner_ref = runner
 
     def interface_heights(self):

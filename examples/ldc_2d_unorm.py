@@ -63,7 +63,7 @@ class LDCSimUnorm(LDCSim):
             return jax.lax.cond(jnp.mod(it, every) == 0, do,
                                 lambda s: s, state)
 
-        self._unorm_hook = self.add_device_hook(init, hook)
+        self._unorm_hook = self.add_device_hook(init, hook, every=every)
         self._unorm_runner = runner
 
     def unorm_series(self):

@@ -13,9 +13,16 @@ examples/turbulence/channel_flow.py; the statistics pipeline uses the
 TPU-native per-iteration device hooks instead of host after_step
 sampling.
 
-Geometry: wall-normal = x, spanwise = y (periodic), streamwise = z
-(periodic), so a z-sharded mesh splits along the homogeneous streamwise
-direction.
+Geometry (chosen for the fused TPU kernel): wall-normal = y
+(sublane axis -- the walls take the kernel's y-row patch mode,
+ops/pallas_step.py patch_yrows, instead of pushing the scene onto the
+XLA engine), streamwise = x (periodic, the lane axis: the longest
+extent, 6H, amortizes the 128-lane tiling), spanwise = z (periodic), so
+a z-sharded mesh splits along a homogeneous direction. Tile-exact
+sizes (streamwise a multiple of 128 -- see --streamwise -- and
+wall-normal a multiple of 8: any H for bbl, H = 3 mod 4 for hbb/tms,
+whose location-0.5 walls add one node per side) run fused; others fall
+back to the XLA engine with a warning.
 """
 
 import math
@@ -84,7 +91,7 @@ class ChannelSubdomain(Subdomain3D):
     u_center = 0.05
 
     def boundary_conditions(self, hx, hy, hz):
-        self.set_node((hx == 0) | (hx == self.gx - 1),
+        self.set_node((hy == 0) | (hy == self.gy - 1),
                       self.config._wall_cls)
 
     def initial_conditions(self, sim, hx, hy, hz):
@@ -93,12 +100,12 @@ class ChannelSubdomain(Subdomain3D):
         u_tau = friction_velocity(self.u_center, cfg.Re_tau)
         # distance from the nearest wall surface, in lattice units
         wall_off = -cfg._wall_cls.location
-        y_wall = np.minimum(hx - wall_off, (self.gx - 1 - hx) - wall_off)
+        y_wall = np.minimum(hy - wall_off, (self.gy - 1 - hy) - wall_off)
         y_wall = np.maximum(y_wall + 1.0, 1e-3)
         u_mean = loglaw_profile(y_wall * u_tau / cfg.visc) * u_tau
 
         sim.rho[:] = 1.0
-        sim.vz[:] = u_mean
+        sim.vx[:] = u_mean
 
         amp = 0.03 * u_mean / self.u_center
         if cfg.perturbation_file:
@@ -116,6 +123,8 @@ class ChannelSubdomain(Subdomain3D):
         sim.vx[:] += wx / norm * amp
         sim.vy[:] += wy / norm * amp
         sim.vz[:] += wz / norm * amp
+        # (the noise is solenoidal under any axis naming; which curl
+        # component lands on which velocity does not matter)
 
 
 class ChannelSim(LBFluidSim, LBForcedSim, ReynoldsStatsMixIn):
@@ -134,13 +143,17 @@ class ChannelSim(LBFluidSim, LBForcedSim, ReynoldsStatsMixIn):
         group.add_argument('--perturbation_file', type=str, default='',
                            help='npz with precomputed wx/wy/wz noise '
                                 '(utils/channel_make_rand_field.py)')
+        group.add_argument('--streamwise', type=int, default=0,
+                           help='streamwise length override (default '
+                                '6*H; multiples of 128 keep the scene '
+                                'on the fused kernel)')
 
     @classmethod
     def update_defaults(cls, defaults):
         defaults.update({
             'grid': 'D3Q19',
             'seed': 1234,
-            'periodic_y': True,
+            'periodic_x': True,
             'periodic_z': True,
             'max_iters': 500000,
             'every': 50000,
@@ -153,9 +166,9 @@ class ChannelSim(LBFluidSim, LBForcedSim, ReynoldsStatsMixIn):
         # dry full-way walls need one extra node on each side to keep the
         # channel height at 2H
         pad = 2 if config._wall_cls.location == 0.5 else 0
-        config.lat_nx = 2 * config.H + pad     # wall-normal
-        config.lat_ny = 2 * config.H           # spanwise
-        config.lat_nz = 6 * config.H           # streamwise
+        config.lat_ny = 2 * config.H + pad     # wall-normal
+        config.lat_nx = config.streamwise or 6 * config.H  # streamwise
+        config.lat_nz = 2 * config.H           # spanwise
         u_tau = friction_velocity(ChannelSubdomain.u_center,
                                   config.Re_tau)
         config.visc = u_tau * config.H / config.Re_tau
@@ -166,17 +179,17 @@ class ChannelSim(LBFluidSim, LBForcedSim, ReynoldsStatsMixIn):
                                   config.Re_tau)
         # mean-momentum balance: a = u_tau^2 / H
         self.accel = u_tau * u_tau / config.H
-        self.add_body_force((0.0, 0.0, self.accel))
+        self.add_body_force((self.accel, 0.0, 0.0))
 
     def transient_iters(self):
         """Two flow-through times at u_tau-scaled velocity."""
         cfg = self.config
         u_tau = friction_velocity(ChannelSubdomain.u_center, cfg.Re_tau)
-        return int(2 * cfg.lat_nz * cfg.H / (u_tau * cfg.H) )
+        return int(2 * cfg.lat_nx * cfg.H / (u_tau * cfg.H))
 
     def before_main_loop(self, runner):
         self.prepare_reynolds_stats(
-            runner, axis='x', every=self.config.stats_every,
+            runner, axis='y', every=self.config.stats_every,
             from_iter=min(self.transient_iters(),
                           self.config.max_iters // 2))
 

@@ -108,7 +108,7 @@ class KidaSim(LBFluidSim, KineticEnergyEnstrophyMixIn):
             return jax.lax.cond(jnp.mod(it, every) == 0, do,
                                 lambda s: s, series)
 
-        self._series_hook = self.add_device_hook(init, hook)
+        self._series_hook = self.add_device_hook(init, hook, every=every)
         self._kida_runner = runner
 
     def ke_enstrophy_series(self):

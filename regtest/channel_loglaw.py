@@ -26,7 +26,10 @@ B = 5.5
 
 def validate(path, H=40, Re_tau=180.0, u_center=0.05, tol_mean=0.05):
     d = np.load(path)
-    mean_w = d['w'][0]
+    # streamwise mean: 'u' since the wall-normal=y re-layout (walls on
+    # the fused kernel's y-row patch path); 'w' in the stored pre-
+    # re-layout artifact (wall-normal=x, streamwise=z)
+    mean_w = d['u' if 'u' in d else 'w'][0]
     u_tau = u_center / (math.log(Re_tau) / KAPPA + B)
     visc = u_tau * H / Re_tau
     nx = mean_w.shape[0]

@@ -11,8 +11,14 @@ TMS wall math, the Guo forcing or the Reynolds accumulator moves the
 profile far outside these bands within a few thousand steps (measured:
 a disabled TMS reconstruction drifts the wall slope >40% by 10k).
 
-Runs in a few minutes on one chip: ~350k nodes x 20k iterations on
-the XLA engine (wall-normal BC planes exclude the fused path).
+Runs in about a minute on one chip: ~550k nodes x 20k iterations on
+the FUSED engine -- the wall rows (normal to y) take the kernel's
+y-row patch mode (ops/pallas_step.py patch_yrows), and the gate
+asserts the fused engine was actually selected. The streamwise
+length is overridden to 256 (a 128 multiple) to stay tile-exact,
+and H = 23 keeps the wall-normal extent 2H+2 = 48 a multiple of 8
+(the TMS wall is wet with location 0.5, so the scene adds one node
+per side).
 """
 
 import math
@@ -29,23 +35,28 @@ KAPPA = 0.41
 B = 5.5
 
 
-def main(H=24, iters=20000, tol_mean=0.15, tol_fric=0.25):
+def main(H=23, iters=20000, tol_mean=0.15, tol_fric=0.25):
     from channel_flow import ChannelSim, friction_velocity
     from sailfish_tpu.controller import LBSimulationController
     from sailfish_tpu.geo import LBGeometry3D
     from sailfish_tpu import util
     util.enable_compile_cache()
 
+    import jax
     ctrl = LBSimulationController(ChannelSim, LBGeometry3D,
                                   default_config=dict(
         H=H, wall='tms', Re_tau=180.0, max_iters=iters, every=iters,
-        quiet=True, stats_every=20))
+        quiet=True, stats_every=20, streamwise=256))
     ctrl.run(ignore_cmdline=True)
+    if jax.default_backend() != 'cpu':
+        assert ctrl._runner.engine == 'pallas', \
+            'channel scene fell off the fused path: ' + \
+            repr(ctrl._runner.engine)
     sim = ctrl._runner.sim
     stats = sim.reynolds_stats()
     assert stats is not None, 'Reynolds accumulator produced nothing'
-    mean_w = stats['w'][0]
-    w_sq = stats['w'][1]      # second raw moment of the streamwise u
+    mean_w = stats['u'][0]    # streamwise = x, profiled along y
+    w_sq = stats['u'][1]      # second raw moment of the streamwise u
 
     u_tau = friction_velocity(0.05, 180.0)
     visc = u_tau * H / 180.0

@@ -139,7 +139,8 @@ class DataProcessingMixIn(LBMixIn):
             return jax.lax.cond(jnp.mod(it, _e) == 0, do,
                                 lambda s: s, series)
 
-        hooks[name] = (self.add_device_hook(series0, hook), runner)
+        hooks[name] = (self.add_device_hook(series0, hook, every=every),
+                       runner)
 
     def add_slice(self, runner, name, axis, position, fields=('rho',)):
         reducers, _ = self._dp_state()

@@ -88,15 +88,23 @@ class LBSim:
             if 'before_main_loop' in vars(klass):
                 self._mixin_before_main_loop.append(klass.before_main_loop)
 
-    def add_device_hook(self, init_state, fn):
+    def add_device_hook(self, init_state, fn, every=None, from_iter=0):
         """Register a per-iteration DEVICE hook: ``fn(f, state, it) ->
         state`` is traced into the jitted main loop and runs after every
         single step, with ``state`` a device pytree initialized to
         ``init_state``. This is the TPU-native replacement for
         per-iteration after_step sampling (e.g. Reynolds statistics): no
         host sync, no chunking distortion. Current states are available
-        as runner.device_hook_state (tuple, one entry per hook)."""
-        self._device_hooks.append((init_state, fn))
+        as runner.device_hook_state (tuple, one entry per hook).
+
+        ``every``/``from_iter`` (optional) DECLARE the hook's sampling
+        stride so the runner can hoist shared per-iteration work --
+        notably the fused engines' kernel-layout -> standard-layout
+        crop, a full-state permute -- behind one lax.cond (when every
+        registered hook declares a stride). The hook must still gate
+        itself (it may be invoked off-stride when another hook's
+        predicate fires)."""
+        self._device_hooks.append((init_state, fn, every, from_iter))
         return len(self._device_hooks) - 1
 
     def need_output(self):

@@ -208,9 +208,11 @@ class SubdomainRunner:
             self._run_steps = run_steps
             return
 
-        fns = tuple(fn for _, fn in hooks)
+        fns = tuple(fn for _, fn, _e, _f in hooks)
         self.device_hook_state = tuple(
-            jax.tree.map(jnp.asarray, init) for init, _ in hooks)
+            jax.tree.map(jnp.asarray, init) for init, _, _e, _f in hooks)
+        strides = tuple((e, fi) for _, _, e, fi in hooks)
+        all_strided = all(e is not None for e, _ in strides)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run_steps_hooked(f, states, n, it0=0):
@@ -223,9 +225,26 @@ class SubdomainRunner:
                 # hooks see the iteration count AFTER the step, matching
                 # sim.iteration at after_step time in the reference;
                 # they read the unpadded view
-                f2h = crop(f2) if crop is not None else f2
-                sts = tuple(fn(f2h, s, it0 + i + 1)
-                            for fn, s in zip(fns, sts))
+                it = it0 + i + 1
+
+                def run_hooks(sts):
+                    f2h = crop(f2) if crop is not None else f2
+                    return tuple(fn(f2h, s, it)
+                                 for fn, s in zip(fns, sts))
+
+                if all_strided:
+                    # every hook declared its stride: hoist the crop (a
+                    # full-state permute on the fused engines) and the
+                    # hook calls behind one cond on the OR of the
+                    # declared predicates
+                    pred = None
+                    for e, fi in strides:
+                        p = (it >= fi) & (jnp.mod(it, e) == 0)
+                        pred = p if pred is None else (pred | p)
+                    sts = jax.lax.cond(pred, run_hooks,
+                                       lambda s: s, sts)
+                else:
+                    sts = run_hooks(sts)
                 return f2, sts
             f, states = jax.lax.fori_loop(0, n, body, (f, states))
             if crop is not None:

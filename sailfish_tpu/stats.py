@@ -146,7 +146,8 @@ class ReynoldsStatsMixIn(FlowStatsMixIn):
 
                 return jax.lax.cond(pred, do, lambda st: st, state)
 
-            self._reynolds_hook_id = self.add_device_hook(init, hook)
+            self._reynolds_hook_id = self.add_device_hook(
+                init, hook, every=every, from_iter=from_iter)
 
     def checkpoint_state(self):
         return {'acc': getattr(self, '_reynolds_acc', None),
