@@ -90,9 +90,17 @@ class _CoupledStep:
         self.dtype = main_builder.dtype
 
     def shard_constants(self, mesh):
-        raise NotImplementedError(
-            'channel_cube runs single-device (recirculation coupling '
-            'is a cross-array assignment)')
+        """Shard both regions' node-data constants over the mesh.
+
+        The recirculation transfer (buffer exit plane -> main ghost
+        plane) crosses shards on a z-mesh: under jit-GSPMD the
+        `.at[:, 0].set(fb2[:, -1])` below compiles to a collective
+        permute of one plane (the TPU-native form of the reference's
+        one-way zmq connection, subdomain_connection.py:410)."""
+        from sailfish_tpu.parallel import mesh as pmesh
+        pmesh.validate_divisible(self.buf.maps.type_map.shape, mesh)
+        self.buf.shard_constants(mesh)
+        self.main.shard_constants(mesh)
 
     def build(self):
         buf_step = self.buf.build()
