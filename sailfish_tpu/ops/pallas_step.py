@@ -588,7 +588,8 @@ def _sc_psi(builder, rho):
     return rho
 
 
-def _sc_shift_moments(builder, mom, psi_of, shape_yx, y_fix=None):
+def _sc_shift_moments(builder, mom, psi_of, shape_yx, y_fix=None,
+                      x_fix=None):
     """Velocity-shift Shan-Chen forcing: u_eq = u + tau F / rho with
     F = -G psi(x) sum_i w_i psi(x + c_i) c_i (matches the XLA engine's
     shan_chen_force exactly; reference shan_chen.mako:9-84).
@@ -601,7 +602,12 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx, y_fix=None):
     ``y_fix(p, cy, dz)`` (3D y-sharded meshes): called after the
     sublane y-roll and before the lane x-roll, to overwrite the one
     wrapped edge row of the rolled psi plane with the y-neighbor's
-    psi row (the local periodic wrap is wrong under y-sharding)."""
+    psi row (the local periodic wrap is wrong under y-sharding).
+
+    ``x_fix(p, cx, cy)`` (2D x-sharded meshes): applied INSTEAD of
+    the lane x-roll -- shifts the psi block one lane (static concat)
+    with the wrap lane standing in from the x-neighbor's psi value
+    (pallas_step2d builds it from a raw-rho ghost column)."""
     g = builder.grid
     rho, u, usq, uF = mom
     dtype = rho.dtype
@@ -628,6 +634,9 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx, y_fix=None):
             rolls = ((cx, p.ndim - 1, shape_yx[1]),)
         for c, ax, n in rolls:
             if c:
+                if x_fix is not None and g.dim == 2:
+                    p = x_fix(p, c, cy)
+                    continue
                 # psi at x + c: roll by -c (sample semantics)
                 p = pltpu.roll(p, (-c) % n, axis=ax)
                 if y_fix is not None and g.dim == 3 \

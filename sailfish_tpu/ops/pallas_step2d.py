@@ -103,7 +103,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if emit_rho:
         assert sc and not patch_blocks and not dyn_patches
     assert not (edge_io and not emit_rho)
-    assert not (x_ghosts and (sc or patch_blocks or dyn_patches))
+    # x_ghosts composes with sc (x-sharded Shan-Chen: the psi wrap
+    # lanes read raw-rho neighbor columns, see rxcol below); patches
+    # still fall back
+    assert not (x_ghosts and (patch_blocks or dyn_patches))
+    assert not (x_ghosts and sc and not emit_rho)
     xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
 
     if NB < 4:
@@ -120,6 +124,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             xcol_hbm = refs[idx]; idx += 1   # (Y, 128) fp32 columns
         rho_hbm = None
         rglo_hbm = rghi_hbm = rlo_hbm = rhi_hbm = None
+        rxcol_hbm = None
         if sc:
             rho_hbm = refs[idx]; idx += 1
             if edge_io:
@@ -127,6 +132,16 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 rghi_hbm = refs[idx]; idx += 1
                 rlo_hbm = refs[idx]; idx += 1
                 rhi_hbm = refs[idx]; idx += 1
+            if x_ghosts:
+                # (Y, 128) fp32 raw-rho neighbor columns for the psi
+                # wrap lanes: lane 3*side + (dy+1), side 0 = the
+                # right-neighbor's column 0 (samples at x + 1), side 1
+                # = the left-neighbor's column X-1 (x - 1); the value
+                # at row y is the neighbor column at global row y + dy
+                # (the caller resolves cross-shard rows). RAW rho, psi
+                # applied in-kernel, so the substituted lane is
+                # bitwise the single-device psi value.
+                rxcol_hbm = refs[idx]; idx += 1
         mask_hbm = None
         patch_hbm = None
         pmap_ref = None
@@ -144,8 +159,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         blk_buf = refs[idx]; idx += 1     # (4, Q, by, X) rotating cache
         out_buf = refs[idx]; idx += 1     # (2, Q, by, X)
         xcol_buf = None
+        rxcol_buf = None
         if x_ghosts:
             xcol_buf = refs[idx]; idx += 1  # (2, by, 128)
+            if sc:
+                rxcol_buf = refs[idx]; idx += 1  # (2, by, 128)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
@@ -170,8 +188,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         if edge_io:
             redge_sems = refs[idx]; idx += 1  # DMA (2,)
         xcol_sems = None
+        rxcol_sems = None
         if x_ghosts:
             xcol_sems = refs[idx]; idx += 1   # DMA (2,)
+            if sc:
+                rxcol_sems = refs[idx]; idx += 1  # DMA (2,)
 
         k = pl.program_id(0)
 
@@ -226,11 +247,19 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             pltpu.make_async_copy(
                 xcol_hbm.at[pl.ds(b * by, by)],
                 xcol_buf.at[slot], xcol_sems.at[slot]).start()
+            if sc:
+                pltpu.make_async_copy(
+                    rxcol_hbm.at[pl.ds(b * by, by)],
+                    rxcol_buf.at[slot], rxcol_sems.at[slot]).start()
 
         def wait_xcol(slot):
             pltpu.make_async_copy(
                 xcol_hbm.at[pl.ds(0, by)],
                 xcol_buf.at[slot], xcol_sems.at[slot]).wait()
+            if sc:
+                pltpu.make_async_copy(
+                    rxcol_hbm.at[pl.ds(0, by)],
+                    rxcol_buf.at[slot], rxcol_sems.at[slot]).wait()
 
         # slot(b) = (b + 4) % 4 in program-relative block coordinates;
         # program k consumes blocks k-1, k, k+1 and prefetches k+2 into
@@ -371,8 +400,26 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                                              cur[:by - 1]], axis=0)
                     return _sc_psi(builder, r)
 
+                x_fix = None
+                if x_ghosts:
+                    rxblk = rxcol_buf[jax.lax.rem(k, 2)]  # (by, 128)
+
+                    def x_fix(p, cxx, cyy):
+                        """Shift psi lanes for a sample at x + cxx,
+                        the wrap lane standing in from the neighbor's
+                        raw-rho column (static lane concat, like the
+                        f path above)."""
+                        lane = (0 if cxx == 1 else 1) * 3 + (cyy + 1)
+                        col = _sc_psi(builder,
+                                      rxblk[:, lane:lane + 1])
+                        if cxx == 1:
+                            return jnp.concatenate(
+                                [p[:, 1:], col], axis=1)
+                        return jnp.concatenate(
+                            [col, p[:, :X - 1]], axis=1)
+
                 mom_u = _sc_shift_moments(builder, mom_u, psi_of,
-                                          (by, X))
+                                          (by, X), x_fix=x_fix)
             if has_mask:
                 m = mask_buf[s_cur, 0]
                 is_dry = m == 1
@@ -579,12 +626,16 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if sc:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
             5 if edge_io else 1)
+        if x_ghosts:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     scratch = [
         pltpu.VMEM((4, Q, by, X), sdtype),
         pltpu.VMEM((2, Q, by, X), sdtype),
     ]
     if x_ghosts:
         scratch.append(pltpu.VMEM((2, by, 128), dtype))
+        if sc:
+            scratch.append(pltpu.VMEM((2, by, 128), dtype))
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
@@ -610,6 +661,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # redge
     if x_ghosts:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # xcol
+        if sc:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))  # rxcol
 
     out_shape = jax.ShapeDtypeStruct((Q, Y, X), sdtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
@@ -623,7 +676,9 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
         # rho updates in place too: program p writes block p-1, whose
         # last gather (as some program's "prev" block) landed at p-1
-        io_aliases[3] = 1
+        # (the rho input sits after f/glo/ghi and, when x-sharded,
+        # the xcol input)
+        io_aliases[4 if x_ghosts else 3] = 1
     fused = pl.pallas_call(
         kernel,
         grid=(NB,),

@@ -340,11 +340,15 @@ class ShardedPallasFE3D:
                 'complex-BC scenes use the XLA engine')
         self.has_mask = bool((mask_np != 0).any())
         self.wetting = bool(mbuilder._has_dry_nodes)
-        if self.two_axis and self.wetting:
-            raise NotImplementedError(
-                "FE wetting widens the phi stencil's y-reach to two "
-                "rows; ('z','y') meshes cover non-wetting FE scenes "
-                'only -- use a 1-axis z-mesh or the XLA engine')
+        # ('z','y') + wetting: the wall mirror widens the phi
+        # stencil's y-reach to two rows, beyond the kernel's 1-row
+        # ghost machinery -- so the mirror moves OUT of the kernel:
+        # the step computes the wetting-adjusted phi_w (planes -1..Z,
+        # fresh rows) in XLA from the carried raw-phi materials and
+        # calls the kernel in its non-wetting y_ghosts mode. The
+        # mirror is selects + one subtract, so results stay bitwise
+        # equal to the in-kernel mirror of the 1-axis path.
+        self.wetting_zy = self.two_axis and self.wetting
         Q = mbuilder.grid.Q
         _, ipos_np, groups = cz_groups(mbuilder.grid)
         n_m1 = sum(c for cz, _, c in groups if cz == -1)
@@ -354,7 +358,8 @@ class ShardedPallasFE3D:
         _check_vmem((4 * Q, isz), (10, isz),
                     (2 * (n_p1 + (Q - s_0)) + 2, isz),
                     (2 if self.has_mask else 0, 4),
-                    (6 if self.wetting else 0, 4), Y=Y_loc, X=X)
+                    (6 if self.wetting and not self.two_axis else 0, 4),
+                    Y=Y_loc, X=X)
         self.mask_global = None
         self._mask_spec = P('z', 'y', None) if self.two_axis \
             else P('z', None, None)
@@ -363,11 +368,13 @@ class ShardedPallasFE3D:
                 jnp.asarray(mask_np),
                 NamedSharding(mesh, self._mask_spec))
         self.orient_global = None
+        self._orient_spec = P('z', 'y', None) if self.two_axis \
+            else P('z', None, None)
         if self.wetting:
             orient_np = np.asarray(mbuilder._dry_orient)
             self.orient_global = jax.device_put(
                 jnp.asarray(orient_np),
-                NamedSharding(mesh, P('z', None, None)))
+                NamedSharding(mesh, self._orient_spec))
             # static neighbor faces of the orientation map, per shard
             S = self.nshards
             olo = np.stack([orient_np[(s * Z_loc - 1) % Z]
@@ -375,13 +382,13 @@ class ShardedPallasFE3D:
             ohi = np.stack([orient_np[((s + 1) * Z_loc) % Z]
                             for s in range(S)])
             self.orient_lo = jax.device_put(
-                jnp.asarray(olo), NamedSharding(mesh, P('z', None, None)))
+                jnp.asarray(olo), NamedSharding(mesh, self._orient_spec))
             self.orient_hi = jax.device_put(
-                jnp.asarray(ohi), NamedSharding(mesh, P('z', None, None)))
+                jnp.asarray(ohi), NamedSharding(mesh, self._orient_spec))
         self.kernel = make_kernel_3d_fe(
             mbuilder, Z_loc, Y_loc, X, has_mask=self.has_mask,
-            wetting=self.wetting, emit_phi=True, edge_io=True,
-            y_ghosts=self.two_axis, interpret=interpret)
+            wetting=self.wetting and not self.two_axis, emit_phi=True,
+            edge_io=True, y_ghosts=self.two_axis, interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y_loc, X,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
@@ -426,6 +433,47 @@ class ShardedPallasFE3D:
                 axis=0)[:, None, :]
             return gylo0, gylo1, gyhi0, gyhi1, lo, hi, prlo, prhi
 
+        wall_grad = mbuilder.wall_grad_phase
+        orient_vecs = [tuple(int(c) for c in v)
+                       for v in g.orientation_vectors]
+
+        def _phi_w_ext(phi, pelo_, pehi_, prlo_, prhi_, pylo_, pyhi_,
+                       lo1, lo2, hi1, hi2, orient, olo, ohi, dtype):
+            """Wetting-adjusted phi for planes -1..Z with fresh edge
+            rows, computed in XLA (the ('z','y') + wetting mode; the
+            1-axis path mirrors in-kernel, pallas_multi3d.py
+            phi_w_plane). Same select + subtract math bitwise; the
+            orientation vectors are axis-aligned units, so a mirror
+            read crosses at most ONE shard face and every source is
+            already in the carry."""
+            Z_l, Y_l = phi.shape[0], phi.shape[1]
+            yi = jnp.arange(Y_l)[None, :, None]
+            # fresh local planes: edge rows from pr, edge planes from
+            # pelo/pehi (already fresh-rowed)
+            phi_f = jnp.where(yi == 0, prlo_[1:Z_l + 1], phi)
+            phi_f = jnp.where(yi == Y_l - 1, prhi_[1:Z_l + 1], phi_f)
+            phi_f = jnp.concatenate(
+                [pelo_[None], phi_f[1:-1], pehi_[None]])
+            ext = jnp.concatenate(
+                [lo2[None], lo1[None], phi_f, hi1[None], hi2[None]])
+            tgt = ext[1:Z_l + 3]                 # planes -1..Z
+            orient_ext = jnp.concatenate(
+                [olo[None], orient, ohi[None]])
+            wg = jnp.asarray(wall_grad, dtype)
+            out = tgt
+            for kk, (ex, ey, ez) in enumerate(orient_vecs):
+                if ez:
+                    neigh = ext[1 + ez:Z_l + 3 + ez]
+                elif ey:
+                    neigh = jnp.roll(tgt, -ey, axis=1)
+                    rows = (pyhi_ if ey == 1 else pylo_)  # (Z+2,1,X)
+                    edge = Y_l - 1 if ey == 1 else 0
+                    neigh = jnp.where(yi == edge, rows, neigh)
+                else:
+                    neigh = jnp.roll(tgt, -ex, axis=2)
+                out = jnp.where(orient_ext == kk + 1, neigh - wg, out)
+            return out
+
         def local_step_zy(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
                           ghi1, gylo0, gylo1, gyhi0, gyhi1, prlo,
                           prhi, *rest):
@@ -436,16 +484,48 @@ class ShardedPallasFE3D:
             pylo_ = jax.lax.ppermute(prhi_, 'y', up_y)
             pyhi_ = jax.lax.ppermute(prlo_, 'y', down_y)
             # phi z-ghosts: +-1 = the neighbors' fresh edge planes
-            # (valid rows); +-2 planes are only read under wetting
-            # (excluded here) -- pass the interior planes unchanged
+            # (valid rows); +-2 planes are read by the wetting mirror
+            # only -- non-wetting passes the interior planes unchanged
             lo1 = jax.lax.ppermute(pehi_, 'z', up)
             lo2 = jax.lax.ppermute(phi[-2], 'z', up)
             hi1 = jax.lax.ppermute(pelo_, 'z', down)
             hi2 = jax.lax.ppermute(phi[1], 'z', down)
-            kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
-                     phi, lo2, lo1, hi1, hi2, pelo_, pehi_,
-                     gylo0[0, 0], gylo1[0, 0], gyhi0[0, 0],
-                     gyhi1[0, 0], pylo_, pyhi_, prlo_, prhi_]
+            r = 1 if self.has_mask else 0
+            if self.wetting_zy:
+                # lo2/hi2 feed the mirror's z-reach: they need fresh
+                # edge rows (plane Z-2 rows sit at pr index Z-1;
+                # plane 1 rows at pr index 2)
+                yi2 = jnp.arange(phi.shape[1])[:, None]
+                p_m2 = jnp.where(yi2 == 0, prlo_[Z_loc - 1], phi[-2])
+                p_m2 = jnp.where(yi2 == phi.shape[1] - 1,
+                                 prhi_[Z_loc - 1], p_m2)
+                p_p1 = jnp.where(yi2 == 0, prlo_[2], phi[1])
+                p_p1 = jnp.where(yi2 == phi.shape[1] - 1,
+                                 prhi_[2], p_p1)
+                lo2 = jax.lax.ppermute(p_m2, 'z', up)
+                hi2 = jax.lax.ppermute(p_p1, 'z', down)
+                orient, olo, ohi = rest[r], rest[r + 1][0], \
+                    rest[r + 2][0]
+                ww = _phi_w_ext(phi, pelo_, pehi_, prlo_, prhi_,
+                                pylo_, pyhi_, lo1, lo2, hi1, hi2,
+                                orient, olo, ohi, phi.dtype)
+                phi_k = ww[1:-1]
+                lo1_k, hi1_k = ww[0], ww[-1]
+                pr_w_lo = ww[:, :1, :]
+                pr_w_hi = ww[:, -1:, :]
+                pylo_k = jax.lax.ppermute(pr_w_hi, 'y', up_y)
+                pyhi_k = jax.lax.ppermute(pr_w_lo, 'y', down_y)
+                kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
+                         phi_k, lo2, lo1_k, hi1_k, hi2,
+                         phi_k[0], phi_k[-1],
+                         gylo0[0, 0], gylo1[0, 0], gyhi0[0, 0],
+                         gyhi1[0, 0], pylo_k, pyhi_k,
+                         pr_w_lo, pr_w_hi]
+            else:
+                kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
+                         phi, lo2, lo1, hi1, hi2, pelo_, pehi_,
+                         gylo0[0, 0], gylo1[0, 0], gyhi0[0, 0],
+                         gyhi1[0, 0], pylo_, pyhi_, prlo_, prhi_]
             if self.has_mask:
                 kargs.append(rest[0])
             f0_2, f1_2, phi2 = self.kernel(*kargs)
@@ -536,9 +616,7 @@ class ShardedPallasFE3D:
         if self.has_mask:
             in_specs = in_specs + (self._mask_spec,)
         if self.wetting:
-            in_specs = in_specs + (P('z', None, None),
-                                   P('z', None, None),
-                                   P('z', None, None))
+            in_specs = in_specs + (self._orient_spec,) * 3
         self._sharded_step = shard_map(
             step_fn, mesh=mesh, in_specs=in_specs,
             out_specs=carry_specs, check_vma=False)

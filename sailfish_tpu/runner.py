@@ -291,22 +291,15 @@ class SubdomainRunner:
                     'on the XLA engine only')
             if self.mesh is not None:
                 axes = list(self.mesh.axis_names)
-                # SC mixtures and non-wetting FE also shard on
-                # ('z','y'); FE wetting widens the phi stencil's
-                # y-reach to 2 rows and stays 1-axis
-                zy_ok = (isinstance(b, ShanChenMultiStepBuilder)
-                         or not getattr(b, '_has_dry_nodes', False))
                 mesh_ok = (
                     (self.sim.dim == 3
-                     and (axes == ['z']
-                          or (zy_ok and axes == ['z', 'y'])))
+                     and axes in (['z'], ['z', 'y']))
                     or (self.sim.dim == 2 and axes == ['y']))
                 if not mesh_ok:
                     reasons.append(
-                        "multi-component scenes shard fused on 3D z "
-                        "meshes, ('z','y') meshes (SC mixtures + "
-                        'non-wetting FE) or 2D y meshes only; got '
-                        f'{axes}')
+                        "multi-component scenes shard fused on 3D "
+                        "z / ('z','y') meshes or 2D y meshes only; "
+                        f'got {axes}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons

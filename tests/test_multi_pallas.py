@@ -226,7 +226,10 @@ def test_binary_fe3d_fused_walls_wetting_force():
     """3D FE viscous fingering: walls + wetting mirror + body force +
     eq_force_map through the fused kernel."""
     from fe_viscous_fingering import FingeringFESim
-    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20)
+    # the scene's reference default is FE-MRT (XLA-only); the fused
+    # kernel covers the BGK collision
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20,
+                model='bgk')
     _, rho_a, phi_a = _run3(FingeringFESim, 'xla', dims)
     engine, rho_b, phi_b = _run3(FingeringFESim, 'pallas', dims)
     assert engine == 'pallas'
@@ -295,7 +298,8 @@ def test_sharded_fe_3d_wetting_force_bitwise():
     """FE with walls + wetting mirror + body force, sharded; the
     static orientation neighbor faces cross shard boundaries."""
     from fe_viscous_fingering import FingeringFESim
-    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15,
+                model='bgk')
     _, fs_1 = _run_sharded(FingeringFESim, dims, '')
     _, fs_n = _run_sharded(FingeringFESim, dims, '4')
     for a, b in zip(fs_1, fs_n):
@@ -528,6 +532,47 @@ def test_sharded_fe_3d_two_axis_zy():
     r, fs_n = _run_sharded(SeparationFESim3D, dims, '2x2')
     assert isinstance(r._pallas, ShardedPallasFE3D)
     assert r._pallas.two_axis and not r._pallas.wetting
+    for a, b in zip(fs_1, fs_n):
+        assert np.max(np.abs(a - b)) < 1e-6
+
+    p = r._pallas
+    carry = p.pad_state(r.f)
+    carry = jax.lax.fori_loop(0, 3, lambda i, c: p.step(c, i), carry)
+    ref = p._sharded_init(*carry[:2])
+    phi = np.asarray(carry[2])
+    phi_ref = np.asarray(ref[2])
+    zl = phi.shape[0] // p.nshards
+    yl = phi.shape[1] // p.ny_shards
+    for s in range(p.nshards):
+        for t in range(p.ny_shards):
+            blk = phi[s * zl:(s + 1) * zl, t * yl:(t + 1) * yl]
+            rb = phi_ref[s * zl:(s + 1) * zl, t * yl:(t + 1) * yl]
+            assert np.array_equal(blk[1:-1, 1:-1], rb[1:-1, 1:-1])
+    for j in range(3, 15):   # edges, faces, gy, pr
+        assert np.array_equal(np.asarray(carry[j]),
+                              np.asarray(ref[j])), j
+
+
+@pytest.mark.slow
+def test_sharded_fe_3d_two_axis_zy_wetting():
+    """FE wetting on a ('z','y') 2-axis mesh: the wall mirror widens
+    the phi stencil's y-reach to two rows, so the mirror moves out of
+    the kernel -- the step computes the wetting-adjusted phi_w inputs
+    in XLA from the carried raw-phi materials (halo_multi._phi_w_ext)
+    and calls the kernel in its non-wetting y_ghosts mode. The mirror
+    is selects + one subtract, so fields still match single-device to
+    the documented 1-ulp FMA epsilon and the carry is bitwise
+    reproducible."""
+    import jax
+
+    from fe_viscous_fingering import FingeringFESim
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasFE3D
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15,
+                model='bgk')
+    _, fs_1 = _run_sharded(FingeringFESim, dims, '')
+    r, fs_n = _run_sharded(FingeringFESim, dims, '2x2')
+    assert isinstance(r._pallas, ShardedPallasFE3D)
+    assert r._pallas.two_axis and r._pallas.wetting_zy
     for a, b in zip(fs_1, fs_n):
         assert np.max(np.abs(a - b)) < 1e-6
 
