@@ -594,19 +594,19 @@ class ShardedPallasStep2D:
             raise NotImplementedError(
                 'Shan-Chen with complex-BC blocks needs global psi '
                 'sampling in the patch windows; use the XLA engine')
-        if self.sc and self.x_sharded:
-            raise NotImplementedError(
-                'sharded 2D Shan-Chen stepping shards the y axis only '
-                '(the psi stencil would need x-neighbor density '
-                'columns)')
         if self.sc and NB_loc < 4:
             raise NotImplementedError(
                 'sharded 2D Shan-Chen stepping needs >= 4 y-blocks '
                 f'per shard (Y_loc={Y_loc}, by={by})')
+        # Shan-Chen x-sharding: the psi wrap lanes read raw-rho
+        # neighbor columns (kernel rxcol input) and the carried rho's
+        # stale edge columns are re-streamed in XLA each step
+        # (stream_rho_edge_cols_2d); the in-kernel edge-ROW fix
+        # (edge_io) is a y-sharding concern only
         self.kernel = make_kernel_2d(
             builder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
             interpret=interpret, sc=self.sc, emit_rho=self.sc,
-            edge_io=self.sc,
+            edge_io=self.sc and self.y_sharded,
             dyn_patches=self.has_patches, max_patches=self.P,
             mixed=self.mixed, x_ghosts=self.x_sharded)
         self.rho_kernel = None
@@ -678,46 +678,147 @@ class ShardedPallasStep2D:
                 args.append(rest[r].reshape(g.Q, self.P, by, X)); r += 1
             return self.kernel(*args)
 
+        def _f_col_ext(f2, c, glo_blk, ghi_blk):
+            """(Q, Y+2) column c of the post-collision state extended
+            with the y-ghost entries (rows -1 and Y) from the boundary
+            blocks (ppermuted neighbors, or local wrap copies when y
+            is unsharded) -- so ONE x-hop carries the corners too."""
+            return jnp.concatenate(
+                [glo_blk[:, -1:, c], f2[:, :, c], ghi_blk[:, :1, c]],
+                axis=1)
+
+        def _fx_cols(f2, glo_blk, ghi_blk):
+            """The x-neighbors' boundary f columns (Q, Y+2)."""
+            fxlo = jax.lax.ppermute(
+                _f_col_ext(f2, X_loc - 1, glo_blk, ghi_blk), 'x', upx)
+            fxhi = jax.lax.ppermute(
+                _f_col_ext(f2, 0, glo_blk, ghi_blk), 'x', downx)
+            return fxlo, fxhi
+
+        def build_rxcols(rho_f):
+            """(Y, 128) raw-rho psi ghost columns for the kernel's
+            rxcol input (lane 3*side + (dy+1)); the carried rho's
+            edge columns are fresh at every row (the carry
+            invariant), so one y-extension + one x-hop covers the
+            dy = +-1 corner entries."""
+            def ext(col):
+                if self.y_sharded:
+                    e_lo = jax.lax.ppermute(col[-1:], 'y', up)
+                    e_hi = jax.lax.ppermute(col[:1], 'y', down)
+                else:
+                    e_lo, e_hi = col[-1:], col[:1]
+                return jnp.concatenate([e_lo, col, e_hi])
+            rxR = jax.lax.ppermute(ext(rho_f[:, 0]), 'x', downx)
+            rxL = jax.lax.ppermute(ext(rho_f[:, X_loc - 1]), 'x', upx)
+            lanes = [se[1 + dy:Y_loc + 1 + dy]
+                     for se in (rxR, rxL) for dy in (-1, 0, 1)]
+            rx = jnp.stack(lanes, axis=1)
+            return jnp.pad(rx, ((0, 0), (0, 128 - 6)))
+
+        def _patch_cols(rho2, c0, cX):
+            xi = jnp.arange(X_loc)[None, :]
+            rho2 = jnp.where(xi == 0, c0[:, None], rho2)
+            return jnp.where(xi == X_loc - 1, cX[:, None], rho2)
+
         def local_step_sc(f, rho, rlo, rhi, glo, ghi, *rest):
             """Shan-Chen sharded 2D step on the (f, rho, rlo, rhi,
             glo, ghi) carry; the 2D counterpart of the 3D sc path
             (interior rows emitted in-kernel, the two global edge rows
-            streamed in XLA from the ppermuted faces)."""
-            from sailfish_tpu.parallel.halo_multi import \
-                stream_rho_edge_rows_2d
-            zpad = jnp.zeros((by - 1, X), f.dtype)
+            streamed in XLA from the ppermuted faces). x-sharded
+            meshes additionally overwrite the carried rho's edge
+            columns from the x-neighbor streams each step."""
+            from sailfish_tpu.parallel.halo_multi import (
+                stream_rho_edge_cols_2d, stream_rho_edge_rows_2d)
+            zpad = jnp.zeros((by - 1, X_loc), f.dtype)
             rglo = jnp.concatenate(
                 [zpad, jax.lax.ppermute(rhi[0], 'y', up)], axis=0)
             rghi = jnp.concatenate(
                 [jax.lax.ppermute(rlo[0], 'y', down), zpad], axis=0)
-            args = [f, glo[0], ghi[0], rho, rglo, rghi, rlo[0],
-                    rhi[0]]
+            args = [f, glo[0], ghi[0]]
+            if self.x_sharded:
+                args.append(build_xcols(f))
+            args += [rho, rglo, rghi, rlo[0], rhi[0]]
+            if self.x_sharded:
+                args.append(build_rxcols(rho))
             if self.has_mask:
                 args.append(rest[0])
             f2, rho2 = self.kernel(*args)
             glo2 = jax.lax.ppermute(f2[:, -by:], 'y', up)
             ghi2 = jax.lax.ppermute(f2[:, :by], 'y', down)
-            lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2)
+            if self.x_sharded:
+                fxlo, fxhi = _fx_cols(f2, glo2, ghi2)
+                lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2,
+                                                 fxlo, fxhi)
+                c0, cX = stream_rho_edge_cols_2d(g, f2, glo2, ghi2,
+                                                 fxlo, fxhi)
+                rho2 = _patch_cols(rho2, c0, cX)
+            else:
+                lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2)
             return (f2, rho2, lo[None], hi[None], glo2[None],
                     ghi2[None])
 
         def local_init_sc(f):
             glo = jax.lax.ppermute(f[:, -by:], 'y', up)
             ghi = jax.lax.ppermute(f[:, :by], 'y', down)
-            from sailfish_tpu.parallel.halo_multi import \
-                stream_rho_edge_rows_2d
+            from sailfish_tpu.parallel.halo_multi import (
+                stream_rho_edge_cols_2d, stream_rho_edge_rows_2d)
             rho = self.rho_kernel(f)   # edge rows stale (local wrap)
-            lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi)
+            if self.x_sharded:
+                fxlo, fxhi = _fx_cols(f, glo, ghi)
+                lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi,
+                                                 fxlo, fxhi)
+                c0, cX = stream_rho_edge_cols_2d(g, f, glo, ghi,
+                                                 fxlo, fxhi)
+                rho = _patch_cols(rho, c0, cX)
+            else:
+                lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi)
             return (f, rho, lo[None], hi[None], glo[None], ghi[None])
 
+        def local_step_sc_x(f, rho, *rest):
+            """Shan-Chen on an ('x',)-only mesh: y wraps locally, so
+            the carry is just (f, rho) with rho fully fresh (edge
+            columns re-streamed each step)."""
+            from sailfish_tpu.parallel.halo_multi import \
+                stream_rho_edge_cols_2d
+            args = [f, f[:, -by:], f[:, :by], build_xcols(f), rho,
+                    build_rxcols(rho)]
+            if self.has_mask:
+                args.append(rest[0])
+            f2, rho2 = self.kernel(*args)
+            glo2 = f2[:, -by:]
+            ghi2 = f2[:, :by]
+            fxlo, fxhi = _fx_cols(f2, glo2, ghi2)
+            c0, cX = stream_rho_edge_cols_2d(g, f2, glo2, ghi2,
+                                             fxlo, fxhi)
+            return (f2, _patch_cols(rho2, c0, cX))
+
+        def local_init_sc_x(f):
+            from sailfish_tpu.parallel.halo_multi import \
+                stream_rho_edge_cols_2d
+            rho = self.rho_kernel(f)   # edge lanes stale (local wrap)
+            glo = f[:, -by:]
+            ghi = f[:, :by]
+            fxlo, fxhi = _fx_cols(f, glo, ghi)
+            c0, cX = stream_rho_edge_cols_2d(g, f, glo, ghi,
+                                             fxlo, fxhi)
+            return (f, _patch_cols(rho, c0, cX))
+
         in_specs = [self._fspec]
+        yax = 'y' if self.y_sharded else None
+        xax = 'x' if self.x_sharded else None
         if self.sc:
-            SPECS = (P(None, 'y', None),      # f
-                     P('y', None),            # rho
-                     P('y', None, None),      # rlo
-                     P('y', None, None),      # rhi
-                     P('y', None, None, None),  # glo
-                     P('y', None, None, None))  # ghi
+            if self.y_sharded:
+                SPECS = (P(None, yax, xax),        # f
+                         P(yax, xax),              # rho
+                         P(yax, None, xax),        # rlo
+                         P(yax, None, xax),        # rhi
+                         P(yax, None, None, xax),  # glo
+                         P(yax, None, None, xax))  # ghi
+                sc_step_fn, sc_init_fn = local_step_sc, local_init_sc
+            else:
+                SPECS = (P(None, None, xax), P(None, xax))
+                sc_step_fn, sc_init_fn = local_step_sc_x, \
+                    local_init_sc_x
             in_specs = list(SPECS)
         if self.has_mask:
             in_specs.append(mspec)
@@ -726,11 +827,10 @@ class ShardedPallasStep2D:
             in_specs.append(P(None, 'y', None, None, None))
         if self.sc:
             self._sharded_step = shard_map(
-                local_step_sc, mesh=mesh, in_specs=tuple(in_specs),
+                sc_step_fn, mesh=mesh, in_specs=tuple(in_specs),
                 out_specs=SPECS, check_vma=False)
             self._sharded_init = shard_map(
-                local_init_sc, mesh=mesh,
-                in_specs=(P(None, 'y', None),),
+                sc_init_fn, mesh=mesh, in_specs=(SPECS[0],),
                 out_specs=SPECS, check_vma=False)
         else:
             self._sharded_step = shard_map(

@@ -650,7 +650,8 @@ class ShardedPallasFE3D:
         return self.crop_state(carry)
 
 
-def stream_rho_edge_rows_2d(grid, f, glo_blk, ghi_blk):
+def stream_rho_edge_rows_2d(grid, f, glo_blk, ghi_blk,
+                            fxlo=None, fxhi=None):
     """Post-stream density of the two local edge y-rows from the 2D
     post-collision state ``f`` (Q, Y, X) and the ppermuted neighbor
     boundary BLOCKS (glo_blk = below-neighbor's top rows, ghi_blk =
@@ -658,22 +659,78 @@ def stream_rho_edge_rows_2d(grid, f, glo_blk, ghi_blk):
     row of each is read). Source selection, roll and summation order
     identical to make_rho_kernel_2d / the in-kernel emission, so
     sharded results stay BITWISE equal to the single-device fused
-    engine. Returns (row_0, row_Ym1), each (1, X)."""
+    engine. Returns (row_0, row_Ym1), each (1, X).
+
+    ``fxlo``/``fxhi`` ((Q, Y+2); x-sharded meshes): the LEFT
+    neighbor's column X-1 / the RIGHT neighbor's column 0, extended
+    with their y-ghost entries (rows -1 and Y; the diagonal corners).
+    The x-roll's wrapped lane is overwritten from them, so the rows'
+    own corner lanes are correct too."""
+    Y = f.shape[1]
+    X = f.shape[2]
+    xi = jnp.arange(X)[None, :]
     lo = hi = None
     for i in range(grid.Q):
         cx = int(grid.basis[i][0])
         cy = int(grid.basis[i][1])
         if cy == 1:
             r_lo, r_hi = glo_blk[i, -1:], f[i, -2:-1]
+            src_lo, src_hi = -1, Y - 2
         elif cy == 0:
             r_lo, r_hi = f[i, 0:1], f[i, -1:]
+            src_lo, src_hi = 0, Y - 1
         else:
             r_lo, r_hi = f[i, 1:2], ghi_blk[i, :1]
+            src_lo, src_hi = 1, Y
         if cx:
             r_lo = jnp.roll(r_lo, cx, axis=1)
             r_hi = jnp.roll(r_hi, cx, axis=1)
+            if fxlo is not None:
+                # roll by +cx: cx=+1 wraps lane 0 (true source x=-1,
+                # the left neighbor's column X-1); cx=-1 wraps lane
+                # X-1 (the right neighbor's column 0)
+                ext = fxlo if cx == 1 else fxhi
+                lane = 0 if cx == 1 else X - 1
+                r_lo = jnp.where(xi == lane, ext[i, src_lo + 1], r_lo)
+                r_hi = jnp.where(xi == lane, ext[i, src_hi + 1], r_hi)
         lo = r_lo if lo is None else lo + r_lo
         hi = r_hi if hi is None else hi + r_hi
+    return lo, hi
+
+
+def stream_rho_edge_cols_2d(grid, f, glo_blk, ghi_blk, fxlo, fxhi):
+    """Post-stream density of the two local edge COLUMNS (x=0 and
+    x=X-1, all local rows) for x-sharded 2D Shan-Chen stepping -- the
+    lanes the in-kernel emission wraps locally. ``glo_blk``/``ghi_blk``
+    resolve the cross-row sources (the y-neighbors' boundary blocks,
+    or the local wrap copies on a y-unsharded mesh); ``fxlo``/``fxhi``
+    as in stream_rho_edge_rows_2d. Source selection and summation
+    order match the emission, so the values are bitwise the
+    single-device ones. Returns (col_0, col_Xm1), each (Y,)."""
+    Y = f.shape[1]
+    X = f.shape[2]
+    lo = hi = None
+    for i in range(grid.Q):
+        cx = int(grid.basis[i][0])
+        cy = int(grid.basis[i][1])
+
+        def col_rows(c, i=i, cy=cy):
+            """(Y,) rows y - cy of column c, ghosts from the blocks."""
+            ext = jnp.concatenate(
+                [glo_blk[i, -1:, c], f[i, :, c], ghi_blk[i, :1, c]])
+            return ext[1 - cy:Y + 1 - cy]
+
+        if cx == 1:
+            c_lo = fxlo[i, 1 - cy:Y + 1 - cy]     # source x = -1
+            c_hi = col_rows(X - 2)
+        elif cx == -1:
+            c_lo = col_rows(1)
+            c_hi = fxhi[i, 1 - cy:Y + 1 - cy]     # source x = X
+        else:
+            c_lo = col_rows(0)
+            c_hi = col_rows(X - 1)
+        lo = c_lo if lo is None else lo + c_lo
+        hi = c_hi if hi is None else hi + c_hi
     return lo, hi
 
 

@@ -359,10 +359,11 @@ class SubdomainRunner:
                          and list(self.mesh.axis_names)
                          in (['z'], ['z', 'y']))
                         or (self.sim.dim == 2
-                            and list(self.mesh.axis_names) == ['y'])):
+                            and list(self.mesh.axis_names)
+                            in (['y'], ['x'], ['y', 'x']))):
                     reasons.append(
                         "Shan-Chen shards fused on 3D z / ('z','y') "
-                        'meshes or a 2D y-mesh only')
+                        "meshes or 2D y / x / ('y','x') meshes only")
             if b.equilibrium != 'bgk':
                 reasons.append(f'equilibrium={b.equilibrium}')
             if not (b.body_force is None

@@ -592,3 +592,60 @@ def test_sharded_fe_3d_two_axis_zy_wetting():
     for j in range(3, 15):   # edges, faces, gy, pr
         assert np.array_equal(np.asarray(carry[j]),
                               np.asarray(ref[j])), j
+
+
+@pytest.mark.slow
+def test_sharded_sc_single_2d_x_sharded():
+    """Single-component Shan-Chen on x-sharded 2D meshes ('2x2' and
+    the x-heavy '1x4'): the psi wrap lanes read raw-rho neighbor
+    columns (kernel rxcol input) and the carried rho's edge columns
+    are re-streamed in XLA each step (stream_rho_edge_cols_2d).
+    Fields match single-device to the documented 1-ulp FMA epsilon;
+    the carried rho is bitwise reproducible from the carried f."""
+    import jax
+    from sailfish_tpu.models.single import LBSingleFluidShanChen
+    from sailfish_tpu.parallel.halo import ShardedPallasStep2D
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    class Sep2(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            pass
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = np.random.RandomState(7).rand(
+                *sim.rho.shape) / 100 + 0.693
+
+    class S2(LBSingleFluidShanChen):
+        subdomain = Sep2
+
+        @classmethod
+        def update_defaults(cls, d):
+            d.update(dict(G=-5.0, visc=1.0 / 6.0, periodic_x=True,
+                          periodic_y=True, sc_potential='classic'))
+
+    dims = dict(lat_nx=256, lat_ny=128, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(S2, dims, '')
+    for mesh in ('2x2', '1x4'):
+        r, fs_n = _run_sharded(S2, dims, mesh)
+        assert isinstance(r._pallas, ShardedPallasStep2D)
+        assert r._pallas.sc and r._pallas.x_sharded
+        for a, b in zip(fs_1, fs_n):
+            assert np.max(np.abs(a - b)) < 1e-6, mesh
+
+        # carried rho must bitwise match a from-scratch recompute
+        p = r._pallas
+        carry = p.pad_state(r.f)
+        carry = jax.lax.fori_loop(0, 3, lambda i, c: p.step(c, i),
+                                  carry)
+        ref_c = p._sharded_init(carry[0])
+        rho = np.asarray(carry[1])
+        ref = np.asarray(ref_c[1])
+        yl = rho.shape[0] // p.nshards
+        for s in range(p.nshards):
+            blk = rho[s * yl:(s + 1) * yl]
+            rb = ref[s * yl:(s + 1) * yl]
+            # interior rows everywhere; edge rows at the (fresh)
+            # edge columns
+            assert np.array_equal(blk[1:-1], rb[1:-1]), mesh
+            assert np.array_equal(blk[:, :1], rb[:, :1]), mesh
+            assert np.array_equal(blk[:, -1:], rb[:, -1:]), mesh
