@@ -35,7 +35,7 @@ from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
 
 def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                             interpret=False, emit_rho=False,
-                            edge_io=False):
+                            edge_io=False, x_ghosts=False):
     """fused(f_0..f_{K-1}, glo_0..glo_{K-1}, ghi_0..ghi_{K-1},
     rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1}).
 
@@ -67,7 +67,17 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     epilogue's emissions stay as-is: the values they write into rows
     0 / Y-1 are wrong on a shard but never read (stale-by-contract).
     Signature becomes fused(f.., glo.., ghi.., rho.., rglo.., rghi..,
-    rlo.., rhi..[, mask]) -> (f'.., rho_next..)."""
+    rlo.., rhi..[, mask]) -> (f'.., rho_next..).
+
+    ``x_ghosts`` (x-sharded meshes, requires ``emit_rho``): the
+    K-component port of the single-fluid mode
+    (pallas_step2d.make_kernel_2d): per component, a (Y, 128) fp32
+    input of post-roll f wrap columns (lane j = direction xdirs[j])
+    and a (Y, 128) input of RAW-rho neighbor columns for the psi wrap
+    lanes (lane 3*side + (dy+1); psi applied in-kernel so the
+    substituted lane is bitwise the single-device value). The carried
+    rho arrays arrive with their edge COLUMNS already re-streamed
+    fresh by the caller (halo_multi.stream_rho_edge_cols_2d)."""
     b0 = mbuilder.b0
     g = mbuilder.grid
     Q = g.Q
@@ -88,6 +98,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         return 1.0 - jnp.exp(-x) if classic else x
     assert Y % by == 0
     assert not (edge_io and not emit_rho)
+    assert not (x_ghosts and not emit_rho)
+    xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
     NB = Y // by
     if NB < 4:
         raise NotImplementedError(
@@ -105,6 +117,10 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             rghi_hbm = [refs[idx + c] for c in range(K)]; idx += K
             rlo_hbm = [refs[idx + c] for c in range(K)]; idx += K
             rhi_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        xcol_hbm = rxcol_hbm = None
+        if x_ghosts:
+            xcol_hbm = [refs[idx + c] for c in range(K)]; idx += K
+            rxcol_hbm = [refs[idx + c] for c in range(K)]; idx += K
         mask_hbm = None
         if has_mask:
             mask_hbm = refs[idx]; idx += 1
@@ -127,6 +143,10 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         redge_buf = None
         if edge_io:
             redge_buf = refs[idx]; idx += 1   # (2, K, 1, X) rlo/rhi
+        xcol_buf = rxcol_buf = None
+        if x_ghosts:
+            xcol_buf = refs[idx]; idx += 1    # (2, K, by, 128)
+            rxcol_buf = refs[idx]; idx += 1   # (2, K, by, 128)
         in_sems = refs[idx]; idx += 1      # DMA (4, 2*K+1)
         out_sems = refs[idx]; idx += 1     # DMA (2, K)
         remit_sems = None
@@ -135,6 +155,10 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         redge_sems = None
         if edge_io:
             redge_sems = refs[idx]; idx += 1  # DMA (2, K)
+        xcol_sems = rxcol_sems = None
+        if x_ghosts:
+            xcol_sems = refs[idx]; idx += 1   # DMA (2, K)
+            rxcol_sems = refs[idx]; idx += 1  # DMA (2, K)
 
         k = pl.program_id(0)
 
@@ -188,6 +212,26 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                     out_hbm[c].at[:, pl.ds(0, by)],
                     out_sems.at[oslot, c]).wait()
 
+        def start_xcol(b, slot):
+            for c in range(K):
+                pltpu.make_async_copy(
+                    xcol_hbm[c].at[pl.ds(b * by, by)],
+                    xcol_buf.at[slot, c], xcol_sems.at[slot, c]).start()
+                pltpu.make_async_copy(
+                    rxcol_hbm[c].at[pl.ds(b * by, by)],
+                    rxcol_buf.at[slot, c],
+                    rxcol_sems.at[slot, c]).start()
+
+        def wait_xcol(slot):
+            for c in range(K):
+                pltpu.make_async_copy(
+                    xcol_hbm[c].at[pl.ds(0, by)],
+                    xcol_buf.at[slot, c], xcol_sems.at[slot, c]).wait()
+                pltpu.make_async_copy(
+                    rxcol_hbm[c].at[pl.ds(0, by)],
+                    rxcol_buf.at[slot, c],
+                    rxcol_sems.at[slot, c]).wait()
+
         s_prev = jax.lax.rem(k - 1 + 4 * NB, 4)
         s_cur = jax.lax.rem(k, 4)
         s_next = jax.lax.rem(k + 1, 4)
@@ -200,6 +244,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                         rsrc=rglo_hbm if edge_io else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
+            if x_ghosts:
+                start_xcol(0, jnp.int32(0))
             if edge_io:
                 # fresh local edge rows, persistent for the whole grid
                 copies = []
@@ -226,6 +272,13 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         def _():
             start_block(k + 2, s_pref, fsrc=ghi_hbm,
                         rsrc=rghi_hbm if edge_io else None)
+
+        if x_ghosts:
+            # ghost-column blocks ride a 2-slot pipeline of their own
+            # (see pallas_step2d.make_kernel_2d)
+            @pl.when(k + 1 < NB)
+            def _():
+                start_xcol(k + 1, jax.lax.rem(k + 1, 2))
 
         wait_block(s_next)
 
@@ -273,6 +326,9 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
 
         # -- gather + roll all components -----------------------------------
+        xslot = jax.lax.rem(k, 2)
+        if x_ghosts:
+            wait_xcol(xslot)
         fs = []
         for c in range(K):
             comp = []
@@ -280,7 +336,20 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                 cx, cy = int(basis[i][0]), int(basis[i][1])
                 plane = rows_shifted(c * Q + i, cy)
                 if cx:
-                    plane = pltpu.roll(plane, cx % X, axis=1)
+                    if x_ghosts:
+                        # static lane concat with the neighbor column
+                        # standing in for the wrapped lane (see
+                        # pallas_step2d.make_kernel_2d)
+                        j = xdirs.index(i)
+                        col = xcol_buf[xslot, c][:, j:j + 1]
+                        if cx == 1:
+                            plane = jnp.concatenate(
+                                [col, plane[:, :X - 1]], axis=1)
+                        else:
+                            plane = jnp.concatenate(
+                                [plane[:, 1:], col], axis=1)
+                    else:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
                 comp.append(plane)
             fs.append(comp)
 
@@ -319,7 +388,22 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                 cx, cy = int(basis[i][0]), int(basis[i][1])
                 p = psi_rows_c[c][cy]
                 if cx:
-                    p = pltpu.roll(p, (-cx) % X, axis=1)
+                    if x_ghosts:
+                        # shift for a sample at x + cx with the wrap
+                        # lane from the neighbor's raw-rho column,
+                        # psi applied in-kernel (bitwise the
+                        # single-device value)
+                        lane = (0 if cx == 1 else 1) * 3 + (cy + 1)
+                        col = psi(
+                            rxcol_buf[xslot, c][:, lane:lane + 1])
+                        if cx == 1:
+                            p = jnp.concatenate(
+                                [p[:, 1:], col], axis=1)
+                        else:
+                            p = jnp.concatenate(
+                                [col, p[:, :X - 1]], axis=1)
+                    else:
+                        p = pltpu.roll(p, (-cx) % X, axis=1)
                 w = float(g.weights[i])
                 for a in range(2):
                     cc = int(basis[i][a])
@@ -488,7 +572,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(jax.lax.rem(k + 1, 2))
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
-        (8 if edge_io else 4) * K)
+        ((8 if edge_io else 4) + (2 if x_ghosts else 0)) * K)
     scratch = [
         pltpu.VMEM((4, K * Q, by, X), dtype),
         pltpu.VMEM((2, K * Q, by, X), dtype),
@@ -504,12 +588,18 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         scratch.append(pltpu.VMEM((2, K, by, X), dtype))   # remit
     if edge_io:
         scratch.append(pltpu.VMEM((2, K, 1, X), dtype))    # redge
+    if x_ghosts:
+        scratch.append(pltpu.VMEM((2, K, by, 128), dtype))  # xcol
+        scratch.append(pltpu.VMEM((2, K, by, 128), dtype))  # rxcol
     scratch.append(pltpu.SemaphoreType.DMA((4, 2 * K + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # remit
     if edge_io:
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # redge
+    if x_ghosts:
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # xcol
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # rxcol
 
     n_out = 2 * K if emit_rho else K
     out_shape = tuple(jax.ShapeDtypeStruct((Q, Y, X), dtype)

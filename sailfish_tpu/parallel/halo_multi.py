@@ -735,13 +735,20 @@ def stream_rho_edge_cols_2d(grid, f, glo_blk, ghi_blk, fxlo, fxhi):
 
 
 class ShardedPallasSCMulti2D:
-    """y-sharded fused stepping for 2D Shan-Chen mixtures (K
-    components; walls/obstacles only, like the single-device kernel).
+    """Sharded fused stepping for 2D Shan-Chen mixtures (K components;
+    walls/obstacles only, like the single-device kernel) on ('y',),
+    ('x',) and ('y','x') meshes.
 
-    Carry: (fs, rhos, rlos, rhis, glos, ghis) -- K distribution sets,
-    K densities (interior rows emitted in-kernel; the two global edge
-    rows stale-by-contract), K fresh edge-row pairs, K ppermuted
-    post-collision boundary BLOCKS (the kernel's wrap-block ghosts)."""
+    y-sharded carry: (fs, rhos, rlos, rhis, glos, ghis) -- K
+    distribution sets, K densities (interior rows emitted in-kernel;
+    the two global edge rows stale-by-contract), K fresh edge-row
+    pairs, K ppermuted post-collision boundary BLOCKS (the kernel's
+    wrap-block ghosts). x-sharded meshes add the kernel's per-component
+    ghost-column inputs (post-roll f wrap columns + raw-rho psi
+    columns, built per step with ppermute hops) and re-stream the
+    emitted rho's edge COLUMNS in XLA (stream_rho_edge_cols_2d); on an
+    ('x',)-only mesh y wraps locally and the carry is just (fs, rhos)
+    with rho fully fresh."""
 
     def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
         from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
@@ -752,10 +759,13 @@ class ShardedPallasSCMulti2D:
             raise NotImplementedError(
                 'fused 2D multi-component sharding covers Shan-Chen '
                 'mixtures only (free energy uses the XLA engine)')
-        if list(mesh.axis_names) != ['y']:
+        axes = list(mesh.axis_names)
+        if axes not in (['y'], ['x'], ['y', 'x']):
             raise NotImplementedError(
-                'the sharded fused 2D multi-component kernel shards '
-                f'the y axis only; got mesh axes {mesh.axis_names}')
+                'the sharded fused 2D multi-component kernel covers '
+                f"('y',), ('x',) and ('y','x') meshes; got {axes}")
+        self.y_sharded = 'y' in axes
+        self.x_sharded = 'x' in axes
         for c in mbuilder.components:
             if c.model != 'bgk' or c.smagorinsky or c.sc_coupling:
                 raise NotImplementedError(
@@ -763,10 +773,13 @@ class ShardedPallasSCMulti2D:
         Y, X = domain_shape
         self.shape = domain_shape
         self.mesh = mesh
-        self.nshards = mesh.shape['y']
-        assert Y % self.nshards == 0
-        Y_loc = Y // self.nshards
-        check_plane_tiling(Y_loc, X, interpret, dim=2)
+        ny = mesh.shape['y'] if self.y_sharded else 1
+        nx = mesh.shape['x'] if self.x_sharded else 1
+        self.nshards = ny * nx
+        assert Y % ny == 0 and X % nx == 0
+        Y_loc = Y // ny
+        X_loc = X // nx
+        check_plane_tiling(Y_loc, X_loc, interpret, dim=2)
         b0 = mbuilder.b0
         K = self.K = len(mbuilder.components)
         mask_np, patch_rows = classify_nodes(b0.maps)
@@ -775,24 +788,95 @@ class ShardedPallasSCMulti2D:
                 'the fused multi-component 2D kernel covers walls/'
                 'obstacles only; complex-BC scenes use the XLA engine')
         self.has_mask = bool((mask_np != 0).any())
-        by = pick_block_size(mbuilder.grid.Q * K, Y_loc, X)
+        by = pick_block_size(mbuilder.grid.Q * K, Y_loc, X_loc)
         self.by = by
         if Y_loc // by < 4:
             raise NotImplementedError(
                 'sharded 2D multi-component stepping needs >= 4 '
                 f'y-blocks per shard (Y_loc={Y_loc}, by={by})')
+        yax = 'y' if self.y_sharded else None
+        xax = 'x' if self.x_sharded else None
+        mspec = P(yax, xax)
         self.mask_global = None
         if self.has_mask:
             self.mask_global = jax.device_put(
-                jnp.asarray(mask_np),
-                NamedSharding(mesh, P('y', None)))
+                jnp.asarray(mask_np), NamedSharding(mesh, mspec))
         self.kernel = make_kernel_2d_sc_multi(
-            mbuilder, Y_loc, X, by=by, has_mask=self.has_mask,
-            emit_rho=True, edge_io=True, interpret=interpret)
-        self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X, by=by,
+            mbuilder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
+            emit_rho=True, edge_io=self.y_sharded,
+            x_ghosts=self.x_sharded, interpret=interpret)
+        self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X_loc, by=by,
                                              interpret=interpret)
-        up, down = _ring(self.nshards)
+        up, down = _ring(ny)
+        upx, downx = _ring(nx)
         g = mbuilder.grid
+        basis = g.basis
+        xdirs = [i for i in range(g.Q) if int(basis[i][0]) != 0]
+
+        def build_xcols(f_local):
+            """Per-component (Y_loc, 128) post-roll f wrap columns
+            (the K-component twin of parallel.halo's build_xcols;
+            lane j = direction xdirs[j], cross-shard rows resolved
+            with a second ppermute hop)."""
+            recv_last = jax.lax.ppermute(
+                f_local[:, :, X_loc - 1], 'x', upx)
+            recv_first = jax.lax.ppermute(f_local[:, :, 0], 'x', downx)
+            cols = []
+            for i in xdirs:
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                src = recv_last[i] if cx == 1 else recv_first[i]
+                if cy:
+                    shifted = jnp.roll(src, cy)
+                    if self.y_sharded:
+                        if cy == 1:
+                            e = jax.lax.ppermute(
+                                src[Y_loc - 1:], 'y', up)
+                            shifted = jnp.concatenate(
+                                [e, shifted[1:]], axis=0)
+                        else:
+                            e = jax.lax.ppermute(src[:1], 'y', down)
+                            shifted = jnp.concatenate(
+                                [shifted[:-1], e], axis=0)
+                    src = shifted
+                cols.append(src)
+            xc = jnp.stack(cols, axis=1).astype(jnp.float32)
+            return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+        def build_rxcols(rho_f):
+            """(Y_loc, 128) raw-rho psi ghost columns (lane
+            3*side + (dy+1); see parallel.halo's build_rxcols)."""
+            def ext(col):
+                if self.y_sharded:
+                    e_lo = jax.lax.ppermute(col[-1:], 'y', up)
+                    e_hi = jax.lax.ppermute(col[:1], 'y', down)
+                else:
+                    e_lo, e_hi = col[-1:], col[:1]
+                return jnp.concatenate([e_lo, col, e_hi])
+            rxR = jax.lax.ppermute(ext(rho_f[:, 0]), 'x', downx)
+            rxL = jax.lax.ppermute(ext(rho_f[:, X_loc - 1]), 'x', upx)
+            lanes = [se[1 + dy:Y_loc + 1 + dy]
+                     for se in (rxR, rxL) for dy in (-1, 0, 1)]
+            rx = jnp.stack(lanes, axis=1)
+            return jnp.pad(rx, ((0, 0), (0, 128 - 6)))
+
+        def _f_col_ext(f2, c, glo_blk, ghi_blk):
+            """(Q, Y+2) column c extended with the y-ghost entries
+            (rows -1 and Y) from the boundary blocks."""
+            return jnp.concatenate(
+                [glo_blk[:, -1:, c], f2[:, :, c], ghi_blk[:, :1, c]],
+                axis=1)
+
+        def _fx_cols(f2, glo_blk, ghi_blk):
+            fxlo = jax.lax.ppermute(
+                _f_col_ext(f2, X_loc - 1, glo_blk, ghi_blk), 'x', upx)
+            fxhi = jax.lax.ppermute(
+                _f_col_ext(f2, 0, glo_blk, ghi_blk), 'x', downx)
+            return fxlo, fxhi
+
+        def _patch_cols(rho2, c0, cX):
+            xi = jnp.arange(X_loc)[None, :]
+            rho2 = jnp.where(xi == 0, c0[:, None], rho2)
+            return jnp.where(xi == X_loc - 1, cX[:, None], rho2)
 
         def local_step(*args):
             i = 0
@@ -806,7 +890,7 @@ class ShardedPallasSCMulti2D:
             # ghost rho blocks: only their boundary row is consumed by
             # the kernel; build them around the neighbors' fresh edge
             # rows
-            zpad = jnp.zeros((by - 1, X), fs[0].dtype)
+            zpad = jnp.zeros((by - 1, X_loc), fs[0].dtype)
             rglos = [jnp.concatenate(
                 [zpad, jax.lax.ppermute(r[0], 'y', up)], axis=0)
                 for r in rhis]
@@ -816,18 +900,29 @@ class ShardedPallasSCMulti2D:
             kargs = (fs + [gl[0] for gl in glos]
                      + [gh[0] for gh in ghis] + rhos + rglos + rghis
                      + [r[0] for r in rlos] + [r[0] for r in rhis])
+            if self.x_sharded:
+                kargs += [build_xcols(f) for f in fs]
+                kargs += [build_rxcols(r) for r in rhos]
             if self.has_mask:
                 kargs.append(mask)
             out = self.kernel(*kargs)
             fs2 = out[:K]
-            rhos2 = out[K:]
+            rhos2 = list(out[K:])
             glos2 = [jax.lax.ppermute(f[:, -by:], 'y', up) for f in fs2]
             ghis2 = [jax.lax.ppermute(f[:, :by], 'y', down)
                      for f in fs2]
             los, his = [], []
             for c in range(K):
-                lo, hi = stream_rho_edge_rows_2d(
-                    g, fs2[c], glos2[c], ghis2[c])
+                if self.x_sharded:
+                    fxlo, fxhi = _fx_cols(fs2[c], glos2[c], ghis2[c])
+                    lo, hi = stream_rho_edge_rows_2d(
+                        g, fs2[c], glos2[c], ghis2[c], fxlo, fxhi)
+                    c0, cX = stream_rho_edge_cols_2d(
+                        g, fs2[c], glos2[c], ghis2[c], fxlo, fxhi)
+                    rhos2[c] = _patch_cols(rhos2[c], c0, cX)
+                else:
+                    lo, hi = stream_rho_edge_rows_2d(
+                        g, fs2[c], glos2[c], ghis2[c])
                 los.append(lo[None])
                 his.append(hi[None])
             return (tuple(fs2) + tuple(rhos2) + tuple(los)
@@ -842,28 +937,75 @@ class ShardedPallasSCMulti2D:
             rhos = [self.rho_kernel(f) for f in fs]
             los, his = [], []
             for c, f in enumerate(fs):
-                lo, hi = stream_rho_edge_rows_2d(
-                    g, f, glos[c], ghis[c])
+                if self.x_sharded:
+                    fxlo, fxhi = _fx_cols(f, glos[c], ghis[c])
+                    lo, hi = stream_rho_edge_rows_2d(
+                        g, f, glos[c], ghis[c], fxlo, fxhi)
+                    c0, cX = stream_rho_edge_cols_2d(
+                        g, f, glos[c], ghis[c], fxlo, fxhi)
+                    rhos[c] = _patch_cols(rhos[c], c0, cX)
+                else:
+                    lo, hi = stream_rho_edge_rows_2d(
+                        g, f, glos[c], ghis[c])
                 los.append(lo[None])
                 his.append(hi[None])
             return (tuple(fs) + tuple(rhos) + tuple(los) + tuple(his)
                     + tuple(f[None] for f in glos)
                     + tuple(f[None] for f in ghis))
 
-        FSPEC = P(None, 'y', None)
-        RSPEC = P('y', None)
-        ESPEC = P('y', None, None)
-        GSPEC = P('y', None, None, None)
-        carry_specs = ((FSPEC,) * K + (RSPEC,) * K + (ESPEC,) * 2 * K
-                       + (GSPEC,) * 2 * K)
+        def local_step_x(*args):
+            """('x',)-only mesh: y wraps locally, carry (fs, rhos)."""
+            fs = list(args[:K])
+            rhos = list(args[K:2 * K])
+            kargs = (fs + [f[:, -by:] for f in fs]
+                     + [f[:, :by] for f in fs] + rhos
+                     + [build_xcols(f) for f in fs]
+                     + [build_rxcols(r) for r in rhos])
+            if self.has_mask:
+                kargs.append(args[2 * K])
+            out = self.kernel(*kargs)
+            fs2 = out[:K]
+            rhos2 = list(out[K:])
+            for c in range(K):
+                glo2 = fs2[c][:, -by:]
+                ghi2 = fs2[c][:, :by]
+                fxlo, fxhi = _fx_cols(fs2[c], glo2, ghi2)
+                c0, cX = stream_rho_edge_cols_2d(
+                    g, fs2[c], glo2, ghi2, fxlo, fxhi)
+                rhos2[c] = _patch_cols(rhos2[c], c0, cX)
+            return tuple(fs2) + tuple(rhos2)
+
+        def local_init_x(*fs):
+            rhos = [self.rho_kernel(f) for f in fs]
+            out = []
+            for c, f in enumerate(fs):
+                glo = f[:, -by:]
+                ghi = f[:, :by]
+                fxlo, fxhi = _fx_cols(f, glo, ghi)
+                c0, cX = stream_rho_edge_cols_2d(
+                    g, f, glo, ghi, fxlo, fxhi)
+                out.append(_patch_cols(rhos[c], c0, cX))
+            return tuple(fs) + tuple(out)
+
+        FSPEC = P(None, yax, xax)
+        RSPEC = P(yax, xax)
+        if self.y_sharded:
+            ESPEC = P(yax, None, xax)
+            GSPEC = P(yax, None, None, xax)
+            carry_specs = ((FSPEC,) * K + (RSPEC,) * K
+                           + (ESPEC,) * 2 * K + (GSPEC,) * 2 * K)
+            step_fn, init_fn = local_step, local_init
+        else:
+            carry_specs = (FSPEC,) * K + (RSPEC,) * K
+            step_fn, init_fn = local_step_x, local_init_x
         in_specs = carry_specs
         if self.has_mask:
-            in_specs = in_specs + (P('y', None),)
+            in_specs = in_specs + (mspec,)
         self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=in_specs,
+            step_fn, mesh=mesh, in_specs=in_specs,
             out_specs=carry_specs, check_vma=False)
         self._sharded_init = shard_map(
-            local_init, mesh=mesh, in_specs=(FSPEC,) * K,
+            init_fn, mesh=mesh, in_specs=(FSPEC,) * K,
             out_specs=carry_specs, check_vma=False)
 
     @property

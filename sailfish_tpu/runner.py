@@ -291,15 +291,19 @@ class SubdomainRunner:
                     'on the XLA engine only')
             if self.mesh is not None:
                 axes = list(self.mesh.axis_names)
+                is_sc_multi = isinstance(b, ShanChenMultiStepBuilder)
                 mesh_ok = (
                     (self.sim.dim == 3
                      and axes in (['z'], ['z', 'y']))
-                    or (self.sim.dim == 2 and axes == ['y']))
+                    or (self.sim.dim == 2
+                        and (axes in (['y'], ['x'], ['y', 'x'])
+                             if is_sc_multi else axes == ['y'])))
                 if not mesh_ok:
                     reasons.append(
                         "multi-component scenes shard fused on 3D "
-                        "z / ('z','y') meshes or 2D y meshes only; "
-                        f'got {axes}')
+                        "z / ('z','y') meshes, 2D y / x / ('y','x') "
+                        "(Shan-Chen) or 2D y (free energy) meshes "
+                        f'only; got {axes}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons

@@ -649,3 +649,34 @@ def test_sharded_sc_single_2d_x_sharded():
             assert np.array_equal(blk[1:-1], rb[1:-1]), mesh
             assert np.array_equal(blk[:, :1], rb[:, :1]), mesh
             assert np.array_equal(blk[:, -1:], rb[:, -1:]), mesh
+
+
+@pytest.mark.slow
+def test_sharded_sc_multi_2d_x_sharded():
+    """Binary SC mixture on x-sharded 2D meshes ('2x2' and the x-heavy
+    '1x4'): the K-component port of the single-fluid ghost-column mode
+    -- per-component post-roll f wrap columns + raw-rho psi columns,
+    emitted rho edge columns re-streamed in XLA. Fields match
+    single-device to the documented 1-ulp FMA epsilon."""
+    from sc_separation_2d import SeparationSCSim
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasSCMulti2D
+    dims = dict(lat_nx=256, lat_ny=128, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationSCSim, dims, '')
+    for mesh in ('2x2', '1x4'):
+        r, fs_n = _run_sharded(SeparationSCSim, dims, mesh)
+        assert isinstance(r._pallas, ShardedPallasSCMulti2D)
+        assert r._pallas.x_sharded
+        for a, b in zip(fs_1, fs_n):
+            assert np.max(np.abs(a - b)) < 1e-6, mesh
+
+
+@pytest.mark.slow
+def test_sharded_sc_multi_2d_x_walls_gravity():
+    """Rayleigh-Taylor (walls + per-component gravity) on the x-heavy
+    ('y','x') mesh: the in-kernel mask shards over both axes."""
+    from sc_rayleigh_taylor_2d import RayleighTaylorSCSim
+    dims = dict(lat_nx=128, lat_ny=256, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(RayleighTaylorSCSim, dims, '')
+    _, fs_n = _run_sharded(RayleighTaylorSCSim, dims, '1x4')
+    for a, b in zip(fs_1, fs_n):
+        assert np.max(np.abs(a - b)) < 1e-6
