@@ -150,6 +150,39 @@ CASES = {
                                    dict(lat_nx=1024, lat_ny=1024,
                                         model='elbm',
                                         precision='mixed')),
+    # sharding-machinery overhead vs per-shard size (one-chip meshes;
+    # the 128^3 rows above are the small end of the table)
+    'd3q19_bgk_ldc_256_zmesh1': ('ldc_3d', 3,
+                                 dict(lat_nx=256, lat_ny=256,
+                                      lat_nz=256, mesh='1')),
+    'd3q19_bgk_ldc_256_zymesh1': ('ldc_3d', 3,
+                                  dict(lat_nx=256, lat_ny=256,
+                                       lat_nz=256, mesh='1x1')),
+    'd3q19_sc_single_256_zmesh1': ('sc_phase_separation_3d', 3,
+                                   dict(lat_nx=256, lat_ny=256,
+                                        lat_nz=256, mesh='1')),
+    'd3q19_sc_single_256_zymesh1': ('sc_phase_separation_3d', 3,
+                                    dict(lat_nx=256, lat_ny=256,
+                                         lat_nz=256, mesh='1x1')),
+    'bin_d3q19_sc_256_zmesh1': ('binary_fluid.sc_separation_3d', 3,
+                                dict(lat_nx=256, lat_ny=256,
+                                     lat_nz=256, mesh='1')),
+    'bin_d3q19_sc_256_zymesh1': ('binary_fluid.sc_separation_3d', 3,
+                                 dict(lat_nx=256, lat_ny=256,
+                                      lat_nz=256, mesh='1x1')),
+    'd2q9_bgk_tg_4096': ('taylor_green_2d', 2,
+                         dict(lat_nx=4096, lat_ny=4096, visc=0.01)),
+    'd2q9_bgk_tg_4096_yxmesh1': ('taylor_green_2d', 2,
+                                 dict(lat_nx=4096, lat_ny=4096,
+                                      visc=0.01, mesh='1x1')),
+    # 2D x-sharded multi-component Shan-Chen (per-component ghost
+    # columns; parallel.halo_multi.ShardedPallasSCMulti2D)
+    'bin_d2q9_sc_1024_yxmesh1': ('binary_fluid.sc_separation_2d', 2,
+                                 dict(lat_nx=1024, lat_ny=1024,
+                                      mesh='1x1')),
+    'd2q9_sc_single_1024_yxmesh1': ('sc_phase_separation', 2,
+                                    dict(lat_nx=1024, lat_ny=1024,
+                                         mesh='1x1')),
 }
 
 SIM_CLASSES = {

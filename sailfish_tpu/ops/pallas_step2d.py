@@ -104,10 +104,13 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         assert sc and not patch_blocks and not dyn_patches
     assert not (edge_io and not emit_rho)
     # x_ghosts composes with sc (x-sharded Shan-Chen: the psi wrap
-    # lanes read raw-rho neighbor columns, see rxcol below); patches
-    # still fall back
-    assert not (x_ghosts and (patch_blocks or dyn_patches))
+    # lanes read raw-rho neighbor columns, see rxcol below) and with
+    # dyn_patches (the patch planes are computed globally by the
+    # sharded caller, so cross-seam samples are already resolved);
+    # static patch_blocks is the single-device path and never x-shards
+    assert not (x_ghosts and patch_blocks)
     assert not (x_ghosts and sc and not emit_rho)
+    assert not (x_ghosts and sc and dyn_patches)
     xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
 
     if NB < 4:
@@ -346,11 +349,15 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         def _():
             wait_out(oslot)
 
+        # wait the ghost-column slot OUTSIDE the patch branch: patch
+        # programs consume no columns but must keep the start/wait
+        # pairing of the 2-slot pipeline aligned
+        xblk = None
+        if x_ghosts:
+            wait_xcol(jax.lax.rem(k, 2))
+            xblk = xcol_buf[jax.lax.rem(k, 2)]       # (by, 128) fp32
+
         def normal_body():
-            xblk = None
-            if x_ghosts:
-                wait_xcol(jax.lax.rem(k, 2))
-                xblk = xcol_buf[jax.lax.rem(k, 2)]   # (by, 128) fp32
             fs = []
             for i in range(Q):
                 cx, cy = int(basis[i][0]), int(basis[i][1])

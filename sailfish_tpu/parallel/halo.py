@@ -503,8 +503,10 @@ class ShardedPallasStep2D:
     blocks replaced by ppermute'd neighbor boundary blocks and (when x
     is sharded) its x-roll wrap lanes overwritten from ppermute'd
     neighbor ghost columns; complex-BC y-blocks go through the same
-    dynamic patch mode as 3D (y-sharding only -- patch windows pull
-    across x-shard seams). The 2-axis corner values flow by a second
+    dynamic patch mode as 3D (the patch planes are computed on the
+    GLOBAL pre-step array outside shard_map, so GSPMD resolves their
+    cross-seam window samples, and arrive x-sharded). The 2-axis
+    corner values flow by a second
     ppermute hop of the ghost columns' edge entries, the TPU analog of
     the reference's corner/edge partial transfers
     (subdomain_connection.py:238-449)."""
@@ -552,11 +554,12 @@ class ShardedPallasStep2D:
             raise NotImplementedError(
                 f'{len(patch_blocks)}/{Y // by} y-blocks need complex-BC '
                 'patches; use the XLA engine for this scene')
-        if patch_blocks and self.x_sharded:
+        if patch_blocks and self.x_sharded and \
+                builder.sc_coupling != 0.0:
             raise NotImplementedError(
-                'complex-BC patch windows pull across x-shard seams; '
-                'x-sharded 2D fused stepping covers mask-class BCs '
-                '(bounce-back/keep) only')
+                'x-sharded Shan-Chen with complex-BC blocks would '
+                'need psi sampling inside the patch windows; use the '
+                'XLA engine')
         self.has_patches = bool(patch_blocks)
         self.has_mask = bool((mask_np != 0).any())
         self.mask_global = None
@@ -582,7 +585,9 @@ class ShardedPallasStep2D:
                     pmap[s, bl] = j
                     self._slot_of_block[s * NB_loc + bl] = (s, j)
             self.pmap_global = jax.device_put(
-                jnp.asarray(pmap), NamedSharding(mesh, P('y', None)))
+                jnp.asarray(pmap),
+                NamedSharding(mesh, P('y' if self.y_sharded else None,
+                                      None)))
             self.patch_subs = []
             for b in patch_blocks:
                 box = (slice(b * by, (b + 1) * by), slice(0, X))
@@ -675,7 +680,8 @@ class ShardedPallasStep2D:
                 args.append(rest[r]); r += 1
             if self.has_patches:
                 args.append(rest[r].reshape(-1)); r += 1
-                args.append(rest[r].reshape(g.Q, self.P, by, X)); r += 1
+                args.append(
+                    rest[r].reshape(g.Q, self.P, by, X_loc)); r += 1
             return self.kernel(*args)
 
         def _f_col_ext(f2, c, glo_blk, ghi_blk):
@@ -823,8 +829,8 @@ class ShardedPallasStep2D:
         if self.has_mask:
             in_specs.append(mspec)
         if self.has_patches:
-            in_specs.append(P('y', None))
-            in_specs.append(P(None, 'y', None, None, None))
+            in_specs.append(P(yax, None))
+            in_specs.append(P(None, yax, None, None, xax))
         if self.sc:
             self._sharded_step = shard_map(
                 sc_step_fn, mesh=mesh, in_specs=tuple(in_specs),
@@ -854,7 +860,10 @@ class ShardedPallasStep2D:
             cols.append(jnp.stack(slots, axis=1))
         out = jnp.stack(cols, axis=1)       # (Q, S, P, by, X)
         return jax.lax.with_sharding_constraint(
-            out, NamedSharding(self.mesh, P(None, 'y', None, None, None)))
+            out, NamedSharding(
+                self.mesh,
+                P(None, 'y' if self.y_sharded else None, None, None,
+                  'x' if self.x_sharded else None)))
 
     @property
     def padded(self):

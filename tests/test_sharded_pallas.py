@@ -666,3 +666,30 @@ def test_pallas3d_yrow_patches_wall_families(wall):
     assert np.max(np.abs(vx_p - vx_x)) < 2e-6
     assert np.max(np.abs(vy_p - vy_x)) < 2e-6
     assert np.max(np.abs(rho_p - rho_x)) < 2e-6
+
+
+@pytest.mark.slow
+def test_sharded_pallas2d_x_sharded_lid():
+    """Complex-BC (velocity lid) scenes on x-sharded 2D meshes: the
+    dynamic patch planes are computed on the GLOBAL pre-step array
+    outside shard_map (GSPMD resolves the windows' cross-seam
+    samples) and arrive x-sharded. LDC on 2x2 and the x-heavy 1x4
+    vs the XLA engine."""
+    from ldc_2d import LDCSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(sim_cls, mesh, engine, **cfg):
+        ctrl = LBSimulationController(sim_cls, default_config=dict(
+            quiet=True, mesh=mesh, engine=engine, **cfg))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    cfg = dict(lat_nx=256, lat_ny=128, max_iters=20, every=20)
+    _, vx_ref, rho_ref = run(LDCSim, '', 'xla', **cfg)
+    for mesh in ('2x2', '1x4'):
+        engine, vx, rho = run(LDCSim, mesh, 'pallas', **cfg)
+        assert engine == 'pallas'
+        assert np.max(np.abs(vx - vx_ref)) < 1e-6, mesh
+        assert np.max(np.abs(rho - rho_ref)) < 1e-5, mesh
