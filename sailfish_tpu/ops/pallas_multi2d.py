@@ -632,7 +632,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 
 def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                       wetting=False, interpret=False, emit_rho=False,
-                      edge_io=False):
+                      edge_io=False, x_ghosts=False):
     """Fused binary free-energy step (reference lb_binary_fluid.mako):
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi_field[, mask][, orient])
     -> (f0', f1').
@@ -659,7 +659,16 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     inputs ``pelo``/``pehi``, and with ``wetting`` the orientation
     wrap blocks come from static ghost inputs ``oglo``/``oghi``.
     Signature: fused(f0, f1, glo0, glo1, ghi0, ghi1, phi, pglo, pghi,
-    pelo, pehi[, mask][, orient, oglo, oghi]) -> (f0', f1', phi')."""
+    pelo, pehi[, mask][, orient, oglo, oghi]) -> (f0', f1', phi').
+
+    ``x_ghosts`` (x-sharded meshes, requires ``emit_rho``, excludes
+    ``wetting`` -- the wall mirror's x-reach is two columns): per
+    component a (Y, 128) fp32 input of post-roll f wrap columns (lane
+    j = direction xdirs[j]) and ONE (Y, 128) input of raw-phi
+    neighbor columns for the stencil wrap lanes (lane 3*side +
+    (dy+1)), exactly the SC kernel's scheme; the emitted phi's edge
+    columns are stale-by-contract (the caller re-streams them). The
+    carried phi arrives with fresh edge columns."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -681,6 +690,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                    for f in mbuilder.body_forces]
     assert Y % by == 0
     assert not (edge_io and not emit_rho)
+    assert not (x_ghosts and not emit_rho)
+    assert not (x_ghosts and wetting)
+    xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
     NB = Y // by
     if NB < 4:
         raise NotImplementedError(
@@ -698,6 +710,10 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             pghi_hbm = refs[idx]; idx += 1
             pelo_hbm = refs[idx]; idx += 1
             pehi_hbm = refs[idx]; idx += 1
+        xcol_hbm = pxcol_hbm = None
+        if x_ghosts:
+            xcol_hbm = [refs[idx], refs[idx + 1]]; idx += 2
+            pxcol_hbm = refs[idx]; idx += 1
         mask_hbm = orient_hbm = None
         oglo_hbm = oghi_hbm = None
         if has_mask:
@@ -728,6 +744,10 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         pedge_buf = None
         if edge_io:
             pedge_buf = refs[idx]; idx += 1   # (2, 1, X) pelo/pehi
+        xcol_buf = pxcol_buf = None
+        if x_ghosts:
+            xcol_buf = refs[idx]; idx += 1    # (2, 2, by, 128)
+            pxcol_buf = refs[idx]; idx += 1   # (2, by, 128)
         in_sems = refs[idx]; idx += 1      # DMA (4, 5)
         out_sems = refs[idx]; idx += 1     # DMA (2, 2)
         remit_sems = None
@@ -736,6 +756,10 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         pedge_sems = None
         if edge_io:
             pedge_sems = refs[idx]; idx += 1  # DMA (2,)
+        xcol_sems = pxcol_sems = None
+        if x_ghosts:
+            xcol_sems = refs[idx]; idx += 1   # DMA (2, 2)
+            pxcol_sems = refs[idx]; idx += 1  # DMA (2,)
 
         k = pl.program_id(0)
 
@@ -793,6 +817,24 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                     out_hbm[c].at[:, pl.ds(0, by)],
                     out_sems.at[oslot, c]).wait()
 
+        def start_xcol(b, slot):
+            for c in range(2):
+                pltpu.make_async_copy(
+                    xcol_hbm[c].at[pl.ds(b * by, by)],
+                    xcol_buf.at[slot, c], xcol_sems.at[slot, c]).start()
+            pltpu.make_async_copy(
+                pxcol_hbm.at[pl.ds(b * by, by)],
+                pxcol_buf.at[slot], pxcol_sems.at[slot]).start()
+
+        def wait_xcol(slot):
+            for c in range(2):
+                pltpu.make_async_copy(
+                    xcol_hbm[c].at[pl.ds(0, by)],
+                    xcol_buf.at[slot, c], xcol_sems.at[slot, c]).wait()
+            pltpu.make_async_copy(
+                pxcol_hbm.at[pl.ds(0, by)],
+                pxcol_buf.at[slot], pxcol_sems.at[slot]).wait()
+
         s_prev = jax.lax.rem(k - 1 + 4 * NB, 4)
         s_cur = jax.lax.rem(k, 4)
         s_next = jax.lax.rem(k + 1, 4)
@@ -806,6 +848,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                         osrc=oglo_hbm if edge_io and wetting else None)
             start_block(0, jnp.int32(0))
             start_block(1, jnp.int32(1))
+            if x_ghosts:
+                start_xcol(0, jnp.int32(0))
             if edge_io:
                 # fresh local phi edge rows, persistent for the grid
                 c0 = pltpu.make_async_copy(pelo_hbm, pedge_buf.at[0],
@@ -828,6 +872,13 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             start_block(k + 2, s_pref, fsrc=ghi_hbm,
                         psrc=pghi_hbm if edge_io else None,
                         osrc=oghi_hbm if edge_io and wetting else None)
+
+        if x_ghosts:
+            # ghost-column blocks ride a 2-slot pipeline of their own
+            # (see pallas_step2d.make_kernel_2d)
+            @pl.when(k + 1 < NB)
+            def _():
+                start_xcol(k + 1, jax.lax.rem(k + 1, 2))
 
         wait_block(s_next)
 
@@ -868,6 +919,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         def _():
             wait_out(oslot)
 
+        xslot = jax.lax.rem(k, 2)
+        if x_ghosts:
+            wait_xcol(xslot)
         fs = []
         for c in range(2):
             comp = []
@@ -875,7 +929,20 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                 cx, cy = int(basis[i][0]), int(basis[i][1])
                 plane = rows_shifted(c * Q + i, cy)
                 if cx:
-                    plane = pltpu.roll(plane, cx % X, axis=1)
+                    if x_ghosts:
+                        # static lane concat with the neighbor column
+                        # standing in for the wrapped lane (see
+                        # pallas_step2d.make_kernel_2d)
+                        j = xdirs.index(i)
+                        col = xcol_buf[xslot, c][:, j:j + 1]
+                        if cx == 1:
+                            plane = jnp.concatenate(
+                                [col, plane[:, :X - 1]], axis=1)
+                        else:
+                            plane = jnp.concatenate(
+                                [plane[:, 1:], col], axis=1)
+                    else:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
                 comp.append(plane)
             fs.append(comp)
 
@@ -913,6 +980,17 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         def at(cx, cy):
             p = pw[cy]
             if cx:
+                if x_ghosts:
+                    # shift for a sample at x + cx with the wrap lane
+                    # from the neighbor's raw-phi column (x_ghosts
+                    # excludes wetting, so raw phi IS phi_w)
+                    lane = (0 if cx == 1 else 1) * 3 + (cy + 1)
+                    col = pxcol_buf[xslot][:, lane:lane + 1]
+                    if cx == 1:
+                        return jnp.concatenate(
+                            [p[:, 1:], col], axis=1)
+                    return jnp.concatenate(
+                        [col, p[:, :X - 1]], axis=1)
                 p = pltpu.roll(p, (-cx) % X, axis=1)
             return p
 
@@ -1102,7 +1180,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
             wait_out(oslot)
             wait_out(jax.lax.rem(k + 1, 2))
 
-    n_in = (7 + (4 if edge_io else 0) + (1 if has_mask else 0)
+    n_in = (7 + (4 if edge_io else 0) + (3 if x_ghosts else 0)
+            + (1 if has_mask else 0)
             + ((3 if edge_io else 1) if wetting else 0))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [
@@ -1121,12 +1200,18 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         scratch.append(pltpu.VMEM((2, by, X), dtype))  # remit
     if edge_io:
         scratch.append(pltpu.VMEM((2, 1, X), dtype))   # pedge
+    if x_ghosts:
+        scratch.append(pltpu.VMEM((2, 2, by, 128), dtype))  # xcol
+        scratch.append(pltpu.VMEM((2, by, 128), dtype))     # pxcol
     scratch.append(pltpu.SemaphoreType.DMA((4, 5)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     if emit_rho:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))  # remit
     if edge_io:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))  # pedge
+    if x_ghosts:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))  # xcol
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))    # pxcol
 
     n_out = 3 if emit_rho else 2
     out_shape = [jax.ShapeDtypeStruct((Q, Y, X), dtype),

@@ -1034,29 +1034,45 @@ class ShardedPallasSCMulti2D:
 
 
 class ShardedPallasFE2D:
-    """y-sharded fused stepping for 2D binary free-energy scenes
-    (walls/obstacles + wetting, like the single-device kernel).
+    """Sharded fused stepping for 2D binary free-energy scenes
+    (walls/obstacles + wetting, like the single-device kernel) on
+    ('y',), ('x',) and ('y','x') meshes (wetting: y-only -- the wall
+    mirror reaches two columns across x seams).
 
-    Carry: (f0, f1, phi, pelo, pehi, glo0, glo1, ghi0, ghi1). The phi
-    wrap blocks are assembled per step from the carried phi + fresh
-    edge rows and ppermuted (their boundary rows must be the
-    neighbors' FRESH edges -- a shard's own emitted rows 0/Y-1 are
-    stale-by-contract); orientation wrap blocks are static."""
+    y-sharded carry: (f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
+    ghi1). The phi wrap blocks are assembled per step from the carried
+    phi + fresh edge rows and ppermuted (their boundary rows must be
+    the neighbors' FRESH edges -- a shard's own emitted rows 0/Y-1 are
+    stale-by-contract); orientation wrap blocks are static. x-sharded
+    meshes add per-component f ghost columns + raw-phi stencil columns
+    and re-stream the emitted phi's edge columns in XLA; an
+    ('x',)-only mesh carries just (f0, f1, phi)."""
 
     def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
         from sailfish_tpu.ops.pallas_multi2d import (
             make_kernel_2d_fe, make_rho_kernel_2d, pick_block_size)
-        if list(mesh.axis_names) != ['y']:
+        axes = list(mesh.axis_names)
+        if axes not in (['y'], ['x'], ['y', 'x']):
             raise NotImplementedError(
-                'the sharded fused 2D FE kernel shards the y axis '
-                f'only; got mesh axes {mesh.axis_names}')
+                "the sharded fused 2D FE kernel covers ('y',), ('x',) "
+                f"and ('y','x') meshes; got {axes}")
+        self.y_sharded = 'y' in axes
+        self.x_sharded = 'x' in axes
+        self.wetting = bool(mbuilder._has_dry_nodes)
+        if self.wetting and self.x_sharded:
+            raise NotImplementedError(
+                "FE wetting scenes shard fused on ('y',) meshes only "
+                '(the wall mirror reaches two columns across x seams)')
         Y, X = domain_shape
         self.shape = domain_shape
         self.mesh = mesh
-        self.nshards = mesh.shape['y']
-        assert Y % self.nshards == 0
-        Y_loc = Y // self.nshards
-        check_plane_tiling(Y_loc, X, interpret, dim=2)
+        ny = mesh.shape['y'] if self.y_sharded else 1
+        nx = mesh.shape['x'] if self.x_sharded else 1
+        self.nshards = ny * nx
+        assert Y % ny == 0 and X % nx == 0
+        Y_loc = Y // ny
+        X_loc = X // nx
+        check_plane_tiling(Y_loc, X_loc, interpret, dim=2)
         b0 = mbuilder.b0
         mask_np, patch_rows = classify_nodes(b0.maps)
         if patch_rows:
@@ -1064,18 +1080,19 @@ class ShardedPallasFE2D:
                 'the fused FE 2D kernel covers walls/obstacles only; '
                 'complex-BC scenes use the XLA engine')
         self.has_mask = bool((mask_np != 0).any())
-        self.wetting = bool(mbuilder._has_dry_nodes)
-        by = pick_block_size(mbuilder.grid.Q * 2, Y_loc, X)
+        by = pick_block_size(mbuilder.grid.Q * 2, Y_loc, X_loc)
         self.by = by
         if Y_loc // by < 4:
             raise NotImplementedError(
                 'sharded 2D FE stepping needs >= 4 y-blocks per '
                 f'shard (Y_loc={Y_loc}, by={by})')
+        yax = 'y' if self.y_sharded else None
+        xax = 'x' if self.x_sharded else None
+        mspec = P(yax, xax)
         self.mask_global = None
         if self.has_mask:
             self.mask_global = jax.device_put(
-                jnp.asarray(mask_np),
-                NamedSharding(mesh, P('y', None)))
+                jnp.asarray(mask_np), NamedSharding(mesh, mspec))
         self.orient_global = None
         if self.wetting:
             orient_np = np.asarray(mbuilder._dry_orient)
@@ -1100,13 +1117,79 @@ class ShardedPallasFE2D:
                 jnp.asarray(oghi),
                 NamedSharding(mesh, P('y', None, None)))
         self.kernel = make_kernel_2d_fe(
-            mbuilder, Y_loc, X, by=by, has_mask=self.has_mask,
-            wetting=self.wetting, emit_rho=True, edge_io=True,
+            mbuilder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
+            wetting=self.wetting, emit_rho=True,
+            edge_io=self.y_sharded, x_ghosts=self.x_sharded,
             interpret=interpret)
-        self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X, by=by,
+        self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X_loc, by=by,
                                              interpret=interpret)
-        up, down = _ring(self.nshards)
+        up, down = _ring(ny)
+        upx, downx = _ring(nx)
         g = mbuilder.grid
+        basis = g.basis
+        xdirs = [i for i in range(g.Q) if int(basis[i][0]) != 0]
+
+        def build_xcols(f_local):
+            """Per-component (Y_loc, 128) post-roll f wrap columns
+            (see ShardedPallasSCMulti2D.build_xcols)."""
+            recv_last = jax.lax.ppermute(
+                f_local[:, :, X_loc - 1], 'x', upx)
+            recv_first = jax.lax.ppermute(f_local[:, :, 0], 'x', downx)
+            cols = []
+            for i in xdirs:
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                src = recv_last[i] if cx == 1 else recv_first[i]
+                if cy:
+                    shifted = jnp.roll(src, cy)
+                    if self.y_sharded:
+                        if cy == 1:
+                            e = jax.lax.ppermute(
+                                src[Y_loc - 1:], 'y', up)
+                            shifted = jnp.concatenate(
+                                [e, shifted[1:]], axis=0)
+                        else:
+                            e = jax.lax.ppermute(src[:1], 'y', down)
+                            shifted = jnp.concatenate(
+                                [shifted[:-1], e], axis=0)
+                    src = shifted
+                cols.append(src)
+            xc = jnp.stack(cols, axis=1).astype(jnp.float32)
+            return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+        def build_pxcols(phi_f):
+            """(Y_loc, 128) raw-phi ghost columns for the stencil wrap
+            lanes (lane 3*side + (dy+1); the phi twin of
+            ShardedPallasSCMulti2D.build_rxcols)."""
+            def ext(col):
+                if self.y_sharded:
+                    e_lo = jax.lax.ppermute(col[-1:], 'y', up)
+                    e_hi = jax.lax.ppermute(col[:1], 'y', down)
+                else:
+                    e_lo, e_hi = col[-1:], col[:1]
+                return jnp.concatenate([e_lo, col, e_hi])
+            pxR = jax.lax.ppermute(ext(phi_f[:, 0]), 'x', downx)
+            pxL = jax.lax.ppermute(ext(phi_f[:, X_loc - 1]), 'x', upx)
+            lanes = [se[1 + dy:Y_loc + 1 + dy]
+                     for se in (pxR, pxL) for dy in (-1, 0, 1)]
+            px = jnp.stack(lanes, axis=1)
+            return jnp.pad(px, ((0, 0), (0, 128 - 6)))
+
+        def _f_col_ext(f2, c, glo_blk, ghi_blk):
+            return jnp.concatenate(
+                [glo_blk[:, -1:, c], f2[:, :, c], ghi_blk[:, :1, c]],
+                axis=1)
+
+        def _fx_cols(f2, glo_blk, ghi_blk):
+            fxlo = jax.lax.ppermute(
+                _f_col_ext(f2, X_loc - 1, glo_blk, ghi_blk), 'x', upx)
+            fxhi = jax.lax.ppermute(
+                _f_col_ext(f2, 0, glo_blk, ghi_blk), 'x', downx)
+            return fxlo, fxhi
+
+        def _patch_cols(phi2, c0, cX):
+            xi = jnp.arange(X_loc)[None, :]
+            phi2 = jnp.where(xi == 0, c0[:, None], phi2)
+            return jnp.where(xi == X_loc - 1, cX[:, None], phi2)
 
         def local_step(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
                        ghi1, *rest):
@@ -1120,6 +1203,9 @@ class ShardedPallasFE2D:
                 'y', down)
             kargs = [f0, f1, glo0[0], glo1[0], ghi0[0], ghi1[0],
                      phi, pglo, pghi, pelo[0], pehi[0]]
+            if self.x_sharded:
+                kargs += [build_xcols(f0), build_xcols(f1),
+                          build_pxcols(phi)]
             r = 0
             if self.has_mask:
                 kargs.append(rest[r]); r += 1
@@ -1131,7 +1217,16 @@ class ShardedPallasFE2D:
             glo1_2 = jax.lax.ppermute(f1_2[:, -by:], 'y', up)
             ghi0_2 = jax.lax.ppermute(f0_2[:, :by], 'y', down)
             ghi1_2 = jax.lax.ppermute(f1_2[:, :by], 'y', down)
-            lo, hi = stream_rho_edge_rows_2d(g, f1_2, glo1_2, ghi1_2)
+            if self.x_sharded:
+                fxlo, fxhi = _fx_cols(f1_2, glo1_2, ghi1_2)
+                lo, hi = stream_rho_edge_rows_2d(
+                    g, f1_2, glo1_2, ghi1_2, fxlo, fxhi)
+                c0, cX = stream_rho_edge_cols_2d(
+                    g, f1_2, glo1_2, ghi1_2, fxlo, fxhi)
+                phi2 = _patch_cols(phi2, c0, cX)
+            else:
+                lo, hi = stream_rho_edge_rows_2d(
+                    g, f1_2, glo1_2, ghi1_2)
             return (f0_2, f1_2, phi2, lo[None], hi[None],
                     glo0_2[None], glo1_2[None], ghi0_2[None],
                     ghi1_2[None])
@@ -1142,28 +1237,66 @@ class ShardedPallasFE2D:
             ghi0 = jax.lax.ppermute(f0[:, :by], 'y', down)
             ghi1 = jax.lax.ppermute(f1[:, :by], 'y', down)
             phi = self.rho_kernel(f1)   # edge rows stale (local wrap)
-            lo, hi = stream_rho_edge_rows_2d(g, f1, glo1, ghi1)
+            if self.x_sharded:
+                fxlo, fxhi = _fx_cols(f1, glo1, ghi1)
+                lo, hi = stream_rho_edge_rows_2d(
+                    g, f1, glo1, ghi1, fxlo, fxhi)
+                c0, cX = stream_rho_edge_cols_2d(
+                    g, f1, glo1, ghi1, fxlo, fxhi)
+                phi = _patch_cols(phi, c0, cX)
+            else:
+                lo, hi = stream_rho_edge_rows_2d(g, f1, glo1, ghi1)
             return (f0, f1, phi, lo[None], hi[None], glo0[None],
                     glo1[None], ghi0[None], ghi1[None])
 
-        FSPEC = P(None, 'y', None)
-        RSPEC = P('y', None)
-        ESPEC = P('y', None, None)
-        GSPEC = P('y', None, None, None)
-        carry_specs = (FSPEC, FSPEC, RSPEC, ESPEC, ESPEC,
-                       GSPEC, GSPEC, GSPEC, GSPEC)
+        def local_step_x(f0, f1, phi, *rest):
+            """('x',)-only mesh: y wraps locally, carry (f0, f1, phi)
+            with phi fully fresh (edge columns re-streamed)."""
+            kargs = [f0, f1, f0[:, -by:], f1[:, -by:], f0[:, :by],
+                     f1[:, :by], phi, build_xcols(f0),
+                     build_xcols(f1), build_pxcols(phi)]
+            if self.has_mask:
+                kargs.append(rest[0])
+            f0_2, f1_2, phi2 = self.kernel(*kargs)
+            glo2 = f1_2[:, -by:]
+            ghi2 = f1_2[:, :by]
+            fxlo, fxhi = _fx_cols(f1_2, glo2, ghi2)
+            c0, cX = stream_rho_edge_cols_2d(g, f1_2, glo2, ghi2,
+                                             fxlo, fxhi)
+            return (f0_2, f1_2, _patch_cols(phi2, c0, cX))
+
+        def local_init_x(f0, f1):
+            phi = self.rho_kernel(f1)   # edge lanes stale (local wrap)
+            glo = f1[:, -by:]
+            ghi = f1[:, :by]
+            fxlo, fxhi = _fx_cols(f1, glo, ghi)
+            c0, cX = stream_rho_edge_cols_2d(g, f1, glo, ghi,
+                                             fxlo, fxhi)
+            return (f0, f1, _patch_cols(phi, c0, cX))
+
+        FSPEC = P(None, yax, xax)
+        RSPEC = P(yax, xax)
+        if self.y_sharded:
+            ESPEC = P(yax, None, xax)
+            GSPEC = P(yax, None, None, xax)
+            carry_specs = (FSPEC, FSPEC, RSPEC, ESPEC, ESPEC,
+                           GSPEC, GSPEC, GSPEC, GSPEC)
+            step_fn, init_fn = local_step, local_init
+        else:
+            carry_specs = (FSPEC, FSPEC, RSPEC)
+            step_fn, init_fn = local_step_x, local_init_x
         in_specs = carry_specs
         if self.has_mask:
-            in_specs = in_specs + (P('y', None),)
+            in_specs = in_specs + (mspec,)
         if self.wetting:
             in_specs = in_specs + (P('y', None),
                                    P('y', None, None),
                                    P('y', None, None))
         self._sharded_step = shard_map(
-            local_step, mesh=mesh, in_specs=in_specs,
+            step_fn, mesh=mesh, in_specs=in_specs,
             out_specs=carry_specs, check_vma=False)
         self._sharded_init = shard_map(
-            local_init, mesh=mesh, in_specs=(FSPEC, FSPEC),
+            init_fn, mesh=mesh, in_specs=(FSPEC, FSPEC),
             out_specs=carry_specs, check_vma=False)
 
     @property

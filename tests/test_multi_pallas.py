@@ -680,3 +680,32 @@ def test_sharded_sc_multi_2d_x_walls_gravity():
     _, fs_n = _run_sharded(RayleighTaylorSCSim, dims, '1x4')
     for a, b in zip(fs_1, fs_n):
         assert np.max(np.abs(a - b)) < 1e-6
+
+
+@pytest.mark.slow
+def test_sharded_fe_2d_x_sharded():
+    """Non-wetting binary FE on x-sharded 2D meshes ('2x2', '1x4'):
+    f ghost columns + raw-phi stencil columns, emitted phi edge
+    columns re-streamed in XLA. Epsilon-gated vs single device."""
+    from fe_separation_2d import SeparationFESim
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasFE2D
+    dims = dict(lat_nx=256, lat_ny=128, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(SeparationFESim, dims, '')
+    for mesh in ('2x2', '1x4'):
+        r, fs_n = _run_sharded(SeparationFESim, dims, mesh)
+        assert isinstance(r._pallas, ShardedPallasFE2D)
+        assert r._pallas.x_sharded
+        for a, b in zip(fs_1, fs_n):
+            assert np.max(np.abs(a - b)) < 1e-6, mesh
+
+
+@pytest.mark.slow
+def test_sharded_fe_2d_wetting_x_falls_back():
+    """FE wetting on an x-sharded mesh must NOT silently run fused:
+    the runner reports the named blocker and uses the XLA engine."""
+    from fe_poiseuille_2d import FEPoiseuilleSim
+    dims = dict(lat_nx=128, lat_ny=64, max_iters=5, every=5)
+    ctrl = LBSimulationController(FEPoiseuilleSim, default_config=dict(
+        quiet=True, engine='auto', mesh='1x2', **dims))
+    ctrl.run(ignore_cmdline=True)
+    assert ctrl._runner.engine == 'xla'
