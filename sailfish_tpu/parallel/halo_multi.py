@@ -1036,8 +1036,7 @@ class ShardedPallasSCMulti2D:
 class ShardedPallasFE2D:
     """Sharded fused stepping for 2D binary free-energy scenes
     (walls/obstacles + wetting, like the single-device kernel) on
-    ('y',), ('x',) and ('y','x') meshes (wetting: y-only -- the wall
-    mirror reaches two columns across x seams).
+    ('y',), ('x',) and ('y','x') meshes.
 
     y-sharded carry: (f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
     ghi1). The phi wrap blocks are assembled per step from the carried
@@ -1059,10 +1058,15 @@ class ShardedPallasFE2D:
         self.y_sharded = 'y' in axes
         self.x_sharded = 'x' in axes
         self.wetting = bool(mbuilder._has_dry_nodes)
-        if self.wetting and self.x_sharded:
-            raise NotImplementedError(
-                "FE wetting scenes shard fused on ('y',) meshes only "
-                '(the wall mirror reaches two columns across x seams)')
+        # x-sharded wetting: the wall mirror widens the phi stencil's
+        # x-reach to two columns, beyond the ghost-column machinery --
+        # so the mirror moves OUT of the kernel (the 2D twin of
+        # ShardedPallasFE3D.wetting_zy): each step computes the
+        # wetting-adjusted phi_w in XLA from the carried raw-phi
+        # materials (selects + one subtract, same order as the
+        # in-kernel mirror) and feeds the kernel's non-wetting
+        # x_ghosts mode, shipping already-adjusted phi_w columns.
+        self.wetting_x = self.wetting and self.x_sharded
         Y, X = domain_shape
         self.shape = domain_shape
         self.mesh = mesh
@@ -1094,7 +1098,11 @@ class ShardedPallasFE2D:
             self.mask_global = jax.device_put(
                 jnp.asarray(mask_np), NamedSharding(mesh, mspec))
         self.orient_global = None
-        if self.wetting:
+        if self.wetting_x:
+            orient_np = np.asarray(mbuilder._dry_orient)
+            self.orient_global = jax.device_put(
+                jnp.asarray(orient_np), NamedSharding(mesh, mspec))
+        elif self.wetting:
             orient_np = np.asarray(mbuilder._dry_orient)
             self.orient_global = jax.device_put(
                 jnp.asarray(orient_np),
@@ -1118,9 +1126,9 @@ class ShardedPallasFE2D:
                 NamedSharding(mesh, P('y', None, None)))
         self.kernel = make_kernel_2d_fe(
             mbuilder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
-            wetting=self.wetting, emit_rho=True,
-            edge_io=self.y_sharded, x_ghosts=self.x_sharded,
-            interpret=interpret)
+            wetting=self.wetting and not self.x_sharded,
+            emit_rho=True, edge_io=self.y_sharded,
+            x_ghosts=self.x_sharded, interpret=interpret)
         self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X_loc, by=by,
                                              interpret=interpret)
         up, down = _ring(ny)
@@ -1191,27 +1199,75 @@ class ShardedPallasFE2D:
             phi2 = jnp.where(xi == 0, c0[:, None], phi2)
             return jnp.where(xi == X_loc - 1, cX[:, None], phi2)
 
+        wall_grad = mbuilder.wall_grad_phase
+        orient_vecs = [(int(v[0]), int(v[1]))
+                       for v in g.orientation_vectors]
+
+        def _phi_w_local(phi_f, row_m1, row_Y, col_m1, col_X, orient):
+            """Wetting-adjusted phi over the local shard, computed in
+            XLA (the wetting_x mode; the 1-axis path mirrors
+            in-kernel, pallas_multi2d.phi_w_rows -- same select +
+            subtract order). ``phi_f`` must have FRESH edge rows and
+            columns; the orientation vectors are axis-aligned units,
+            so each mirror read crosses at most one shard face and
+            every source is in the carried materials."""
+            yi = jnp.arange(Y_loc)[:, None]
+            xi = jnp.arange(X_loc)[None, :]
+            wg = jnp.asarray(wall_grad, phi_f.dtype)
+            out = phi_f
+            for kk, (ex, ey) in enumerate(orient_vecs):
+                if ey:
+                    neigh = jnp.roll(phi_f, -ey, axis=0)
+                    if ey == 1:
+                        neigh = jnp.where(yi == Y_loc - 1, row_Y,
+                                          neigh)
+                    else:
+                        neigh = jnp.where(yi == 0, row_m1, neigh)
+                else:
+                    neigh = jnp.roll(phi_f, -ex, axis=1)
+                    if ex == 1:
+                        neigh = jnp.where(xi == X_loc - 1,
+                                          col_X[:, None], neigh)
+                    else:
+                        neigh = jnp.where(xi == 0, col_m1[:, None],
+                                          neigh)
+                out = jnp.where(orient == kk + 1, neigh - wg, out)
+            return out
+
         def local_step(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
                        ghi1, *rest):
+            r = 1 if self.has_mask else 0
+            phi_k, pelo_k, pehi_k = phi, pelo[0], pehi[0]
+            if self.wetting_x:
+                # fresh-rowed raw phi -> XLA-side wetting mirror (see
+                # _phi_w_local); the kernel runs non-wetting on phi_w
+                orient = rest[r]
+                yi = jnp.arange(Y_loc)[:, None]
+                phi_f = jnp.where(yi == 0, pelo[0], phi)
+                phi_f = jnp.where(yi == Y_loc - 1, pehi[0], phi_f)
+                row_m1 = jax.lax.ppermute(pehi[0], 'y', up)
+                row_Y = jax.lax.ppermute(pelo[0], 'y', down)
+                pxraw = build_pxcols(phi_f)
+                phi_k = _phi_w_local(phi_f, row_m1, row_Y,
+                                     pxraw[:, 4], pxraw[:, 1], orient)
+                pelo_k, pehi_k = phi_k[0:1], phi_k[-1:]
             # phi wrap blocks: boundary rows replaced with the FRESH
             # edge rows before the ppermute
             pglo = jax.lax.ppermute(
-                jnp.concatenate([phi[-by:-1], pehi[0]], axis=0),
+                jnp.concatenate([phi_k[-by:-1], pehi_k], axis=0),
                 'y', up)
             pghi = jax.lax.ppermute(
-                jnp.concatenate([pelo[0], phi[1:by]], axis=0),
+                jnp.concatenate([pelo_k, phi_k[1:by]], axis=0),
                 'y', down)
             kargs = [f0, f1, glo0[0], glo1[0], ghi0[0], ghi1[0],
-                     phi, pglo, pghi, pelo[0], pehi[0]]
+                     phi_k, pglo, pghi, pelo_k, pehi_k]
             if self.x_sharded:
                 kargs += [build_xcols(f0), build_xcols(f1),
-                          build_pxcols(phi)]
-            r = 0
+                          build_pxcols(phi_k)]
             if self.has_mask:
-                kargs.append(rest[r]); r += 1
-            if self.wetting:
+                kargs.append(rest[0])
+            if self.wetting and not self.wetting_x:
                 kargs += [rest[r], rest[r + 1][0], rest[r + 2][0]]
-                r += 3
             f0_2, f1_2, phi2 = self.kernel(*kargs)
             glo0_2 = jax.lax.ppermute(f0_2[:, -by:], 'y', up)
             glo1_2 = jax.lax.ppermute(f1_2[:, -by:], 'y', up)
@@ -1252,9 +1308,15 @@ class ShardedPallasFE2D:
         def local_step_x(f0, f1, phi, *rest):
             """('x',)-only mesh: y wraps locally, carry (f0, f1, phi)
             with phi fully fresh (edge columns re-streamed)."""
+            phi_k = phi
+            if self.wetting_x:
+                pxraw = build_pxcols(phi)
+                phi_k = _phi_w_local(
+                    phi, phi[-1:], phi[0:1], pxraw[:, 4], pxraw[:, 1],
+                    rest[1 if self.has_mask else 0])
             kargs = [f0, f1, f0[:, -by:], f1[:, -by:], f0[:, :by],
-                     f1[:, :by], phi, build_xcols(f0),
-                     build_xcols(f1), build_pxcols(phi)]
+                     f1[:, :by], phi_k, build_xcols(f0),
+                     build_xcols(f1), build_pxcols(phi_k)]
             if self.has_mask:
                 kargs.append(rest[0])
             f0_2, f1_2, phi2 = self.kernel(*kargs)
@@ -1288,7 +1350,9 @@ class ShardedPallasFE2D:
         in_specs = carry_specs
         if self.has_mask:
             in_specs = in_specs + (mspec,)
-        if self.wetting:
+        if self.wetting_x:
+            in_specs = in_specs + (mspec,)
+        elif self.wetting:
             in_specs = in_specs + (P('y', None),
                                    P('y', None, None),
                                    P('y', None, None))
@@ -1313,7 +1377,9 @@ class ShardedPallasFE2D:
         args = list(carry)
         if self.has_mask:
             args.append(self.mask_global)
-        if self.wetting:
+        if self.wetting_x:
+            args.append(self.orient_global)
+        elif self.wetting:
             args += [self.orient_global, self.orient_lo,
                      self.orient_hi]
         return self._sharded_step(*args)

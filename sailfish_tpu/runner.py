@@ -291,23 +291,16 @@ class SubdomainRunner:
                     'on the XLA engine only')
             if self.mesh is not None:
                 axes = list(self.mesh.axis_names)
-                # FE wetting's wall mirror reaches two columns, beyond
-                # the x ghost-column machinery
-                fe_wet = (isinstance(b, FreeEnergyStepBuilder)
-                          and bool(getattr(b, '_has_dry_nodes',
-                                           False)))
                 mesh_ok = (
                     (self.sim.dim == 3
                      and axes in (['z'], ['z', 'y']))
                     or (self.sim.dim == 2
-                        and (axes == ['y'] if fe_wet
-                             else axes in (['y'], ['x'], ['y', 'x']))))
+                        and axes in (['y'], ['x'], ['y', 'x'])))
                 if not mesh_ok:
                     reasons.append(
                         "multi-component scenes shard fused on 3D "
                         "z / ('z','y') and 2D y / x / ('y','x') "
-                        "meshes (FE wetting: 2D y only); "
-                        f'got {axes}')
+                        f'meshes only; got {axes}')
             if dtype != jnp.float32:
                 reasons.append('fp32 only')
             eligible = not reasons

@@ -700,12 +700,20 @@ def test_sharded_fe_2d_x_sharded():
 
 
 @pytest.mark.slow
-def test_sharded_fe_2d_wetting_x_falls_back():
-    """FE wetting on an x-sharded mesh must NOT silently run fused:
-    the runner reports the named blocker and uses the XLA engine."""
+def test_sharded_fe_2d_wetting_x_sharded():
+    """FE wetting on x-sharded meshes: the wall mirror's x-reach is
+    two columns, so the mirror moves OUT of the kernel -- the step
+    computes the wetting-adjusted phi_w in XLA from the carried
+    raw-phi materials and feeds the kernel's non-wetting x_ghosts
+    mode (the 2D twin of ShardedPallasFE3D.wetting_zy). Walls +
+    wetting + body force, epsilon-gated vs single device."""
     from fe_poiseuille_2d import FEPoiseuilleSim
-    dims = dict(lat_nx=128, lat_ny=64, max_iters=5, every=5)
-    ctrl = LBSimulationController(FEPoiseuilleSim, default_config=dict(
-        quiet=True, engine='auto', mesh='1x2', **dims))
-    ctrl.run(ignore_cmdline=True)
-    assert ctrl._runner.engine == 'xla'
+    from sailfish_tpu.parallel.halo_multi import ShardedPallasFE2D
+    dims = dict(lat_nx=256, lat_ny=128, max_iters=15, every=15)
+    _, fs_1 = _run_sharded(FEPoiseuilleSim, dims, '')
+    for mesh in ('2x2', '1x4'):
+        r, fs_n = _run_sharded(FEPoiseuilleSim, dims, mesh)
+        assert isinstance(r._pallas, ShardedPallasFE2D)
+        assert r._pallas.wetting_x
+        for a, b in zip(fs_1, fs_n):
+            assert np.max(np.abs(a - b)) < 1e-6, mesh
