@@ -29,12 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 from sailfish_tpu.equilibrium import signed_sum
 from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
                                           classify_nodes, cz_groups,
+                                          gy_pad_channels,
                                           make_rho_kernel_3d)
 
 #: scratch gate: the kernels request an explicit vmem_limit (up to
 #: 100 MB -- v5e headroom, see pallas_step.make_kernel_3d), so the
-#: fallback threshold only needs to leave room for Mosaic temporaries
-VMEM_BUDGET = 40 * 2 ** 20
+#: fallback threshold only needs to leave room for Mosaic temporaries.
+#: 64 MB admits binary mixtures at 256x256 planes (42 MB declared,
+#: compiles and runs on v5e -- benchmark/results/model_zoo_v5e.dat
+#: bin_d3q19_sc_256 rows); ternary D3Q19 at 256x256 (~60 MB) is the
+#: practical ceiling before Mosaic temporaries overflow.
+VMEM_BUDGET = 64 * 2 ** 20
 
 
 def _check_vmem(*plane_counts_dtypes, Y, X):
@@ -671,8 +676,9 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         pltpu.VMEM((2, 3 * K, Y, X), dtype),
     ]
     if y_ghosts:
-        scratch.append(pltpu.VMEM((2, K, 3, Q, X), dtype))   # gylo
-        scratch.append(pltpu.VMEM((2, K, 3, Q, X), dtype))   # gyhi
+        Qp = gy_pad_channels(Q)
+        scratch.append(pltpu.VMEM((2, K, 3, Qp, X), dtype))  # gylo
+        scratch.append(pltpu.VMEM((2, K, 3, Qp, X), dtype))  # gyhi
         for _ in range(4):                                   # ry/rr
             scratch.append(pltpu.VMEM((2, K, 3, 1, X), dtype))
     if has_mask:
@@ -1383,8 +1389,9 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         pltpu.VMEM((2, 5, Y, X), dtype),
     ]
     if y_ghosts:
-        scratch.append(pltpu.VMEM((2, 2, 3, Q, X), dtype))   # gylo
-        scratch.append(pltpu.VMEM((2, 2, 3, Q, X), dtype))   # gyhi
+        Qp = gy_pad_channels(Q)
+        scratch.append(pltpu.VMEM((2, 2, 3, Qp, X), dtype))  # gylo
+        scratch.append(pltpu.VMEM((2, 2, 3, Qp, X), dtype))  # gyhi
         for _ in range(4):                                   # py/pr
             scratch.append(pltpu.VMEM((2, 3, 1, X), dtype))
     if has_mask:

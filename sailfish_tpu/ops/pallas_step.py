@@ -170,6 +170,15 @@ def cz_groups(grid):
     return perm, inv, groups
 
 
+def gy_pad_channels(Q, mixed=None):
+    """Padded channel extent of the 3D kernels' (Z+2, Qp, X) gy
+    ghost-row inputs: Mosaic rejects dynamically offset memref slices
+    whose trailing extents are not sublane-tile-aligned (8 for fp32,
+    16 for int16), so the callers pad the Q dim with zeros."""
+    sub_t = 16 if mixed is not None else 8
+    return -(-Q // sub_t) * sub_t
+
+
 # -- the kernel --------------------------------------------------------------
 
 def _moments(builder, fs):
@@ -757,7 +766,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     domain, parallel.halo.ShardedPallasStep3D) the in-VMEM y-roll of
     the pull no longer wraps correctly at the two local y-edge rows,
     so two extra inputs follow the z-ghosts: ``gylo``/``gyhi`` of
-    shape (Z+2, Q, X) holding the y-neighbors' boundary rows (y=Y-1
+    shape (Z+2, Qp, X) -- the channel dim PADDED to the sublane tile
+    (8; 16 under mixed), see the scratch note -- holding the
+    y-neighbors' boundary rows (y=Y-1
     from below, y=0 from above) for every SOURCE plane -1..Z (the +-1
     entries carry the z+y corner rows, which the caller obtains by
     y-ppermuting the z-ghost-extended faces -- the standard two-hop
@@ -1707,8 +1718,15 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # double-buffered staging stays int16
         scratch.append(pltpu.VMEM((Q, k, Y, X), dtype))
     if y_ghosts:
-        scratch.append(pltpu.VMEM((2, k + 2, Q, X), sdtype))
-        scratch.append(pltpu.VMEM((2, k + 2, Q, X), sdtype))
+        # channel dim padded to the sublane tile: Mosaic rejects a
+        # dynamically offset memref slice whose trailing extents are
+        # not tile-aligned (observed at 256^3: slicing (k+2, 19, 256)
+        # of the (Z+2, 19, X) input fails; (k+2, 24, 256) compiles).
+        # The callers ship (Z+2, Qp, X) ghost-row arrays; int16 tiles
+        # are (16, 128), so mixed storage pads to 16.
+        Qp = gy_pad_channels(Q, mixed)
+        scratch.append(pltpu.VMEM((2, k + 2, Qp, X), sdtype))
+        scratch.append(pltpu.VMEM((2, k + 2, Qp, X), sdtype))
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))

@@ -35,6 +35,18 @@ from sailfish_tpu.ops.pallas_step import (
     make_rho_kernel_3d)
 
 
+def pad_gy(a, mixed=None):
+    """Pad a (Z+2, Q, X) gy ghost-row array's channel dim to the 3D
+    kernels' tile-aligned extent (pallas_step.gy_pad_channels); Mosaic
+    rejects dynamically offset slices with unaligned trailing
+    extents."""
+    from sailfish_tpu.ops.pallas_step import gy_pad_channels
+    Qp = gy_pad_channels(a.shape[1], mixed)
+    if Qp == a.shape[1]:
+        return a
+    return jnp.pad(a, ((0, 0), (0, Qp - a.shape[1]), (0, 0)))
+
+
 def stream_rho_edges(grid, ipos, f, glo, ghi, gylo=None, gyhi=None):
     """Post-stream density of the two local edge z-planes from the
     post-collision state ``f`` (kernel layout) and the ppermuted
@@ -268,9 +280,9 @@ class ShardedPallasStep3D:
                      ghost_hi[:, None, 0]], axis=1)    # rows y=0
                 gylo = jax.lax.ppermute(face_hi, 'y', up_y)
                 gyhi = jax.lax.ppermute(face_lo, 'y', down_y)
-                # kernel expects (Z+2, Q, X)
-                args += [jnp.swapaxes(gylo, 0, 1),
-                         jnp.swapaxes(gyhi, 0, 1)]
+                # kernel expects (Z+2, Qp, X), channels tile-padded
+                args += [pad_gy(jnp.swapaxes(gylo, 0, 1), self.mixed),
+                         pad_gy(jnp.swapaxes(gyhi, 0, 1), self.mixed)]
             k = 0
             if self.has_mask:
                 args.append(rest[k]); k += 1
@@ -357,7 +369,8 @@ class ShardedPallasStep3D:
             ryhi_ = jax.lax.ppermute(rrlo_, 'y', down_y)
             rglo_ = jax.lax.ppermute(rhi_, 'z', up)
             rghi_ = jax.lax.ppermute(rlo_, 'z', down)
-            args = [f, glo_, ghi_, gylo_, gyhi_, rho, rglo_, rghi_,
+            args = [f, glo_, ghi_, pad_gy(gylo_), pad_gy(gyhi_),
+                    rho, rglo_, rghi_,
                     rlo_, rhi_, rylo_, ryhi_, rrlo_, rrhi_]
             if self.has_mask:
                 args.append(rest[0])

@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
                                           classify_nodes, cz_groups,
                                           make_rho_kernel_3d)
-from sailfish_tpu.parallel.halo import (stream_rho_edges,
+from sailfish_tpu.parallel.halo import (pad_gy, stream_rho_edges,
                                          stream_rho_edge_rows_3d)
 
 
@@ -163,8 +163,10 @@ class ShardedPallasSCMulti3D:
             rylos = [jax.lax.ppermute(r, 'y', up_y) for r in rrhis]
             ryhis = [jax.lax.ppermute(r, 'y', down_y) for r in rrlos]
             kargs = (fs + glos + ghis + rhos + rglos + rghis
-                     + rlos + rhis + gylos + gyhis + rylos + ryhis
-                     + rrlos + rrhis)
+                     + rlos + rhis
+                     + [pad_gy(a) for a in gylos]
+                     + [pad_gy(a) for a in gyhis]
+                     + rylos + ryhis + rrlos + rrhis)
             if self.has_mask:
                 kargs.append(mask)
             out = self.kernel(*kargs)
@@ -518,14 +520,16 @@ class ShardedPallasFE3D:
                 kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
                          phi_k, lo2, lo1_k, hi1_k, hi2,
                          phi_k[0], phi_k[-1],
-                         gylo0[0, 0], gylo1[0, 0], gyhi0[0, 0],
-                         gyhi1[0, 0], pylo_k, pyhi_k,
+                         pad_gy(gylo0[0, 0]), pad_gy(gylo1[0, 0]),
+                         pad_gy(gyhi0[0, 0]), pad_gy(gyhi1[0, 0]),
+                         pylo_k, pyhi_k,
                          pr_w_lo, pr_w_hi]
             else:
                 kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
                          phi, lo2, lo1, hi1, hi2, pelo_, pehi_,
-                         gylo0[0, 0], gylo1[0, 0], gyhi0[0, 0],
-                         gyhi1[0, 0], pylo_, pyhi_, prlo_, prhi_]
+                         pad_gy(gylo0[0, 0]), pad_gy(gylo1[0, 0]),
+                         pad_gy(gyhi0[0, 0]), pad_gy(gyhi1[0, 0]),
+                         pylo_, pyhi_, prlo_, prhi_]
             if self.has_mask:
                 kargs.append(rest[0])
             f0_2, f1_2, phi2 = self.kernel(*kargs)
