@@ -361,9 +361,10 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
 
         # in-plane periodic shifts of the pull; channel c*Q+ipos[i]
         # holds standard direction i of component c. y-sharded: the
-        # y-roll wrapped one edge row through the LOCAL boundary --
-        # select in the y-neighbor's row (x-shifted by a static lane
-        # concat: Mosaic has no 1D rotate; an exact permutation)
+        # wrapped edge row's post-shift position is STATIC, so the
+        # y-roll and the y-neighbor-row substitution fold into ONE
+        # static sublane concat (see pallas_step.yg_shift_rows; the
+        # later x-roll rotates plane and ghost row together)
         if y_ghosts:
             yg_iota = jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0)
         for c in range(K):
@@ -372,21 +373,21 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                 if cy or cx:
                     ch = c * Q + ipos[i]
                     plane = fs_buf[slot, ch]
-                    if cy:
-                        plane = pltpu.roll(plane, cy % Y, axis=0)
-                    if cx:
-                        plane = pltpu.roll(plane, cx % X, axis=1)
                     if y_ghosts and cy:
                         cz_i = int(basis[i][2])
                         gbuf = gylo_buf if cy == 1 else gyhi_buf
-                        yrow = 0 if cy == 1 else Y - 1
                         row = gbuf[slot, c, pl.ds(1 - cz_i, 1),
                                    ipos[i]]                 # (1, X)
-                        if cx:
-                            sh = (-cx) % X
-                            row = jnp.concatenate(
-                                [row[:, sh:], row[:, :sh]], axis=1)
-                        plane = jnp.where(yg_iota == yrow, row, plane)
+                        if cy == 1:
+                            plane = jnp.concatenate(
+                                [row, plane[:Y - 1]], axis=0)
+                        else:
+                            plane = jnp.concatenate(
+                                [plane[1:], row], axis=0)
+                    elif cy:
+                        plane = pltpu.roll(plane, cy % Y, axis=0)
+                    if cx:
+                        plane = pltpu.roll(plane, cx % X, axis=1)
                     fs_buf[slot, ch] = plane
 
         fsl = [[fs_buf[slot, c * Q + ipos[i]] for i in range(Q)]
@@ -1080,23 +1081,24 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                 if cy or cx:
                     ch = c * Q + ipos[i]
                     plane = fs_buf[slot, ch]
-                    if cy:
+                    if y_ghosts and cy:
+                        # wrapped edge row <- y-neighbor's row, folded
+                        # into the y-shift as one static sublane
+                        # concat (see pallas_step.yg_shift_rows)
+                        cz_i = int(basis[i][2])
+                        gbuf = gylo_buf if cy == 1 else gyhi_buf
+                        row = gbuf[slot, c, pl.ds(1 - cz_i, 1),
+                                   ipos[i]]
+                        if cy == 1:
+                            plane = jnp.concatenate(
+                                [row, plane[:Y - 1]], axis=0)
+                        else:
+                            plane = jnp.concatenate(
+                                [plane[1:], row], axis=0)
+                    elif cy:
                         plane = pltpu.roll(plane, cy % Y, axis=0)
                     if cx:
                         plane = pltpu.roll(plane, cx % X, axis=1)
-                    if y_ghosts and cy:
-                        # wrapped edge row <- y-neighbor's row (static
-                        # lane concat: Mosaic has no 1D rotate)
-                        cz_i = int(basis[i][2])
-                        gbuf = gylo_buf if cy == 1 else gyhi_buf
-                        yrow = 0 if cy == 1 else Y - 1
-                        row = gbuf[slot, c, pl.ds(1 - cz_i, 1),
-                                   ipos[i]]
-                        if cx:
-                            sh = (-cx) % X
-                            row = jnp.concatenate(
-                                [row[:, sh:], row[:, :sh]], axis=1)
-                        plane = jnp.where(yg_iota == yrow, row, plane)
                     fs_buf[slot, ch] = plane
 
         fsl = [[fs_buf[slot, c * Q + ipos[i]] for i in range(Q)]

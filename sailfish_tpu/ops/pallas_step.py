@@ -699,7 +699,8 @@ def pick_slab_k(Q, Z, Y, X, sc=False, has_mask=False,
 def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
                    sc=False, emit_rho=False, edge_io=False,
-                   y_ghosts=False, k=1, mixed=None, patch_yrows=()):
+                   y_ghosts=False, k=1, mixed=None, patch_yrows=(),
+                   face_io=False):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -800,13 +801,32 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     y-rows over ALL z (compute_patch_yrow) into a (Z, Q, R, X) array;
     each program DMAs its slab's (k, Q, R, X) window alongside the
     gathers and selects the rows into the post-collision slab right
-    before the store (the yg_fix_rows pattern -- the select folds into
+    before the store (the select folds into
     the existing plane store, and the patched rows ride the normal
     output write, so no separate overlay DMA or drain is needed).
     Signature: fused(f, ghost_lo, ghost_hi[, mask], ypatch) -> out.
     Mutually exclusive with patch_rows/dyn_patches/sc/y_ghosts; ELBM
     excluded (the garbage pre-overlay rows would join the Newton
     convergence vote).
+
+    With ``face_io=True`` (requires ``y_ghosts``, excludes ``sc``) the
+    kernel RETURNS its own boundary faces as four extra outputs --
+    ``zlo``/``zhi`` (Q, Y, X): output planes z=0 / Z-1; ``ylo``/``yhi``
+    (Z, Qp, X): output rows y=0 / Y-1 of every plane, channel dim
+    padded like the gy inputs -- so the sharded caller never slices the
+    state in XLA. Measured motivation (benchmark/zy_overhead.py,
+    256^3 v5e): the y_ghosts kernel alone runs at 3567 MLUPS, but
+    extracting f[:, :, -1] per step in XLA craters the loop to 1245 --
+    the strided row slice makes f consumed by BOTH the in-place-aliased
+    kernel and the slice, forcing a whole-array defensive copy. With
+    face emission the state has exactly one consumer (the kernel) and
+    the carried faces feed the next step's ppermutes directly. Values
+    are the stored post-collision codes, so faces are bitwise equal to
+    slices of the output. Complex-BC planes are overlaid AFTER the slab
+    store, so their face rows are stale in the emitted arrays; the
+    caller fixes those few rows in XLA from the patch planes it already
+    computed (parallel.halo). Signature appends
+    ``(zlo, zhi, ylo, yhi)`` to the output tuple.
 
     With ``mixed`` set (a MixedScales; --precision=mixed) the state,
     ghosts and patch planes are int16 fixed-point codes (ops/mixed.py):
@@ -843,6 +863,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     # sc + y_ghosts (a ('z','y')-sharded Shan-Chen scene) additionally
     # requires edge_io and takes four more row inputs -- see below
     assert not (y_ghosts and sc and not edge_io)
+    assert not (face_io and not y_ghosts)
+    assert not (face_io and sc)
+    Qp = gy_pad_channels(Q, mixed) if y_ghosts else Q
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
     pairs = [(i, opp[i]) for i in range(Q) if i <= opp[i]]
@@ -912,6 +935,12 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         rho_out_hbm = None
         if emit_rho:
             rho_out_hbm = refs[idx]; idx += 1
+        zlo_out = zhi_out = ylo_out = yhi_out = None
+        if face_io:
+            zlo_out = refs[idx]; idx += 1   # (Q, Y, X)
+            zhi_out = refs[idx]; idx += 1   # (Q, Y, X)
+            ylo_out = refs[idx]; idx += 1   # (Z, Qp, X)
+            yhi_out = refs[idx]; idx += 1   # (Z, Qp, X)
         fs_buf = refs[idx]; idx += 1       # (2, Q, k, Y, X)
         fwork = None
         if mixed is not None:
@@ -920,6 +949,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if y_ghosts:
             gylo_buf = refs[idx]; idx += 1  # (2, k+2, Q, X)
             gyhi_buf = refs[idx]; idx += 1
+        ylo_st = yhi_st = None
+        if face_io:
+            ylo_st = refs[idx]; idx += 1    # (2, k, Qp, X)
+            yhi_st = refs[idx]; idx += 1
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, k, Y, X)
@@ -945,13 +978,17 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             remit_buf = refs[idx]; idx += 1  # (2, k, Y, X)
             if not edge_io:
                 redge_buf = refs[idx]; idx += 1  # (2, Y, X)
-        in_sems = refs[idx]; idx += 1       # DMA (2, Q+4)
+        in_sems = refs[idx]; idx += 1       # DMA (2, Q+10)
         out_sems = refs[idx]; idx += 1      # DMA (2,)
         remit_sems = redge_sems = None
         if emit_rho:
             remit_sems = refs[idx]; idx += 1  # DMA (2,)
             if not edge_io:
                 redge_sems = refs[idx]; idx += 1  # DMA (2,)
+        face_sems = zface_sems = None
+        if face_io:
+            face_sems = refs[idx]; idx += 1   # DMA (2, 2)
+            zface_sems = refs[idx]; idx += 1  # DMA (2,)
 
         b0 = pl.program_id(0)
         base = b0 * k
@@ -1311,57 +1348,80 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 wait_out(nslot)
             start_gathers(b0 + 1, base + k, nslot)
 
+        def face_copies(s, base_expr):
+            """The two y-face row DMAs of slab ``base_expr`` staged in
+            slot ``s`` (face_io)."""
+            return (
+                pltpu.make_async_copy(
+                    ylo_st.at[s], ylo_out.at[pl.ds(base_expr, k)],
+                    face_sems.at[s, 0]),
+                pltpu.make_async_copy(
+                    yhi_st.at[s], yhi_out.at[pl.ds(base_expr, k)],
+                    face_sems.at[s, 1]))
+
+        def emit_faces(i, vi):
+            """face_io: stage the post-collision edge rows (the exact
+            stored codes) of channel i's slab for the y-face outputs."""
+            ch = ipos[i]
+            ylo_st[slot, :, ch] = vi[:, 0]
+            yhi_st[slot, :, ch] = vi[:, Y - 1]
+
         # -- compute (every slab; complex-BC rows are overlaid after) ------
         wait_gathers(slot)
+        if face_io:
+            # recycle the face staging slot: the DMA that read it two
+            # slabs ago must have drained before this slab's stores
+            @pl.when(b0 >= 2)
+            def _():
+                for c in face_copies(slot, (b0 - 2) * k):
+                    c.wait()
         # roll each slab in place (y/x periodic shifts of the pull);
         # buffer channel ipos[i] holds standard direction i. Mixed
         # storage dequantizes INTO the fp32 work buffer first: Mosaic
         # has no 16-bit vector rotate, and one dequant per plane here
         # plus one requant at the store is the conversion minimum
         # anyway (the DMAs stay int16).
-        if y_ghosts:
-            yg_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
-
-        def yg_fix_rows(i, sl):
-            """y-sharded: the roll wrapped one edge row through the
-            LOCAL boundary; select in the neighbors' row instead (the
-            select folds into the existing plane store -- a separate
-            per-row masked store measured ~2x slower at 128^3). Mosaic
-            has no 1D/16-bit rotate, so the row's x-shift is a static
-            lane concat (an exact permutation == pltpu.roll)."""
-            cx, cy = int(basis[i][0]), int(basis[i][1])
+        def yg_shift_rows(i, sl):
+            """y-sharded: the wrapped edge row's position after the
+            y-shift is STATIC (row 0 for c_y=+1, Y-1 for -1), so the
+            y-roll, the neighbor-row substitution and the ghost row's
+            own x-shift all fold into ONE static sublane concat of the
+            raw ghost row with the unshifted plane (the later x-roll
+            rotates plane and ghost row together) -- an exact
+            permutation + substitution. The previous roll + whole-
+            plane select + row lane-concat ran the zy mesh at a fixed
+            ~2030 MLUPS ceiling from 128^3 to 256^3 (per-node cost,
+            not glue; model_zoo_v5e.dat r4)."""
+            cy = int(basis[i][1])
             cz = int(basis[i][2])
             ch = ipos[i]
             gbuf = gylo_buf if cy == 1 else gyhi_buf
-            yrow = 0 if cy == 1 else Y - 1
-            rows = gbuf[slot, pl.ds(1 - cz, k), ch]     # (k, X)
+            rows = gbuf[slot, pl.ds(1 - cz, k), ch][:, None]  # (k,1,X)
             if mixed is not None:
                 rows = mixed.dequant_i(i, rows)
-            if cx:
-                s = (-cx) % X
-                rows = jnp.concatenate(
-                    [rows[:, s:], rows[:, :s]], axis=1)
-            return jnp.where(yg_iota == yrow, rows[:, None], sl)
+            if cy == 1:
+                return jnp.concatenate([rows, sl[:, :Y - 1]], axis=1)
+            return jnp.concatenate([sl[:, 1:], rows], axis=1)
 
         for i in range(Q):
             cx, cy = int(basis[i][0]), int(basis[i][1])
             if mixed is not None:
                 sl = mixed.dequant_i(i, fs_buf[slot, ipos[i]])
-                if cy:
+                if y_ghosts and cy:
+                    sl = yg_shift_rows(i, sl)
+                elif cy:
                     sl = pltpu.roll(sl, cy % Y, axis=1)
                 if cx:
                     sl = pltpu.roll(sl, cx % X, axis=2)
-                if y_ghosts and cy:
-                    sl = yg_fix_rows(i, sl)
                 fwork[ipos[i]] = sl
             elif cy or cx:
                 sl = fs_buf[slot, ipos[i]]          # (k, Y, X)
-                if cy:
+                if y_ghosts and cy:
+                    sl = yg_shift_rows(i, sl)
+                elif cy:
                     sl = pltpu.roll(sl, cy % Y, axis=1)
                 if cx:
                     sl = pltpu.roll(sl, cx % X, axis=2)
-                if y_ghosts and cy:
-                    sl = yg_fix_rows(i, sl)
                 fs_buf[slot, ipos[i]] = sl
 
         # moments (read all slabs before any in-place overwrite)
@@ -1458,6 +1518,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                                    jnp.where(is_keep, fsl[i], vi))
                 if mixed is not None:
                     vi = mixed.quant_i(i, vi)
+                if face_io:
+                    emit_faces(i, vi)
                 fs_buf[slot, ipos[i]] = vi
         else:
             extra = _collide_prepass(builder, fsl, mom_u)
@@ -1480,6 +1542,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                         vi = yp_fix(i, vi)
                     if mixed is not None:
                         vi = mixed.quant_i(i, vi)
+                    if face_io:
+                        emit_faces(i, vi)
                     fs_buf[slot, ipos[i]] = vi
                     continue
                 if has_mask:
@@ -1494,6 +1558,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 if mixed is not None:
                     vi = mixed.quant_i(i, vi)
                     vo = mixed.quant_i(o, vo)
+                if face_io:
+                    emit_faces(i, vi)
+                    emit_faces(o, vo)
                 fs_buf[slot, ipos[i]] = vi
                 fs_buf[slot, ipos[o]] = vo
 
@@ -1501,6 +1568,39 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         pltpu.make_async_copy(fs_buf.at[slot],
                               out_hbm.at[:, pl.ds(base, k)],
                               out_sems.at[slot]).start()
+
+        if face_io:
+            for c in face_copies(slot, base):
+                c.start()
+
+            # z-face one-shots: the first/last output plane straight
+            # from the post-collision slab (immediate wait -- once per
+            # call, and the slot may be recycled before any later drain
+            # point)
+            @pl.when(b0 == 0)
+            def _():
+                c = pltpu.make_async_copy(
+                    fs_buf.at[slot, :, 0], zlo_out, zface_sems.at[0])
+                c.start()
+                c.wait()
+
+            @pl.when(b0 == B - 1)
+            def _():
+                c = pltpu.make_async_copy(
+                    fs_buf.at[slot, :, k - 1], zhi_out,
+                    zface_sems.at[1])
+                c.start()
+                c.wait()
+
+            @pl.when(b0 == B - 1)
+            def _():
+                # drain the outstanding face emissions (no successor
+                # exists to recycle these staging slots)
+                for c in face_copies(slot, base):
+                    c.wait()
+                if B >= 2:
+                    for c in face_copies(nslot, (B - 2) * k):
+                        c.wait()
 
         # -- emit-rho: next step's post-stream density from the
         # post-collision slab now sitting in VMEM (see docstring) ------
@@ -1724,9 +1824,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # of the (Z+2, 19, X) input fails; (k+2, 24, 256) compiles).
         # The callers ship (Z+2, Qp, X) ghost-row arrays; int16 tiles
         # are (16, 128), so mixed storage pads to 16.
-        Qp = gy_pad_channels(Q, mixed)
         scratch.append(pltpu.VMEM((2, k + 2, Qp, X), sdtype))
         scratch.append(pltpu.VMEM((2, k + 2, Qp, X), sdtype))
+    if face_io:
+        scratch.append(pltpu.VMEM((2, k, Qp, X), sdtype))   # ylo_st
+        scratch.append(pltpu.VMEM((2, k, Qp, X), sdtype))   # yhi_st
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
@@ -1759,6 +1861,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
         if not edge_io:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))       # redge
+    if face_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))         # faces
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))           # zfaces
 
     # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
     # v5e has headroom, so request what the buffers need plus margin
@@ -1768,6 +1873,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         vmem_need += Q * k * Y * X * 4
     if y_ghosts:
         vmem_need += 4 * (k + 2) * max(Q, 8) * X * sbytes
+    if face_io:
+        vmem_need += 4 * k * Qp * X * sbytes
     if has_mask:
         vmem_need += 2 * k * Y * X * 4
     if patch_yrows:
@@ -1802,6 +1909,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # base+k-2, every read of those planes (gathers of programs
         # <= b+1) has already landed by emission time
         io_aliases[3 + (2 if y_ghosts else 0)] = 1
+    if face_io:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((Q, Y, X), sdtype),
+                     jax.ShapeDtypeStruct((Q, Y, X), sdtype),
+                     jax.ShapeDtypeStruct((Z, Qp, X), sdtype),
+                     jax.ShapeDtypeStruct((Z, Qp, X), sdtype)]
+        out_specs = [out_specs] + \
+            [pl.BlockSpec(memory_space=pl.ANY)] * 4
     fused = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -234,12 +234,16 @@ class ShardedPallasStep3D:
                 raise NotImplementedError(
                     'sharded Shan-Chen stepping needs >= 3 z-planes '
                     f'per shard (got {Z_loc}); use the XLA engine')
+        # two-axis non-SC: carry the kernel-emitted faces so nothing
+        # in XLA slices the state (see local_step_faces)
+        self.face_io = self.two_axis and not self.sc
         self.kernel = make_kernel_3d(
             builder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
             max_patches=self.P, k=self.slab_k, sc=self.sc,
             emit_rho=self.sc, edge_io=self.sc,
-            y_ghosts=self.two_axis, mixed=self.mixed)
+            y_ghosts=self.two_axis, mixed=self.mixed,
+            face_io=self.face_io)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(
@@ -291,6 +295,76 @@ class ShardedPallasStep3D:
                 args.append(rest[k].reshape(g.Q, self.P,
                                             Y_loc, X)); k += 1
             return self.kernel(*args)
+
+        def local_step_faces(f, zlo, zhi, ylo, yhi, *rest):
+            """('z','y') step on the (f, zlo, zhi, ylo, yhi) carry:
+            the kernel's face_io outputs (its own boundary planes and
+            rows, pallas_step.make_kernel_3d) are CARRIED so the state
+            array is consumed by the in-place-aliased kernel alone --
+            XLA-side slicing of f broke the alias and copied the whole
+            state every step (measured 3567 -> 1245 MLUPS at 256^3;
+            benchmark/zy_overhead.py)."""
+            zlo_, zhi_ = zlo[0, 0], zhi[0, 0]      # (Q, Y, X)
+            ylo_, yhi_ = ylo[0, 0], yhi[0, 0]      # (Z, Qp, X)
+            ghost_lo = jax.lax.ppermute(zhi_, 'z', up)
+            ghost_hi = jax.lax.ppermute(zlo_, 'z', down)
+            qpad = ylo_.shape[1] - g.Q
+
+            def crow(a, y):
+                """z-ghost corner row y of a ppermuted z-face, padded
+                to the (1, Qp, X) gy channel layout."""
+                r = a[:, y][None]
+                if qpad:
+                    r = jnp.pad(r, ((0, 0), (0, qpad), (0, 0)))
+                return r
+
+            face_hi = jnp.concatenate(
+                [crow(ghost_lo, -1), yhi_, crow(ghost_hi, -1)], axis=0)
+            face_lo = jnp.concatenate(
+                [crow(ghost_lo, 0), ylo_, crow(ghost_hi, 0)], axis=0)
+            gylo = jax.lax.ppermute(face_hi, 'y', up_y)
+            gyhi = jax.lax.ppermute(face_lo, 'y', down_y)
+            args = [f, ghost_lo, ghost_hi, gylo, gyhi]
+            j = 0
+            if self.has_mask:
+                args.append(rest[j]); j += 1
+            pmap_l = patches = None
+            if self.has_patches:
+                pmap_l = rest[j].reshape(-1); j += 1
+                patches = rest[j].reshape(g.Q, self.P, Y_loc, X); j += 1
+                args.append(pmap_l)
+                args.append(patches)
+            f2, zlo2, zhi2, ylo2, yhi2 = self.kernel(*args)
+            if self.has_patches:
+                # the in-kernel patch overlay lands AFTER the face
+                # emission; re-point the patched planes'/rows' face
+                # entries at the patch values (tiny: P planes)
+                has = pmap_l >= 0
+                sl = jnp.maximum(pmap_l, 0)
+                zlo2 = jnp.where(has[0], patches[:, sl[0]], zlo2)
+                zhi2 = jnp.where(has[-1], patches[:, sl[-1]], zhi2)
+                prow_lo = jnp.moveaxis(patches[:, :, 0, :], 0, 1)
+                prow_hi = jnp.moveaxis(patches[:, :, -1, :], 0, 1)
+                if qpad:
+                    padc = ((0, 0), (0, qpad), (0, 0))
+                    prow_lo = jnp.pad(prow_lo, padc)
+                    prow_hi = jnp.pad(prow_hi, padc)
+                sel = has[:, None, None]
+                ylo2 = jnp.where(sel, prow_lo[sl], ylo2)
+                yhi2 = jnp.where(sel, prow_hi[sl], yhi2)
+            return (f2, zlo2[None, None], zhi2[None, None],
+                    ylo2[None, None], yhi2[None, None])
+
+        def local_init_faces(f):
+            """Initial face carry: one-time XLA slices of the state
+            (outside the step loop, so the defensive copy never
+            recurs)."""
+            zlo = f[:, 0]
+            zhi = f[:, -1]
+            ylo = pad_gy(jnp.swapaxes(f[:, :, 0], 0, 1), self.mixed)
+            yhi = pad_gy(jnp.swapaxes(f[:, :, -1], 0, 1), self.mixed)
+            return (f, zlo[None, None], zhi[None, None],
+                    ylo[None, None], yhi[None, None])
 
         def local_step_sc(f, rho, rlo, rhi, glo, ghi, *rest):
             """Shan-Chen sharded step on the (f, rho, rlo, rhi, glo,
@@ -418,6 +492,12 @@ class ShardedPallasStep3D:
                      P('z', None, None, None),    # glo
                      P('z', None, None, None))    # ghi
             in_specs = list(SPECS)
+        elif self.face_io:
+            P5 = P('z', 'y', None, None, None)
+            SPECS = (P(None, 'z', 'y', None),     # f
+                     P5, P5,                      # zlo, zhi
+                     P5, P5)                      # ylo, yhi
+            in_specs = list(SPECS)
         if self.has_mask:
             in_specs.append(self._mask_spec)
         if self.has_patches:
@@ -435,6 +515,14 @@ class ShardedPallasStep3D:
                 out_specs=SPECS, check_vma=False)
             self._sharded_init = shard_map(
                 init_fn, mesh=mesh,
+                in_specs=(SPECS[0],),
+                out_specs=SPECS, check_vma=False)
+        elif self.face_io:
+            self._sharded_step = shard_map(
+                local_step_faces, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=SPECS, check_vma=False)
+            self._sharded_init = shard_map(
+                local_init_faces, mesh=mesh,
                 in_specs=(SPECS[0],),
                 out_specs=SPECS, check_vma=False)
         else:
@@ -482,25 +570,28 @@ class ShardedPallasStep3D:
         f = f[self._qperm]
         if self.mixed is not None:
             f = self.mixed.quant(f, qorder=self._qperm)
-        if self.sc:
+        if self.sc or self.face_io:
             return self._sharded_init(f)
         return f
 
     def crop_state(self, carry):
-        f = carry[0] if self.sc else carry
+        f = carry[0] if (self.sc or self.face_io) else carry
         if self.mixed is not None:
             f = self.mixed.dequant(f, qorder=self._qperm)
         return f[self._qinv]
 
     def step(self, carry, it=0):
         """One sharded step on kernel-layout state (see pad_state).
-        Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi)."""
-        args = list(carry) if self.sc else [carry]
+        Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi); face_io
+        meshes carry (f, zlo, zhi, ylo, yhi)."""
+        tup = self.sc or self.face_io
+        args = list(carry) if tup else [carry]
         if self.has_mask:
             args.append(self.mask_global)
         if self.has_patches:
+            f = carry[0] if tup else carry
             args.append(self.pmap_global)
-            args.append(self._compute_patches_padded(carry, it))
+            args.append(self._compute_patches_padded(f, it))
         return self._sharded_step(*args)
 
     def run_steps(self, f, n, it0=0):
