@@ -165,6 +165,119 @@ def main():
 
     print(f'c1_shardmap_live {timeit(run_c1, f0s):.1f}', flush=True)
 
+    # c2. + ghost blocks via ppermute (identity on 1x1), xcols static
+    up = [(0, 0)]
+
+    def lstep_c2(f):
+        glo = jax.lax.ppermute(f[:, -by:], 'y', up)
+        ghi = jax.lax.ppermute(f[:, :by], 'y', up)
+        return kern(f, glo, ghi, xc0)
+
+    smap_c2 = shard_map(lstep_c2, mesh=mesh, in_specs=(fspec,),
+                        out_specs=fspec, check_vma=False)
+
+    @jax.jit
+    def run_c2(f, n):
+        return jax.lax.fori_loop(0, n, lambda i, f: smap_c2(f), f)
+
+    print(f'c2_ghost_ppermute {timeit(run_c2, f0s):.1f}', flush=True)
+
+    # c3. + xcols column recv ppermutes (corner rows still local)
+    def make_xcols_pp(f):
+        recv_last = jax.lax.ppermute(f[:, :, N - 1], 'x', up)
+        recv_first = jax.lax.ppermute(f[:, :, 0], 'x', up)
+        cols = []
+        for i in xdirs:
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            src = recv_last[i] if cx == 1 else recv_first[i]
+            if cy:
+                src = jnp.roll(src, cy)
+            cols.append(src)
+        xc = jnp.stack(cols, axis=1).astype(jnp.float32)
+        return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+    def lstep_c3(f):
+        glo = jax.lax.ppermute(f[:, -by:], 'y', up)
+        ghi = jax.lax.ppermute(f[:, :by], 'y', up)
+        return kern(f, glo, ghi, make_xcols_pp(f))
+
+    smap_c3 = shard_map(lstep_c3, mesh=mesh, in_specs=(fspec,),
+                        out_specs=fspec, check_vma=False)
+
+    @jax.jit
+    def run_c3(f, n):
+        return jax.lax.fori_loop(0, n, lambda i, f: smap_c3(f), f)
+
+    print(f'c3_xcol_ppermute {timeit(run_c3, f0s):.1f}', flush=True)
+
+    # c3b. like c3 but an optimization_barrier decouples the strided
+    # column slice from the collective (probe: is the defensive copy
+    # triggered by slice-feeding-a-collective, and does a barrier
+    # break the pattern?)
+    def make_xcols_bar(f):
+        last = jax.lax.optimization_barrier(f[:, :, N - 1])
+        first = jax.lax.optimization_barrier(f[:, :, 0])
+        recv_last = jax.lax.ppermute(last, 'x', up)
+        recv_first = jax.lax.ppermute(first, 'x', up)
+        cols = []
+        for i in xdirs:
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            src = recv_last[i] if cx == 1 else recv_first[i]
+            if cy:
+                src = jnp.roll(src, cy)
+            cols.append(src)
+        xc = jnp.stack(cols, axis=1).astype(jnp.float32)
+        return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+    def lstep_c3b(f):
+        glo = jax.lax.ppermute(f[:, -by:], 'y', up)
+        ghi = jax.lax.ppermute(f[:, :by], 'y', up)
+        return kern(f, glo, ghi, make_xcols_bar(f))
+
+    smap_c3b = shard_map(lstep_c3b, mesh=mesh, in_specs=(fspec,),
+                         out_specs=fspec, check_vma=False)
+
+    @jax.jit
+    def run_c3b(f, n):
+        return jax.lax.fori_loop(0, n, lambda i, f: smap_c3b(f), f)
+
+    print(f'c3b_barrier_slice {timeit(run_c3b, f0s):.1f}', flush=True)
+
+    # c4. + per-direction corner-row ppermutes (the full build_xcols)
+    def make_xcols_full(f):
+        recv_last = jax.lax.ppermute(f[:, :, N - 1], 'x', up)
+        recv_first = jax.lax.ppermute(f[:, :, 0], 'x', up)
+        cols = []
+        for i in xdirs:
+            cx, cy = int(basis[i][0]), int(basis[i][1])
+            src = recv_last[i] if cx == 1 else recv_first[i]
+            if cy:
+                shifted = jnp.roll(src, cy)
+                if cy == 1:
+                    e = jax.lax.ppermute(src[N - 1:], 'y', up)
+                    shifted = jnp.concatenate([e, shifted[1:]], axis=0)
+                else:
+                    e = jax.lax.ppermute(src[:1], 'y', up)
+                    shifted = jnp.concatenate([shifted[:-1], e], axis=0)
+                src = shifted
+            cols.append(src)
+        xc = jnp.stack(cols, axis=1).astype(jnp.float32)
+        return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+    def lstep_c4(f):
+        glo = jax.lax.ppermute(f[:, -by:], 'y', up)
+        ghi = jax.lax.ppermute(f[:, :by], 'y', up)
+        return kern(f, glo, ghi, make_xcols_full(f))
+
+    smap_c4 = shard_map(lstep_c4, mesh=mesh, in_specs=(fspec,),
+                        out_specs=fspec, check_vma=False)
+
+    @jax.jit
+    def run_c4(f, n):
+        return jax.lax.fori_loop(0, n, lambda i, f: smap_c4(f), f)
+
+    print(f'c4_corner_ppermute {timeit(run_c4, f0s):.1f}', flush=True)
+
     # c. full sharded path on a 1x1 ('y','x') mesh
     r2 = build('1x1')
     assert r2.engine == 'pallas', r2.engine

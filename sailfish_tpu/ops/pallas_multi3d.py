@@ -55,7 +55,8 @@ def _check_vmem(*plane_counts_dtypes, Y, X):
 
 def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                             emit_rho=False, edge_io=False,
-                            y_ghosts=False, interpret=False):
+                            y_ghosts=False, face_io=False,
+                            interpret=False):
     """fused(f_0.., glo_0.., ghi_0.., rho_0.., rglo_0.., rghi_0..
     [, mask]) -> (out_0..): one z-plane per program, K components.
 
@@ -98,6 +99,17 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         every rho plane (the emission cannot produce them on a
         y-shard); each plane's edge rows are overwritten from these at
         psi time.
+
+    With ``face_io=True`` (requires ``y_ghosts``) the kernel RETURNS,
+    per component, its post-collision boundary ROWS as one extra
+    (Z, 4*Qp, X) output: channel block r*Qp+q holds row (0, 1, Y-2,
+    Y-1)[r] of direction q's output plane. The sharded caller builds
+    the gy faces and the XLA rho edge-row streaming from these instead
+    of row-slicing the state -- a strided row slice of the in-place-
+    aliased state forces XLA to copy the whole array every step
+    (pallas_step.make_kernel_3d face_io has the measurement). Values
+    are the exact stored codes, so everything downstream stays
+    bitwise identical.
     """
     g = mbuilder.grid
     Q = g.Q
@@ -111,6 +123,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
     perm, ipos, groups = cz_groups(g)
     assert not (edge_io and not emit_rho)
     assert not (y_ghosts and not edge_io)
+    assert not (face_io and not y_ghosts)
+    Qp_f = gy_pad_channels(Q)
     if emit_rho:
         assert Z >= 3, (Z, 'emit_rho needs >= 3 pipeline programs')
     # permuted-space extents of the c_z groups (emit-rho ring/stash
@@ -167,6 +181,9 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         rho_out_hbm = None
         if emit_rho:
             rho_out_hbm = refs[idx:idx + K]; idx += K
+        rows_out_hbm = None
+        if face_io:
+            rows_out_hbm = refs[idx:idx + K]; idx += K  # (Z, 4Qp, X)
         fs_buf = refs[idx]; idx += 1        # (2, K*Q, Y, X)
         rho_buf = refs[idx]; idx += 1       # (2, 3*K, Y, X)
         gylo_buf = gyhi_buf = None
@@ -178,6 +195,9 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
             ryhi_buf = refs[idx]; idx += 1
             rrlo_buf = refs[idx]; idx += 1
             rrhi_buf = refs[idx]; idx += 1
+        rows_st = None
+        if face_io:
+            rows_st = refs[idx]; idx += 1   # (2, K, 4*Qp, X)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, 1, Y, X)
@@ -198,6 +218,9 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
             remit_sems = refs[idx]; idx += 1  # DMA (2, K)
             if not edge_io:
                 redge_sems = refs[idx]; idx += 1  # DMA (2, K)
+        face_sems = None
+        if face_io:
+            face_sems = refs[idx]; idx += 1   # DMA (2, K)
 
         z0 = pl.program_id(0)
         slot = jax.lax.rem(z0, 2)
@@ -483,6 +506,33 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
             is_dry = m == 1
             is_keep = m == 2
 
+        if face_io:
+            def face_copy(s, c, plane_expr):
+                return pltpu.make_async_copy(
+                    rows_st.at[s, c], rows_out_hbm[c].at[plane_expr],
+                    face_sems.at[s, c])
+
+            # recycle the staging slot: the DMA that read it two
+            # planes ago must have drained before this plane's stores
+            @pl.when(z0 >= 2)
+            def _():
+                for c in range(K):
+                    face_copy(slot, c, z0 - 2).wait()
+            if Qp_f != Q:
+                zpad = jnp.zeros((Qp_f - Q, X), dtype)
+                for c in range(K):
+                    for r in range(4):
+                        rows_st[slot, c,
+                                pl.ds(r * Qp_f + Q, Qp_f - Q)] = zpad
+
+            def emit_rows(c, d, vd):
+                """Stage the post-collision boundary rows (the exact
+                stored codes) of component c, direction d."""
+                ch = ipos[d]
+                for r, row in enumerate((0, 1, Y - 2, Y - 1)):
+                    rows_st[slot, c, pl.ds(r * Qp_f + ch, 1)] = \
+                        vd[row:row + 1]
+
         # per-component collide (math mirrors the 2D multi kernel,
         # which is equivalence-tested against ops/multigrid)
         for c in range(K):
@@ -529,6 +579,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                     outs.append((d, vd))
                 for d, vd in outs:
                     fs_buf[slot, c * Q + ipos[d]] = vd
+                    if face_io:
+                        emit_rows(c, d, vd)
 
         # in-place safety: the successor plane's cz=+1 gathers read the
         # OLD plane z0 -- drain them before overwriting it
@@ -540,6 +592,18 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
             pltpu.make_async_copy(
                 fs_buf.at[slot, pl.ds(c * Q, Q)], out_hbm[c].at[:, z0],
                 out_sems.at[slot, c]).start()
+        if face_io:
+            for c in range(K):
+                face_copy(slot, c, z0).start()
+
+            @pl.when(z0 == Z - 1)
+            def _():
+                # drain the outstanding row emissions (no successor
+                # exists to recycle these staging slots)
+                for c in range(K):
+                    face_copy(slot, c, Z - 1).wait()
+                    if Z >= 2:
+                        face_copy(nslot, c, Z - 2).wait()
 
         # -- emit-rho: next step's post-stream densities from the
         # post-collision planes now in VMEM (see docstring). Aliasing
@@ -682,6 +746,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         scratch.append(pltpu.VMEM((2, K, 3, Qp, X), dtype))  # gyhi
         for _ in range(4):                                   # ry/rr
             scratch.append(pltpu.VMEM((2, K, 3, 1, X), dtype))
+    if face_io:
+        scratch.append(pltpu.VMEM((2, K, 4 * Qp_f, X), dtype))
     if has_mask:
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if emit_rho:
@@ -700,6 +766,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))         # remit
         if not edge_io:
             scratch.append(pltpu.SemaphoreType.DMA((2, K)))     # redge
+    if face_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))         # faces
 
     # in-place component updates (pallas_step.make_kernel_3d has the
     # bandwidth measurement); correct un-aliased too -- the kernel
@@ -713,6 +781,9 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
                       for _ in range(K)]
         for c in range(K):
             io_aliases[3 * K + c] = K + c
+    if face_io:
+        out_shape += [jax.ShapeDtypeStruct((Z, 4 * Qp_f, X), dtype)
+                      for _ in range(K)]
 
     # scratch exceeds the default 16 MB scoped-vmem gate at larger
     # planes; v5e has headroom (pallas_step.make_kernel_3d note)
@@ -724,6 +795,8 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
         vmem_need += (2 * K * (n_p1 + NG1) + 4 * K) * plane_b
         if not edge_io:
             vmem_need += K * (s_p1 + n_m1) * plane_b
+    if face_io:
+        vmem_need += 2 * K * 4 * Qp_f * X * 4
     vmem_limit = int(min(max(16 * 2 ** 20,
                              vmem_need + 8 * 2 ** 20 + K * Q * plane_b),
                          100 * 2 ** 20))
@@ -745,7 +818,7 @@ def make_kernel_3d_sc_multi(mbuilder, Z, Y, X, has_mask=False,
 
 def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                       emit_phi=False, edge_io=False, y_ghosts=False,
-                      interpret=False):
+                      face_io=False, interpret=False):
     """Fused binary free-energy 3D step:
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi, phi_lo2, phi_lo1,
     phi_hi1, phi_hi2[, pedge_lo, pedge_hi][, mask]
@@ -782,7 +855,13 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     plane; ``pylo/pyhi`` (Z+2, 1, X) the y-neighbors' phi boundary
     rows (fix the wrapped edge row of each y-rolled phi sample);
     ``prlo/prhi`` (Z+2, 1, X) the CORRECT local edge rows of every phi
-    plane, overwritten at sample time."""
+    plane, overwritten at sample time.
+
+    With ``face_io=True`` (requires ``y_ghosts``) the kernel RETURNS
+    each component's post-collision boundary rows as a (Z, 4*Qp, X)
+    output (channel block r*Qp+q = row (0, 1, Y-2, Y-1)[r] of
+    direction q) -- see make_kernel_3d_sc_multi; the sharded caller
+    must not row-slice the in-place-aliased state."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -794,6 +873,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     assert not (edge_io and not emit_phi)
     assert not (y_ghosts and not edge_io)
     assert not (y_ghosts and wetting)
+    assert not (face_io and not y_ghosts)
+    Qp_f = gy_pad_channels(Q)
     if emit_phi:
         assert Z >= 3, (Z, 'emit_phi needs >= 3 pipeline programs')
     n_m1 = n_p1 = 0
@@ -854,6 +935,9 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         phi_out_hbm = None
         if emit_phi:
             phi_out_hbm = refs[idx]; idx += 1
+        rows_out_hbm = None
+        if face_io:
+            rows_out_hbm = refs[idx:idx + 2]; idx += 2  # (Z, 4Qp, X)
         fs_buf = refs[idx]; idx += 1        # (2, 2Q, Y, X)
         phi_buf = refs[idx]; idx += 1       # (2, 5, Y, X): z0-2..z0+2
         gylo_buf = gyhi_buf = None
@@ -865,6 +949,9 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             pyhi_buf = refs[idx]; idx += 1
             prlo_buf = refs[idx]; idx += 1
             prhi_buf = refs[idx]; idx += 1
+        rows_st = None
+        if face_io:
+            rows_st = refs[idx]; idx += 1   # (2, 2, 4*Qp, X)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1
@@ -888,6 +975,9 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             remit_sems = refs[idx]; idx += 1  # DMA (2,)
             if not edge_io:
                 redge_sems = refs[idx]; idx += 1  # DMA (2,)
+        face_sems = None
+        if face_io:
+            face_sems = refs[idx]; idx += 1   # DMA (2, 2)
 
         z0 = pl.program_id(0)
         slot = jax.lax.rem(z0, 2)
@@ -1267,11 +1357,38 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
                                jnp.where(is_keep, fsl[1][i], v1))
             v0s.append(v0)
             v1s.append(v1)
+        if face_io:
+            def face_copy(s, c, plane_expr):
+                return pltpu.make_async_copy(
+                    rows_st.at[s, c], rows_out_hbm[c].at[plane_expr],
+                    face_sems.at[s, c])
+
+            # recycle the staging slot: the DMA that read it two
+            # planes ago must have drained first
+            @pl.when(z0 >= 2)
+            def _():
+                for c in range(2):
+                    face_copy(slot, c, z0 - 2).wait()
+            if Qp_f != Q:
+                zpad = jnp.zeros((Qp_f - Q, X), dtype)
+                for c in range(2):
+                    for r in range(4):
+                        rows_st[slot, c,
+                                pl.ds(r * Qp_f + Q, Qp_f - Q)] = zpad
+
         # all reads above are from materialized values; safe to
         # overwrite the cache in place now
         for i in range(Q):
             fs_buf[slot, ipos[i]] = v0s[i]
             fs_buf[slot, Q + ipos[i]] = v1s[i]
+            if face_io:
+                for r, row in enumerate((0, 1, Y - 2, Y - 1)):
+                    rows_st[slot, 0,
+                            pl.ds(r * Qp_f + ipos[i], 1)] = \
+                        v0s[i][row:row + 1]
+                    rows_st[slot, 1,
+                            pl.ds(r * Qp_f + ipos[i], 1)] = \
+                        v1s[i][row:row + 1]
 
         # in-place safety: drain the successor's cz=+1 gathers (they
         # read the OLD plane z0) before overwriting it
@@ -1283,6 +1400,18 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
             pltpu.make_async_copy(
                 fs_buf.at[slot, pl.ds(c * Q, Q)], out_hbm[c].at[:, z0],
                 out_sems.at[slot, c]).start()
+        if face_io:
+            for c in range(2):
+                face_copy(slot, c, z0).start()
+
+            @pl.when(z0 == Z - 1)
+            def _():
+                # drain the outstanding row emissions (no successor
+                # exists to recycle these staging slots)
+                for c in range(2):
+                    face_copy(slot, c, Z - 1).wait()
+                    if Z >= 2:
+                        face_copy(nslot, c, Z - 2).wait()
 
         # -- emit-phi: next step's post-stream order parameter from
         # component 1's post-collision planes (see docstring; phi_out
@@ -1396,6 +1525,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         scratch.append(pltpu.VMEM((2, 2, 3, Qp, X), dtype))  # gyhi
         for _ in range(4):                                   # py/pr
             scratch.append(pltpu.VMEM((2, 3, 1, X), dtype))
+    if face_io:
+        scratch.append(pltpu.VMEM((2, 2, 4 * Qp_f, X), dtype))
     if has_mask:
         scratch.append(pltpu.VMEM((2, 1, Y, X), jnp.int32))
     if wetting:
@@ -1416,12 +1547,17 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # remit
         if not edge_io:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))       # redge
+    if face_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))         # faces
 
     out_shape = [jax.ShapeDtypeStruct((Q, Z, Y, X), dtype),
                  jax.ShapeDtypeStruct((Q, Z, Y, X), dtype)]
     if emit_phi:
         # NOT aliased (see docstring)
         out_shape.append(jax.ShapeDtypeStruct((Z, Y, X), dtype))
+    if face_io:
+        out_shape += [jax.ShapeDtypeStruct((Z, 4 * Qp_f, X), dtype)
+                      for _ in range(2)]
 
     plane_b = Y * X * np.dtype(np.float32).itemsize
     vmem_need = (4 * Q + 10) * plane_b
@@ -1433,6 +1569,8 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
         vmem_need += (2 * (n_p1 + NG1) + 4) * plane_b
         if not edge_io:
             vmem_need += (s_p1 + n_m1) * plane_b
+    if face_io:
+        vmem_need += 2 * 2 * 4 * Qp_f * X * 4
     vmem_limit = int(min(max(16 * 2 ** 20,
                              vmem_need + 8 * 2 ** 20 + 2 * Q * plane_b),
                          100 * 2 ** 20))

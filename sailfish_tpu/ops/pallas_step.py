@@ -864,7 +864,6 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     # requires edge_io and takes four more row inputs -- see below
     assert not (y_ghosts and sc and not edge_io)
     assert not (face_io and not y_ghosts)
-    assert not (face_io and sc)
     Qp = gy_pad_channels(Q, mixed) if y_ghosts else Q
     opp = [int(o) for o in g.opposite]
     # bounce-back pairs for in-place processing
@@ -936,11 +935,15 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if emit_rho:
             rho_out_hbm = refs[idx]; idx += 1
         zlo_out = zhi_out = ylo_out = yhi_out = None
+        yl1_out = yh2_out = None
         if face_io:
             zlo_out = refs[idx]; idx += 1   # (Q, Y, X)
             zhi_out = refs[idx]; idx += 1   # (Q, Y, X)
             ylo_out = refs[idx]; idx += 1   # (Z, Qp, X)
             yhi_out = refs[idx]; idx += 1   # (Z, Qp, X)
+            if sc:
+                yl1_out = refs[idx]; idx += 1  # (Z, Qp, X) row 1
+                yh2_out = refs[idx]; idx += 1  # (Z, Qp, X) row Y-2
         fs_buf = refs[idx]; idx += 1       # (2, Q, k, Y, X)
         fwork = None
         if mixed is not None:
@@ -949,10 +952,13 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if y_ghosts:
             gylo_buf = refs[idx]; idx += 1  # (2, k+2, Q, X)
             gyhi_buf = refs[idx]; idx += 1
-        ylo_st = yhi_st = None
+        ylo_st = yhi_st = yl1_st = yh2_st = None
         if face_io:
             ylo_st = refs[idx]; idx += 1    # (2, k, Qp, X)
             yhi_st = refs[idx]; idx += 1
+            if sc:
+                yl1_st = refs[idx]; idx += 1
+                yh2_st = refs[idx]; idx += 1
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (2, k, Y, X)
@@ -1349,15 +1355,24 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             start_gathers(b0 + 1, base + k, nslot)
 
         def face_copies(s, base_expr):
-            """The two y-face row DMAs of slab ``base_expr`` staged in
-            slot ``s`` (face_io)."""
-            return (
+            """The y-face row DMAs of slab ``base_expr`` staged in
+            slot ``s`` (face_io; sc adds rows 1 / Y-2 for the XLA-side
+            rho edge-row streaming)."""
+            copies = [
                 pltpu.make_async_copy(
                     ylo_st.at[s], ylo_out.at[pl.ds(base_expr, k)],
                     face_sems.at[s, 0]),
                 pltpu.make_async_copy(
                     yhi_st.at[s], yhi_out.at[pl.ds(base_expr, k)],
-                    face_sems.at[s, 1]))
+                    face_sems.at[s, 1])]
+            if sc:
+                copies.append(pltpu.make_async_copy(
+                    yl1_st.at[s], yl1_out.at[pl.ds(base_expr, k)],
+                    face_sems.at[s, 2]))
+                copies.append(pltpu.make_async_copy(
+                    yh2_st.at[s], yh2_out.at[pl.ds(base_expr, k)],
+                    face_sems.at[s, 3]))
+            return copies
 
         def emit_faces(i, vi):
             """face_io: stage the post-collision edge rows (the exact
@@ -1365,6 +1380,21 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             ch = ipos[i]
             ylo_st[slot, :, ch] = vi[:, 0]
             yhi_st[slot, :, ch] = vi[:, Y - 1]
+            if sc:
+                yl1_st[slot, :, ch] = vi[:, 1]
+                yh2_st[slot, :, ch] = vi[:, Y - 2]
+
+        def zero_face_pad():
+            """Deterministic tile-padding channels (Q..Qp): staging
+            slots recycle, so without this the emitted arrays would
+            carry stale garbage there (unread by any consumer, but it
+            breaks carry-bitwise test gates)."""
+            if Qp == Q:
+                return
+            z = jnp.zeros((k, Qp - Q, X), sdtype)
+            for st in ([ylo_st, yhi_st] +
+                       ([yl1_st, yh2_st] if sc else [])):
+                st[slot, :, pl.ds(Q, Qp - Q)] = z
 
         # -- compute (every slab; complex-BC rows are overlaid after) ------
         wait_gathers(slot)
@@ -1375,6 +1405,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             def _():
                 for c in face_copies(slot, (b0 - 2) * k):
                     c.wait()
+            zero_face_pad()
         # roll each slab in place (y/x periodic shifts of the pull);
         # buffer channel ipos[i] holds standard direction i. Mixed
         # storage dequantizes INTO the fp32 work buffer first: Mosaic
@@ -1829,6 +1860,9 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if face_io:
         scratch.append(pltpu.VMEM((2, k, Qp, X), sdtype))   # ylo_st
         scratch.append(pltpu.VMEM((2, k, Qp, X), sdtype))   # yhi_st
+        if sc:
+            scratch.append(pltpu.VMEM((2, k, Qp, X), sdtype))  # yl1
+            scratch.append(pltpu.VMEM((2, k, Qp, X), sdtype))  # yh2
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, k, Y, X), jnp.int32))
@@ -1862,7 +1896,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         if not edge_io:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))       # redge
     if face_io:
-        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))         # faces
+        scratch.append(
+            pltpu.SemaphoreType.DMA((2, 4 if sc else 2)))       # faces
         scratch.append(pltpu.SemaphoreType.DMA((2,)))           # zfaces
 
     # k > 1 working sets exceed the default 16 MB scoped-vmem limit;
@@ -1874,7 +1909,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if y_ghosts:
         vmem_need += 4 * (k + 2) * max(Q, 8) * X * sbytes
     if face_io:
-        vmem_need += 4 * k * Qp * X * sbytes
+        vmem_need += (8 if sc else 4) * k * Qp * X * sbytes
     if has_mask:
         vmem_need += 2 * k * Y * X * 4
     if patch_yrows:
@@ -1910,13 +1945,18 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         # <= b+1) has already landed by emission time
         io_aliases[3 + (2 if y_ghosts else 0)] = 1
     if face_io:
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((Q, Y, X), sdtype),
-                     jax.ShapeDtypeStruct((Q, Y, X), sdtype),
-                     jax.ShapeDtypeStruct((Z, Qp, X), sdtype),
-                     jax.ShapeDtypeStruct((Z, Qp, X), sdtype)]
-        out_specs = [out_specs] + \
-            [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        n_face = 6 if sc else 4
+        faces = [jax.ShapeDtypeStruct((Q, Y, X), sdtype),
+                 jax.ShapeDtypeStruct((Q, Y, X), sdtype)] + \
+            [jax.ShapeDtypeStruct((Z, Qp, X), sdtype)] * (n_face - 2)
+        if emit_rho:
+            out_shape = out_shape + faces
+            out_specs = out_specs + \
+                [pl.BlockSpec(memory_space=pl.ANY)] * n_face
+        else:
+            out_shape = [out_shape] + faces
+            out_specs = [out_specs] + \
+                [pl.BlockSpec(memory_space=pl.ANY)] * n_face
     fused = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -102,16 +102,28 @@ def stream_rho_edges(grid, ipos, f, glo, ghi, gylo=None, gyhi=None):
     return lo, hi
 
 
-def stream_rho_edge_rows_3d(grid, ipos, f, glo, ghi, gylo, gyhi):
+def stream_rho_edge_rows_3d(grid, ipos, f, glo, ghi, gylo, gyhi,
+                            rows=None):
     """Post-stream density of the two local edge ROWS (y=0 and y=Y-1)
     of EVERY local plane, for ('z','y')-sharded Shan-Chen stepping --
     the rows the in-kernel emission cannot produce on a y-shard.
     Source/roll/summation order matches the emission, so on a 1-y-shard
     mesh the values are bitwise identical to the in-kernel rows (and to
     stream_rho_edges' edge-plane rows at z = 0 / Z-1).
-    Returns (rows_y0, rows_yYm1), each (Z, X)."""
+    Returns (rows_y0, rows_yYm1), each (Z, X).
+
+    ``rows`` (optional): KERNEL-EMITTED post-collision rows
+    (r0, r1, rm2, rm1) of y = 0, 1, Y-2, Y-1, each (Z, Qp, X) -- when
+    given, the function never slices ``f`` (a strided row slice of the
+    in-place-aliased state forces XLA to copy the whole array every
+    step; benchmark/zy_overhead.py). Values are the exact stored codes,
+    so results stay bitwise identical to the slicing path."""
     Z = f.shape[1]
     Y = f.shape[2]
+    row_arr = None
+    if rows is not None:
+        r0, r1, rm2, rm1 = rows
+        row_arr = {0: r0, 1: r1, Y - 2: rm2, Y - 1: rm1}
     lo = hi = None
     for i in range(grid.Q):
         cx = int(grid.basis[i][0])
@@ -122,7 +134,10 @@ def stream_rho_edge_rows_3d(grid, ipos, f, glo, ghi, gylo, gyhi):
         def src_planes(row):
             """(Z, X): row ``row`` of source plane z - cz for every z
             (plane -1 from glo, plane Z from ghi)."""
-            core = f[ch, :, row]                       # (Z, X)
+            if row_arr is not None:
+                core = row_arr[row][:, ch]             # (Z, X)
+            else:
+                core = f[ch, :, row]                   # (Z, X)
             if cz == 1:
                 return jnp.concatenate(
                     [glo[ch, row][None], core[:Z - 1]], axis=0)
@@ -234,9 +249,10 @@ class ShardedPallasStep3D:
                 raise NotImplementedError(
                     'sharded Shan-Chen stepping needs >= 3 z-planes '
                     f'per shard (got {Z_loc}); use the XLA engine')
-        # two-axis non-SC: carry the kernel-emitted faces so nothing
-        # in XLA slices the state (see local_step_faces)
-        self.face_io = self.two_axis and not self.sc
+        # two-axis: the kernel emits its own boundary faces so nothing
+        # in XLA row-slices the state (see local_step_faces; sc scenes
+        # consume the emitted rows inside _sc_zy_exchange instead)
+        self.face_io = self.two_axis
         self.kernel = make_kernel_3d(
             builder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
@@ -396,26 +412,45 @@ class ShardedPallasStep3D:
             return (f, rho, rho[0][None], rho[-1][None], glo[None],
                     ghi[None])
 
-        def _sc_zy_exchange(f2, glo2, ghi2):
+        def _sc_zy_exchange(f2, glo2, ghi2, rows=None):
             """Everything the ('z','y') Shan-Chen carry needs from the
             post-collision state: the f boundary rows per source plane
             (two-hop corners via the z-ghost extension), the fresh rho
             edge planes and edge rows, and the (Z+2)-indexed rr arrays
-            whose ghost entries carry the z-neighbors' rows."""
-            face_hi = jnp.concatenate(
-                [glo2[:, None, -1], f2[:, :, -1], ghi2[:, None, -1]],
-                axis=1)
-            face_lo = jnp.concatenate(
-                [glo2[:, None, 0], f2[:, :, 0], ghi2[:, None, 0]],
-                axis=1)
-            gylo = jnp.swapaxes(
-                jax.lax.ppermute(face_hi, 'y', up_y), 0, 1)
-            gyhi = jnp.swapaxes(
-                jax.lax.ppermute(face_lo, 'y', down_y), 0, 1)
+            whose ghost entries carry the z-neighbors' rows.
+
+            ``rows`` (per-step path): the KERNEL-EMITTED post-collision
+            rows (r0, r1, rm2, rm1), each (Z, Qp, X) -- row-slicing the
+            in-place-aliased state in XLA forces a whole-array copy
+            every step (see local_step_faces). The init path (rows
+            None) slices the un-aliased initial state once."""
+            if rows is None:
+                face_hi = pad_gy(jnp.swapaxes(jnp.concatenate(
+                    [glo2[:, None, -1], f2[:, :, -1],
+                     ghi2[:, None, -1]], axis=1), 0, 1))
+                face_lo = pad_gy(jnp.swapaxes(jnp.concatenate(
+                    [glo2[:, None, 0], f2[:, :, 0],
+                     ghi2[:, None, 0]], axis=1), 0, 1))
+            else:
+                r0, r1, rm2, rm1 = rows
+                qpad = r0.shape[1] - g.Q
+
+                def crow(a, y):
+                    r = a[:, y][None]
+                    if qpad:
+                        r = jnp.pad(r, ((0, 0), (0, qpad), (0, 0)))
+                    return r
+
+                face_hi = jnp.concatenate(
+                    [crow(glo2, -1), rm1, crow(ghi2, -1)], axis=0)
+                face_lo = jnp.concatenate(
+                    [crow(glo2, 0), r0, crow(ghi2, 0)], axis=0)
+            gylo = jax.lax.ppermute(face_hi, 'y', up_y)
+            gyhi = jax.lax.ppermute(face_lo, 'y', down_y)
             lo, hi = stream_rho_edges(g, ipos_np, f2, glo2, ghi2,
                                       gylo=gylo, gyhi=gyhi)
             rows_lo, rows_hi = stream_rho_edge_rows_3d(
-                g, ipos_np, f2, glo2, ghi2, gylo, gyhi)
+                g, ipos_np, f2, glo2, ghi2, gylo, gyhi, rows=rows)
             rrlo = jnp.concatenate(
                 [jax.lax.ppermute(rows_lo[-1:], 'z', up), rows_lo,
                  jax.lax.ppermute(rows_lo[:1], 'z', down)],
@@ -443,16 +478,20 @@ class ShardedPallasStep3D:
             ryhi_ = jax.lax.ppermute(rrlo_, 'y', down_y)
             rglo_ = jax.lax.ppermute(rhi_, 'z', up)
             rghi_ = jax.lax.ppermute(rlo_, 'z', down)
-            args = [f, glo_, ghi_, pad_gy(gylo_), pad_gy(gyhi_),
+            args = [f, glo_, ghi_, gylo_, gyhi_,
                     rho, rglo_, rghi_,
                     rlo_, rhi_, rylo_, ryhi_, rrlo_, rrhi_]
             if self.has_mask:
                 args.append(rest[0])
-            f2, rho2 = self.kernel(*args)
-            glo2 = jax.lax.ppermute(f2[:, -1], 'z', up)
-            ghi2 = jax.lax.ppermute(f2[:, 0], 'z', down)
+            (f2, rho2, zlo2, zhi2, ylo2, yhi2, yl12,
+             yh22) = self.kernel(*args)
+            # z-faces and y-rows come from the kernel's face outputs:
+            # nothing here slices the in-place-aliased state (see
+            # local_step_faces for the measurement)
+            glo2 = jax.lax.ppermute(zhi2, 'z', up)
+            ghi2 = jax.lax.ppermute(zlo2, 'z', down)
             gylo2, gyhi2, lo, hi, rrlo2, rrhi2 = _sc_zy_exchange(
-                f2, glo2, ghi2)
+                f2, glo2, ghi2, rows=(ylo2, yl12, yh22, yhi2))
             return (f2, rho2, lo[None, None], hi[None, None],
                     glo2[None, None], ghi2[None, None],
                     gylo2[None, None], gyhi2[None, None],

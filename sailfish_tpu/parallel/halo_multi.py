@@ -107,7 +107,7 @@ class ShardedPallasSCMulti3D:
         self.kernel = make_kernel_3d_sc_multi(
             mbuilder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             emit_rho=True, edge_io=True, y_ghosts=self.two_axis,
-            interpret=interpret)
+            face_io=self.two_axis, interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y_loc, X,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
@@ -117,24 +117,48 @@ class ShardedPallasSCMulti3D:
         up_y, down_y = _ring(self.ny_shards)
         g = mbuilder.grid
 
-        def _zy_exchange(f2, glo2, ghi2):
+        from sailfish_tpu.ops.pallas_step import gy_pad_channels
+        Qp_f = gy_pad_channels(g.Q)
+
+        def _zy_exchange(f2, glo2, ghi2, rows=None):
             """Per-component ('z','y') carry pieces from the
             post-collision state (the K-component twin of
-            parallel.halo's _sc_zy_exchange)."""
-            face_hi = jnp.concatenate(
-                [glo2[:, None, -1], f2[:, :, -1], ghi2[:, None, -1]],
-                axis=1)
-            face_lo = jnp.concatenate(
-                [glo2[:, None, 0], f2[:, :, 0], ghi2[:, None, 0]],
-                axis=1)
-            gylo = jnp.swapaxes(
-                jax.lax.ppermute(face_hi, 'y', up_y), 0, 1)
-            gyhi = jnp.swapaxes(
-                jax.lax.ppermute(face_lo, 'y', down_y), 0, 1)
+            parallel.halo's _sc_zy_exchange).
+
+            ``rows`` (per-step path): the kernel's (Z, 4*Qp, X) face
+            output -- nothing here may row-slice the in-place-aliased
+            state (see pallas_step.make_kernel_3d face_io). The init
+            path (rows None) slices the un-aliased initial state
+            once."""
+            if rows is None:
+                face_hi = pad_gy(jnp.swapaxes(jnp.concatenate(
+                    [glo2[:, None, -1], f2[:, :, -1],
+                     ghi2[:, None, -1]], axis=1), 0, 1))
+                face_lo = pad_gy(jnp.swapaxes(jnp.concatenate(
+                    [glo2[:, None, 0], f2[:, :, 0],
+                     ghi2[:, None, 0]], axis=1), 0, 1))
+                row_t = None
+            else:
+                row_t = tuple(rows[:, r * Qp_f:(r + 1) * Qp_f]
+                              for r in range(4))
+                qpad = Qp_f - g.Q
+
+                def crow(a, y):
+                    r = a[:, y][None]
+                    if qpad:
+                        r = jnp.pad(r, ((0, 0), (0, qpad), (0, 0)))
+                    return r
+
+                face_hi = jnp.concatenate(
+                    [crow(glo2, -1), row_t[3], crow(ghi2, -1)], axis=0)
+                face_lo = jnp.concatenate(
+                    [crow(glo2, 0), row_t[0], crow(ghi2, 0)], axis=0)
+            gylo = jax.lax.ppermute(face_hi, 'y', up_y)
+            gyhi = jax.lax.ppermute(face_lo, 'y', down_y)
             lo, hi = stream_rho_edges(g, ipos_np, f2, glo2, ghi2,
                                       gylo=gylo, gyhi=gyhi)
             rows_lo, rows_hi = stream_rho_edge_rows_3d(
-                g, ipos_np, f2, glo2, ghi2, gylo, gyhi)
+                g, ipos_np, f2, glo2, ghi2, gylo, gyhi, rows=row_t)
             rrlo = jnp.concatenate(
                 [jax.lax.ppermute(rows_lo[-1:], 'z', up), rows_lo,
                  jax.lax.ppermute(rows_lo[:1], 'z', down)],
@@ -163,22 +187,21 @@ class ShardedPallasSCMulti3D:
             rylos = [jax.lax.ppermute(r, 'y', up_y) for r in rrhis]
             ryhis = [jax.lax.ppermute(r, 'y', down_y) for r in rrlos]
             kargs = (fs + glos + ghis + rhos + rglos + rghis
-                     + rlos + rhis
-                     + [pad_gy(a) for a in gylos]
-                     + [pad_gy(a) for a in gyhis]
+                     + rlos + rhis + gylos + gyhis
                      + rylos + ryhis + rrlos + rrhis)
             if self.has_mask:
                 kargs.append(mask)
             out = self.kernel(*kargs)
             fs2 = out[:K]
-            rhos2 = out[K:]
+            rhos2 = out[K:2 * K]
+            rows2 = out[2 * K:]
             glos2 = [jax.lax.ppermute(f[:, -1], 'z', up) for f in fs2]
             ghis2 = [jax.lax.ppermute(f[:, 0], 'z', down) for f in fs2]
             gy_lo, gy_hi, los, his, rr_lo, rr_hi = [], [], [], [], \
                 [], []
             for c in range(K):
                 gylo, gyhi, lo, hi, rrlo, rrhi = _zy_exchange(
-                    fs2[c], glos2[c], ghis2[c])
+                    fs2[c], glos2[c], ghis2[c], rows=rows2[c])
                 gy_lo.append(gylo[None, None])
                 gy_hi.append(gyhi[None, None])
                 los.append(lo[None, None])
@@ -390,7 +413,8 @@ class ShardedPallasFE3D:
         self.kernel = make_kernel_3d_fe(
             mbuilder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             wetting=self.wetting and not self.two_axis, emit_phi=True,
-            edge_io=True, y_ghosts=self.two_axis, interpret=interpret)
+            edge_io=True, y_ghosts=self.two_axis,
+            face_io=self.two_axis, interpret=interpret)
         self.rho_kernel = make_rho_kernel_3d(b0, Z_loc, Y_loc, X,
                                              interpret=interpret)
         qperm, qinv, _ = cz_groups(mbuilder.grid)
@@ -400,31 +424,58 @@ class ShardedPallasFE3D:
         up_y, down_y = _ring(self.ny_shards)
         g = mbuilder.grid
 
+        from sailfish_tpu.ops.pallas_step import gy_pad_channels
+        Qp_f = gy_pad_channels(g.Q)
+
         def _fe_zy_exchange(f0_2, f1_2, glo0_2, glo1_2, ghi0_2,
-                            ghi1_2):
+                            ghi1_2, rows=None):
             """('z','y') carry pieces from the post-collision state:
             f boundary rows per source plane for BOTH components, the
             fresh phi edge planes/rows, and the (Z+2)-indexed pr
-            arrays (two-hop corners via the z-ghost entries)."""
+            arrays (two-hop corners via the z-ghost entries).
+
+            ``rows`` (per-step path): the kernel's (rows0, rows1)
+            face outputs, each (Z, 4*Qp, X) -- nothing here may
+            row-slice the in-place-aliased state (see
+            pallas_step.make_kernel_3d face_io). The init path (rows
+            None) slices the un-aliased initial state once."""
             gys = []
-            for f2, glo2, ghi2 in ((f0_2, glo0_2, ghi0_2),
-                                   (f1_2, glo1_2, ghi1_2)):
-                face_hi = jnp.concatenate(
-                    [glo2[:, None, -1], f2[:, :, -1],
-                     ghi2[:, None, -1]], axis=1)
-                face_lo = jnp.concatenate(
-                    [glo2[:, None, 0], f2[:, :, 0],
-                     ghi2[:, None, 0]], axis=1)
-                gys.append((
-                    jnp.swapaxes(
-                        jax.lax.ppermute(face_hi, 'y', up_y), 0, 1),
-                    jnp.swapaxes(
-                        jax.lax.ppermute(face_lo, 'y', down_y), 0, 1)))
+            row_ts = [None, None]
+            if rows is not None:
+                row_ts = [tuple(r[:, j * Qp_f:(j + 1) * Qp_f]
+                                for j in range(4)) for r in rows]
+                qpad = Qp_f - g.Q
+
+                def crow(a, y):
+                    r = a[:, y][None]
+                    if qpad:
+                        r = jnp.pad(r, ((0, 0), (0, qpad), (0, 0)))
+                    return r
+
+            for c, (f2, glo2, ghi2) in enumerate((
+                    (f0_2, glo0_2, ghi0_2), (f1_2, glo1_2, ghi1_2))):
+                if rows is None:
+                    face_hi = pad_gy(jnp.swapaxes(jnp.concatenate(
+                        [glo2[:, None, -1], f2[:, :, -1],
+                         ghi2[:, None, -1]], axis=1), 0, 1))
+                    face_lo = pad_gy(jnp.swapaxes(jnp.concatenate(
+                        [glo2[:, None, 0], f2[:, :, 0],
+                         ghi2[:, None, 0]], axis=1), 0, 1))
+                else:
+                    face_hi = jnp.concatenate(
+                        [crow(glo2, -1), row_ts[c][3], crow(ghi2, -1)],
+                        axis=0)
+                    face_lo = jnp.concatenate(
+                        [crow(glo2, 0), row_ts[c][0], crow(ghi2, 0)],
+                        axis=0)
+                gys.append((jax.lax.ppermute(face_hi, 'y', up_y),
+                            jax.lax.ppermute(face_lo, 'y', down_y)))
             (gylo0, gyhi0), (gylo1, gyhi1) = gys
             lo, hi = stream_rho_edges(g, ipos_np, f1_2, glo1_2,
                                       ghi1_2, gylo=gylo1, gyhi=gyhi1)
             rows_lo, rows_hi = stream_rho_edge_rows_3d(
-                g, ipos_np, f1_2, glo1_2, ghi1_2, gylo1, gyhi1)
+                g, ipos_np, f1_2, glo1_2, ghi1_2, gylo1, gyhi1,
+                rows=row_ts[1])
             prlo = jnp.concatenate(
                 [jax.lax.ppermute(rows_lo[-1:], 'z', up), rows_lo,
                  jax.lax.ppermute(rows_lo[:1], 'z', down)],
@@ -520,26 +571,27 @@ class ShardedPallasFE3D:
                 kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
                          phi_k, lo2, lo1_k, hi1_k, hi2,
                          phi_k[0], phi_k[-1],
-                         pad_gy(gylo0[0, 0]), pad_gy(gylo1[0, 0]),
-                         pad_gy(gyhi0[0, 0]), pad_gy(gyhi1[0, 0]),
+                         gylo0[0, 0], gylo1[0, 0],
+                         gyhi0[0, 0], gyhi1[0, 0],
                          pylo_k, pyhi_k,
                          pr_w_lo, pr_w_hi]
             else:
                 kargs = [f0, f1, glo0_, glo1_, ghi0_, ghi1_,
                          phi, lo2, lo1, hi1, hi2, pelo_, pehi_,
-                         pad_gy(gylo0[0, 0]), pad_gy(gylo1[0, 0]),
-                         pad_gy(gyhi0[0, 0]), pad_gy(gyhi1[0, 0]),
+                         gylo0[0, 0], gylo1[0, 0],
+                         gyhi0[0, 0], gyhi1[0, 0],
                          pylo_, pyhi_, prlo_, prhi_]
             if self.has_mask:
                 kargs.append(rest[0])
-            f0_2, f1_2, phi2 = self.kernel(*kargs)
+            f0_2, f1_2, phi2, rows0, rows1 = self.kernel(*kargs)
             glo0_2 = jax.lax.ppermute(f0_2[:, -1], 'z', up)
             glo1_2 = jax.lax.ppermute(f1_2[:, -1], 'z', up)
             ghi0_2 = jax.lax.ppermute(f0_2[:, 0], 'z', down)
             ghi1_2 = jax.lax.ppermute(f1_2[:, 0], 'z', down)
             (gylo0_2, gylo1_2, gyhi0_2, gyhi1_2, lo, hi, prlo2,
              prhi2) = _fe_zy_exchange(f0_2, f1_2, glo0_2, glo1_2,
-                                      ghi0_2, ghi1_2)
+                                      ghi0_2, ghi1_2,
+                                      rows=(rows0, rows1))
             return (f0_2, f1_2, phi2, lo[None, None], hi[None, None],
                     glo0_2[None, None], glo1_2[None, None],
                     ghi0_2[None, None], ghi1_2[None, None],

@@ -444,6 +444,21 @@ def test_sharded_sc_single_3d_bitwise():
     r, fs_n = _run_sharded(S3, dims, '4')
     assert isinstance(r._pallas, ShardedPallasStep3D)
     assert r._pallas.sc
+
+    # ('z','y') 2-axis mesh: the kernel-emitted face/row path (face_io
+    # with sc) must agree too, and its carry must be reproducible
+    rzy, fs_zy = _run_sharded(S3, dims, '2x2')
+    assert rzy._pallas.two_axis and rzy._pallas.face_io
+    for a, b in zip(fs_1, fs_zy):
+        assert np.max(np.abs(a - b)) < 1e-6
+    import jax as _jax
+    pzy = rzy._pallas
+    czy = pzy.pad_state(rzy.f)
+    czy = _jax.lax.fori_loop(0, 3, lambda i, c: pzy.step(c, i), czy)
+    refzy = pzy._sharded_init(czy[0])
+    for j in range(2, 10):   # rlo/rhi, glo/ghi, gylo/gyhi, rrlo/rrhi
+        assert np.array_equal(np.asarray(czy[j]),
+                              np.asarray(refzy[j])), j
     for a, b in zip(fs_1, fs_n):
         # the sharded wiring is value- and order-exact, but XLA CPU
         # compiles the (interpret-mode) kernel with context-dependent
