@@ -34,7 +34,8 @@ from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
                    max_patches=0, sc=False, emit_rho=False,
-                   edge_io=False, mixed=None, x_ghosts=False):
+                   edge_io=False, mixed=None, x_ghosts=False,
+                   col_io=False):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -84,6 +85,24 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     emissions into those rows stay garbage-but-unread. Signature:
     fused(f, glo, ghi, rho, rglo, rghi, rlo, rhi[, mask]) ->
     (out, rho_next).
+
+    ``col_io`` (requires ``x_ghosts``): the kernel RETURNS its
+    post-collision boundary COLUMNS as one extra (Y, 128) fp32 output
+    -- lane g*Q + q = column (0, X-1)[g] of direction q; under ``sc``
+    two more groups add the inner columns (1, X-2), the cross-x
+    sources of the caller's rho edge-column re-stream. Values are the
+    exact stored bits (read back from the out buffer; dequantized
+    under mixed). The x-sharded caller builds the next step's xcol
+    input from this instead of ppermuting strided column slices of the
+    state: a strided slice FEEDING A COLLECTIVE forces XLA to
+    defensively copy the whole in-place-aliased array every step
+    (measured 8181 -> 3624 MLUPS at 4096^2,
+    benchmark/x_ghost_overhead.py layer c3; the slice alone without a
+    collective consumer stays fast (c1), and an optimization_barrier
+    between slice and collective does NOT break the pattern (c3b);
+    with col_io the full sharded path runs at 8096 (c_sharded_1x1)).
+    dyn_patches: patched blocks' column rows are DMA'd as zeros; the
+    caller overwrites them from the patch planes it computed.
     """
     g = builder.grid
     Q = g.Q
@@ -111,6 +130,13 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     assert not (x_ghosts and patch_blocks)
     assert not (x_ghosts and sc and not emit_rho)
     assert not (x_ghosts and sc and dyn_patches)
+    assert not (col_io and not x_ghosts)
+    # col_io + sc emits the f boundary AND inner columns (lane groups
+    # 2/3 = x=1/X-2: the rho edge-column re-stream's cross-x sources);
+    # the rho boundary columns themselves need no emission -- the
+    # sharded caller carries the fresh c0/cX edge-column streams it
+    # already computes every step
+    assert not col_io or (4 if sc else 2) * Q <= 128
     xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
 
     if NB < 4:
@@ -159,14 +185,20 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         rho_out_hbm = None
         if emit_rho:
             rho_out_hbm = refs[idx]; idx += 1
+        colx_out = None
+        if col_io:
+            colx_out = refs[idx]; idx += 1  # (Y, 128) fp32
         blk_buf = refs[idx]; idx += 1     # (4, Q, by, X) rotating cache
         out_buf = refs[idx]; idx += 1     # (2, Q, by, X)
         xcol_buf = None
         rxcol_buf = None
+        colx_st = None
         if x_ghosts:
             xcol_buf = refs[idx]; idx += 1  # (2, by, 128)
             if sc:
                 rxcol_buf = refs[idx]; idx += 1  # (2, by, 128)
+        if col_io:
+            colx_st = refs[idx]; idx += 1   # (2, by, 128)
         mask_buf = None
         if has_mask:
             mask_buf = refs[idx]; idx += 1  # (4, 1, by, X)
@@ -192,10 +224,13 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             redge_sems = refs[idx]; idx += 1  # DMA (2,)
         xcol_sems = None
         rxcol_sems = None
+        colx_sems = None
         if x_ghosts:
             xcol_sems = refs[idx]; idx += 1   # DMA (2,)
             if sc:
                 rxcol_sems = refs[idx]; idx += 1  # DMA (2,)
+        if col_io:
+            colx_sems = refs[idx]; idx += 1   # DMA (2,)
 
         k = pl.program_id(0)
 
@@ -357,6 +392,52 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
             wait_xcol(jax.lax.rem(k, 2))
             xblk = xcol_buf[jax.lax.rem(k, 2)]       # (by, 128) fp32
 
+        if col_io:
+            def col_copy(s, blk_expr):
+                return pltpu.make_async_copy(
+                    colx_st.at[s],
+                    colx_out.at[pl.ds(blk_expr * by, by)],
+                    colx_sems.at[s])
+
+            # recycle: the DMA that read this staging slot two blocks
+            # ago must have drained before this block's store
+            @pl.when(k >= 2)
+            def _():
+                col_copy(oslot, k - 2).wait()
+
+            col_lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (by, 128), 1)
+
+            # sc consumers re-stream the emitted rho's edge columns
+            # in XLA and need the INNER columns (x = 1, X-2) of the
+            # post-collision state too (the cross-x stream sources);
+            # emit them as extra lane groups so nothing ever
+            # column-slices the aliased output
+            col_xs = ((0, 0), (1, X - 1))
+            if sc:
+                col_xs += ((2, 1), (3, X - 2))
+
+            def emit_cols(out_ref):
+                """Stage the post-collision boundary columns of this
+                block: lane g*Q + i = column col_xs[g][1] of direction
+                i. Values are READ BACK from the stored out-buffer
+                slot (not the live collide expressions): XLA/Mosaic
+                may recompute a sliced expression with different FMA
+                contraction (measured 1-ulp drift on CPU interpret),
+                and the consumer must see the exact stored bits
+                (dequantized under mixed)."""
+                acc = jnp.zeros((by, 128), dtype)
+                for grp, c in col_xs:
+                    for i in range(Q):
+                        v = out_ref[i, :, c:c + 1]
+                        if mixed is not None:
+                            v = mixed.dequant_i(i, v)
+                        acc = jnp.where(col_lane_iota == grp * Q + i,
+                                        jnp.broadcast_to(v, (by, 128)),
+                                        acc)
+                colx_st[oslot] = acc
+                col_copy(oslot, k).start()
+
         def normal_body():
             fs = []
             for i in range(Q):
@@ -454,6 +535,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     if mixed is not None:
                         vi = mixed.quant_i(i, vi)
                     out_buf[oslot, i] = vi
+                if col_io:
+                    emit_cols(out_buf.at[oslot])
                 pltpu.make_async_copy(out_buf.at[oslot],
                                       out_hbm.at[:, pl.ds(k * by, by)],
                                       out_sems.at[oslot]).start()
@@ -482,11 +565,18 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     vo = mixed.quant_i(o, vo)
                 out_buf[oslot, i] = vi
                 out_buf[oslot, o] = vo
+            if col_io:
+                emit_cols(out_buf.at[oslot])
             pltpu.make_async_copy(out_buf.at[oslot],
                                   out_hbm.at[:, pl.ds(k * by, by)],
                                   out_sems.at[oslot]).start()
 
         def patch_body():
+            if col_io:
+                # deterministic filler; the sharded caller overwrites
+                # patched blocks' column rows from the patch planes
+                colx_st[oslot] = jnp.zeros((by, 128), dtype)
+                col_copy(oslot, k).start()
             if dyn_patches:
                 j = jnp.maximum(pmap_ref[k], 0)
                 c = pltpu.make_async_copy(
@@ -626,6 +716,13 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     wait_out(oslot)
                 if (NB - 2) not in patch_blocks:
                     wait_out(jax.lax.rem(k + 1, 2))
+        if col_io:
+            @pl.when(k == NB - 1)
+            def _():
+                # drain the outstanding column emissions (every block
+                # DMAs one, patched or not)
+                col_copy(oslot, NB - 1).wait()
+                col_copy(jax.lax.rem(k + 1, 2), NB - 2).wait()
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     if x_ghosts:
@@ -643,6 +740,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.VMEM((2, by, 128), dtype))
         if sc:
             scratch.append(pltpu.VMEM((2, by, 128), dtype))
+    if col_io:
+        scratch.append(pltpu.VMEM((2, by, 128), dtype))     # colx_st
     if has_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((4, 1, by, X), jnp.int32))
@@ -670,6 +769,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         scratch.append(pltpu.SemaphoreType.DMA((2,)))   # xcol
         if sc:
             scratch.append(pltpu.SemaphoreType.DMA((2,)))  # rxcol
+    if col_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))   # colx
 
     out_shape = jax.ShapeDtypeStruct((Q, Y, X), sdtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
@@ -686,6 +787,14 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         # (the rho input sits after f/glo/ghi and, when x-sharded,
         # the xcol input)
         io_aliases[4 if x_ghosts else 3] = 1
+    if col_io:
+        col_out = jax.ShapeDtypeStruct((Y, 128), dtype)
+        if isinstance(out_shape, list):
+            out_shape = out_shape + [col_out]
+            out_specs = out_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        else:
+            out_shape = [out_shape, col_out]
+            out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
     fused = pl.pallas_call(
         kernel,
         grid=(NB,),

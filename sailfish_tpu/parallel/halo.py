@@ -756,7 +756,14 @@ class ShardedPallasStep2D:
             interpret=interpret, sc=self.sc, emit_rho=self.sc,
             edge_io=self.sc and self.y_sharded,
             dyn_patches=self.has_patches, max_patches=self.P,
-            mixed=self.mixed, x_ghosts=self.x_sharded)
+            mixed=self.mixed, x_ghosts=self.x_sharded,
+            col_io=self.x_sharded)
+        # x-sharded non-SC: the kernel emits its boundary columns and
+        # the step carries (f, colx) -- ppermuting a strided column
+        # slice of the in-place-aliased state forces XLA to copy the
+        # whole array every step (benchmark/x_ghost_overhead.py:
+        # 8160 -> 3650 MLUPS at 4096^2 from the two xcol ppermutes)
+        self.col_io = self.x_sharded and not self.sc
         self.rho_kernel = None
         if self.sc:
             from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d
@@ -827,6 +834,103 @@ class ShardedPallasStep2D:
                     rest[r].reshape(g.Q, self.P, by, X_loc)); r += 1
             return self.kernel(*args)
 
+        Qn = g.Q
+
+        def build_xcols_emitted(colx):
+            """xcol input from the KERNEL-EMITTED boundary columns of
+            the previous step ((Y_loc, 128) fp32, lane i = x=0 column
+            of direction i, lane Q+i = x=X-1): same two-hop corner
+            exchange as build_xcols, but nothing slices the in-place-
+            aliased state (the emitted array has no aliased
+            consumer)."""
+            recv_last = jax.lax.ppermute(colx[:, Qn:2 * Qn], 'x', upx)
+            recv_first = jax.lax.ppermute(colx[:, :Qn], 'x', downx)
+            cols = []
+            for i in xdirs:
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                src = recv_last[:, i] if cx == 1 else recv_first[:, i]
+                if cy:
+                    shifted = jnp.roll(src, cy)
+                    if self.y_sharded:
+                        if cy == 1:
+                            e = jax.lax.ppermute(
+                                src[Y_loc - 1:], 'y', up)
+                            shifted = jnp.concatenate(
+                                [e, shifted[1:]], axis=0)
+                        else:
+                            e = jax.lax.ppermute(src[:1], 'y', down)
+                            shifted = jnp.concatenate(
+                                [shifted[:-1], e], axis=0)
+                    src = shifted
+                cols.append(src)
+            xc = jnp.stack(cols, axis=1)
+            return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+        def _patch_col_fix(colx2, pmap_l, patches):
+            """Overwrite patched blocks' rows of the emitted column
+            array from the (fresh, un-aliased) patch planes -- the
+            kernel DMAs zeros there (pallas_step2d col_io)."""
+            slot_rows = jnp.repeat(pmap_l, by)          # (Y_loc,)
+            has = slot_rows >= 0
+            sl = jnp.maximum(slot_rows, 0)
+            j = sl * by + (jnp.arange(Y_loc) % by)
+            plo = patches[:, :, :, 0].reshape(Qn, -1)[:, j]
+            phi_ = patches[:, :, :, X_loc - 1].reshape(Qn, -1)[:, j]
+            if mx is not None:
+                plo = jnp.stack([mx.dequant_i(i, plo[i])
+                                 for i in range(Qn)])
+                phi_ = jnp.stack([mx.dequant_i(i, phi_[i])
+                                  for i in range(Qn)])
+            fix = jnp.concatenate([plo.T, phi_.T], axis=1)
+            fix = jnp.pad(fix, ((0, 0), (0, 128 - 2 * Qn)))
+            return jnp.where(has[:, None], fix, colx2)
+
+        def local_step_cols(f_local, colx, *rest):
+            """x-sharded non-SC step on the (f, colx) carry."""
+            if self.y_sharded:
+                ghost_lo = jax.lax.ppermute(f_local[:, -by:], 'y', up)
+                ghost_hi = jax.lax.ppermute(f_local[:, :by], 'y', down)
+            else:
+                ghost_lo = f_local[:, -by:]
+                ghost_hi = f_local[:, :by]
+            args = [f_local, ghost_lo, ghost_hi,
+                    build_xcols_emitted(colx)]
+            r = 0
+            pmap_l = patches = None
+            if self.has_mask:
+                args.append(rest[r]); r += 1
+            if self.has_patches:
+                pmap_l = rest[r].reshape(-1); r += 1
+                patches = rest[r].reshape(g.Q, self.P, by, X_loc)
+                r += 1
+                args.append(pmap_l)
+                args.append(patches)
+            f2, colx2 = self.kernel(*args)
+            if self.has_patches:
+                colx2 = _patch_col_fix(colx2, pmap_l, patches)
+            return f2, colx2
+
+        def slice_cols_init(f_local, groups):
+            """Initial (Y_loc, 128) colx: one-time column slices of
+            the un-aliased initial state, lane semantics identical to
+            the kernel emission (lane g*Q + i = column groups[g] of
+            direction i, dequantized under mixed) -- the two boundary
+            columns; sc adds the inner pair (the rho edge-column
+            re-stream's cross-x sources)."""
+            cols = []
+            for c in groups:
+                for i in range(Qn):
+                    col = f_local[i, :, c]
+                    if mx is not None:
+                        col = mx.dequant_i(i, col)
+                    cols.append(col)
+            colx = jnp.stack(cols, axis=1).astype(jnp.float32)
+            return jnp.pad(colx, ((0, 0), (0, 128 - len(cols))))
+
+        def local_init_cols(f_local):
+            """Initial (f, colx) carry (x-sharded non-SC)."""
+            return f_local, slice_cols_init(f_local, (0, X_loc - 1))
+
         def _f_col_ext(f2, c, glo_blk, ghi_blk):
             """(Q, Y+2) column c of the post-collision state extended
             with the y-ghost entries (rows -1 and Y) from the boundary
@@ -837,11 +941,35 @@ class ShardedPallasStep2D:
                 axis=1)
 
         def _fx_cols(f2, glo_blk, ghi_blk):
-            """The x-neighbors' boundary f columns (Q, Y+2)."""
+            """The x-neighbors' boundary f columns (Q, Y+2); INIT-ONLY
+            (slices the un-aliased initial state)."""
             fxlo = jax.lax.ppermute(
                 _f_col_ext(f2, X_loc - 1, glo_blk, ghi_blk), 'x', upx)
             fxhi = jax.lax.ppermute(
                 _f_col_ext(f2, 0, glo_blk, ghi_blk), 'x', downx)
+            return fxlo, fxhi
+
+        def _fx_cols_emitted(colx2, glo_blk, ghi_blk):
+            """_fx_cols from the KERNEL-EMITTED boundary columns of
+            this step's output (per-step path: column-slicing the
+            in-place-aliased state into a collective forces a
+            whole-array copy, see build_xcols_emitted). Ghost entries
+            come from the ppermuted boundary blocks (y-sharded;
+            fresh buffers) or the emitted columns' own wrap rows."""
+            exts = []
+            for side, c in ((1, X_loc - 1), (0, 0)):
+                core = colx2[:, side * Qn:side * Qn + Qn].T  # (Q, Y)
+                if self.y_sharded:
+                    ext = jnp.concatenate(
+                        [glo_blk[:, -1:, c], core, ghi_blk[:, :1, c]],
+                        axis=1)
+                else:
+                    ext = jnp.concatenate(
+                        [core[:, Y_loc - 1:], core, core[:, :1]],
+                        axis=1)
+                exts.append(ext)
+            fxlo = jax.lax.ppermute(exts[0], 'x', upx)
+            fxhi = jax.lax.ppermute(exts[1], 'x', downx)
             return fxlo, fxhi
 
         def build_rxcols(rho_f):
@@ -849,7 +977,17 @@ class ShardedPallasStep2D:
             rxcol input (lane 3*side + (dy+1)); the carried rho's
             edge columns are fresh at every row (the carry
             invariant), so one y-extension + one x-hop covers the
-            dy = +-1 corner entries."""
+            dy = +-1 corner entries. INIT-ONLY: per-step calls use
+            build_rxcols_from on the carried edge-column pair
+            (column-slicing the in-place-aliased rho into a
+            collective forces a whole-array copy)."""
+            return build_rxcols_from(
+                jnp.stack([rho_f[:, 0], rho_f[:, X_loc - 1]], axis=1))
+
+        def build_rxcols_from(recols):
+            """build_rxcols from the carried (Y_loc, 2) fresh edge
+            columns (col x=0, col x=X-1) streamed by the previous
+            step -- an un-aliased array, safe to feed collectives."""
             def ext(col):
                 if self.y_sharded:
                     e_lo = jax.lax.ppermute(col[-1:], 'y', up)
@@ -857,8 +995,8 @@ class ShardedPallasStep2D:
                 else:
                     e_lo, e_hi = col[-1:], col[:1]
                 return jnp.concatenate([e_lo, col, e_hi])
-            rxR = jax.lax.ppermute(ext(rho_f[:, 0]), 'x', downx)
-            rxL = jax.lax.ppermute(ext(rho_f[:, X_loc - 1]), 'x', upx)
+            rxR = jax.lax.ppermute(ext(recols[:, 0]), 'x', downx)
+            rxL = jax.lax.ppermute(ext(recols[:, 1]), 'x', upx)
             lanes = [se[1 + dy:Y_loc + 1 + dy]
                      for se in (rxR, rxL) for dy in (-1, 0, 1)]
             rx = jnp.stack(lanes, axis=1)
@@ -874,10 +1012,17 @@ class ShardedPallasStep2D:
             glo, ghi) carry; the 2D counterpart of the 3D sc path
             (interior rows emitted in-kernel, the two global edge rows
             streamed in XLA from the ppermuted faces). x-sharded
-            meshes additionally overwrite the carried rho's edge
-            columns from the x-neighbor streams each step."""
+            meshes carry (colx, recols) too: the kernel-emitted f
+            boundary columns and the fresh rho edge-column pair feed
+            the next step's x-exchange, so nothing column-slices the
+            in-place-aliased arrays (see build_xcols_emitted)."""
             from sailfish_tpu.parallel.halo_multi import (
                 stream_rho_edge_cols_2d, stream_rho_edge_rows_2d)
+            r = 0
+            colx = recols = None
+            if self.x_sharded:
+                colx = rest[r]; r += 1
+                recols = rest[r]; r += 1
             zpad = jnp.zeros((by - 1, X_loc), f.dtype)
             rglo = jnp.concatenate(
                 [zpad, jax.lax.ppermute(rhi[0], 'y', up)], axis=0)
@@ -885,24 +1030,31 @@ class ShardedPallasStep2D:
                 [jax.lax.ppermute(rlo[0], 'y', down), zpad], axis=0)
             args = [f, glo[0], ghi[0]]
             if self.x_sharded:
-                args.append(build_xcols(f))
+                args.append(build_xcols_emitted(colx))
             args += [rho, rglo, rghi, rlo[0], rhi[0]]
             if self.x_sharded:
-                args.append(build_rxcols(rho))
+                args.append(build_rxcols_from(recols))
             if self.has_mask:
-                args.append(rest[0])
-            f2, rho2 = self.kernel(*args)
+                args.append(rest[r])
+            out = self.kernel(*args)
+            if self.x_sharded:
+                f2, rho2, colx2 = out
+            else:
+                f2, rho2 = out
             glo2 = jax.lax.ppermute(f2[:, -by:], 'y', up)
             ghi2 = jax.lax.ppermute(f2[:, :by], 'y', down)
             if self.x_sharded:
-                fxlo, fxhi = _fx_cols(f2, glo2, ghi2)
+                fxlo, fxhi = _fx_cols_emitted(colx2, glo2, ghi2)
                 lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2,
                                                  fxlo, fxhi)
-                c0, cX = stream_rho_edge_cols_2d(g, f2, glo2, ghi2,
-                                                 fxlo, fxhi)
+                c0, cX = stream_rho_edge_cols_2d(
+                    g, f2, glo2, ghi2, fxlo, fxhi,
+                    cols=(colx2, Qn))
                 rho2 = _patch_cols(rho2, c0, cX)
-            else:
-                lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2)
+                return (f2, rho2, lo[None], hi[None], glo2[None],
+                        ghi2[None], colx2,
+                        jnp.stack([c0, cX], axis=1))
+            lo, hi = stream_rho_edge_rows_2d(g, f2, glo2, ghi2)
             return (f2, rho2, lo[None], hi[None], glo2[None],
                     ghi2[None])
 
@@ -919,27 +1071,34 @@ class ShardedPallasStep2D:
                 c0, cX = stream_rho_edge_cols_2d(g, f, glo, ghi,
                                                  fxlo, fxhi)
                 rho = _patch_cols(rho, c0, cX)
-            else:
-                lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi)
+                colx = slice_cols_init(
+                    f, (0, X_loc - 1, 1, X_loc - 2))
+                return (f, rho, lo[None], hi[None], glo[None],
+                        ghi[None], colx,
+                        jnp.stack([c0, cX], axis=1))
+            lo, hi = stream_rho_edge_rows_2d(g, f, glo, ghi)
             return (f, rho, lo[None], hi[None], glo[None], ghi[None])
 
-        def local_step_sc_x(f, rho, *rest):
+        def local_step_sc_x(f, rho, colx, recols, *rest):
             """Shan-Chen on an ('x',)-only mesh: y wraps locally, so
-            the carry is just (f, rho) with rho fully fresh (edge
-            columns re-streamed each step)."""
+            the carry is (f, rho, colx, recols) with rho fully fresh
+            (edge columns re-streamed each step from the kernel-
+            emitted columns -- nothing column-slices the aliased
+            arrays, see build_xcols_emitted)."""
             from sailfish_tpu.parallel.halo_multi import \
                 stream_rho_edge_cols_2d
-            args = [f, f[:, -by:], f[:, :by], build_xcols(f), rho,
-                    build_rxcols(rho)]
+            args = [f, f[:, -by:], f[:, :by],
+                    build_xcols_emitted(colx), rho,
+                    build_rxcols_from(recols)]
             if self.has_mask:
                 args.append(rest[0])
-            f2, rho2 = self.kernel(*args)
-            glo2 = f2[:, -by:]
-            ghi2 = f2[:, :by]
-            fxlo, fxhi = _fx_cols(f2, glo2, ghi2)
-            c0, cX = stream_rho_edge_cols_2d(g, f2, glo2, ghi2,
-                                             fxlo, fxhi)
-            return (f2, _patch_cols(rho2, c0, cX))
+            f2, rho2, colx2 = self.kernel(*args)
+            fxlo, fxhi = _fx_cols_emitted(colx2, None, None)
+            c0, cX = stream_rho_edge_cols_2d(g, f2, None, None,
+                                             fxlo, fxhi,
+                                             cols=(colx2, Qn))
+            return (f2, _patch_cols(rho2, c0, cX), colx2,
+                    jnp.stack([c0, cX], axis=1))
 
         def local_init_sc_x(f):
             from sailfish_tpu.parallel.halo_multi import \
@@ -950,7 +1109,9 @@ class ShardedPallasStep2D:
             fxlo, fxhi = _fx_cols(f, glo, ghi)
             c0, cX = stream_rho_edge_cols_2d(g, f, glo, ghi,
                                              fxlo, fxhi)
-            return (f, _patch_cols(rho, c0, cX))
+            colx = slice_cols_init(f, (0, X_loc - 1, 1, X_loc - 2))
+            return (f, _patch_cols(rho, c0, cX), colx,
+                    jnp.stack([c0, cX], axis=1))
 
         in_specs = [self._fspec]
         yax = 'y' if self.y_sharded else None
@@ -968,6 +1129,10 @@ class ShardedPallasStep2D:
                 SPECS = (P(None, None, xax), P(None, xax))
                 sc_step_fn, sc_init_fn = local_step_sc_x, \
                     local_init_sc_x
+            if self.x_sharded:
+                # kernel-emitted colx (Y_loc, 128) + the fresh rho
+                # edge-column pair (Y_loc, 2); both per-x-shard
+                SPECS = SPECS + (P(yax, xax), P(yax, xax))
             in_specs = list(SPECS)
         if self.has_mask:
             in_specs.append(mspec)
@@ -981,6 +1146,15 @@ class ShardedPallasStep2D:
             self._sharded_init = shard_map(
                 sc_init_fn, mesh=mesh, in_specs=(SPECS[0],),
                 out_specs=SPECS, check_vma=False)
+        elif self.col_io:
+            CSPECS = (self._fspec, P(yax, xax))
+            in_specs = list(CSPECS) + in_specs[1:]
+            self._sharded_step = shard_map(
+                local_step_cols, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=CSPECS, check_vma=False)
+            self._sharded_init = shard_map(
+                local_init_cols, mesh=mesh, in_specs=(CSPECS[0],),
+                out_specs=CSPECS, check_vma=False)
         else:
             self._sharded_step = shard_map(
                 local_step, mesh=mesh, in_specs=tuple(in_specs),
@@ -1010,28 +1184,34 @@ class ShardedPallasStep2D:
 
     @property
     def padded(self):
-        """Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi); mixed
-        scenes carry int16 codes; the runner wraps step loops in
+        """Shan-Chen scenes carry (f, rho, rlo, rhi, glo, ghi);
+        x-sharded non-SC scenes carry (f, colx); mixed scenes carry
+        int16 codes; the runner wraps step loops in
         pad_state/crop_state."""
-        return self.sc or self.mixed is not None
+        return self.sc or self.col_io or self.mixed is not None
 
     def pad_state(self, f):
         if self.mixed is not None:
-            return self.mixed.quant(f)
-        return self._sharded_init(f) if self.sc else f
+            f = self.mixed.quant(f)
+        if self.sc or self.col_io:
+            return self._sharded_init(f)
+        return f
 
     def crop_state(self, carry):
+        f = carry[0] if (self.sc or self.col_io) else carry
         if self.mixed is not None:
-            return self.mixed.dequant(carry)
-        return carry[0] if self.sc else carry
+            return self.mixed.dequant(f)
+        return f
 
     def step(self, carry, it=0):
-        args = list(carry) if self.sc else [carry]
+        tup = self.sc or self.col_io
+        args = list(carry) if tup else [carry]
         if self.has_mask:
             args.append(self.mask_global)
         if self.has_patches:
             args.append(self.pmap_global)
-            args.append(self._compute_patches_padded(carry, it))
+            args.append(self._compute_patches_padded(
+                carry[0] if tup else carry, it))
         return self._sharded_step(*args)
 
     def run_steps(self, f, n, it0=0):

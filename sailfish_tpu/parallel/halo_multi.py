@@ -754,7 +754,8 @@ def stream_rho_edge_rows_2d(grid, f, glo_blk, ghi_blk,
     return lo, hi
 
 
-def stream_rho_edge_cols_2d(grid, f, glo_blk, ghi_blk, fxlo, fxhi):
+def stream_rho_edge_cols_2d(grid, f, glo_blk, ghi_blk, fxlo, fxhi,
+                            cols=None):
     """Post-stream density of the two local edge COLUMNS (x=0 and
     x=X-1, all local rows) for x-sharded 2D Shan-Chen stepping -- the
     lanes the in-kernel emission wraps locally. ``glo_blk``/``ghi_blk``
@@ -762,9 +763,22 @@ def stream_rho_edge_cols_2d(grid, f, glo_blk, ghi_blk, fxlo, fxhi):
     or the local wrap copies on a y-unsharded mesh); ``fxlo``/``fxhi``
     as in stream_rho_edge_rows_2d. Source selection and summation
     order match the emission, so the values are bitwise the
-    single-device ones. Returns (col_0, col_Xm1), each (Y,)."""
+    single-device ones. Returns (col_0, col_Xm1), each (Y,).
+
+    ``cols=(colx, Q)``: read the source columns from the
+    KERNEL-EMITTED column array ((Y, 128) fp32; lane group g*Q + i =
+    column (0, X-1, 1, X-2)[g] of direction i, pallas_step2d col_io)
+    instead of column-slicing ``f`` -- a strided slice of the
+    in-place-aliased state forces XLA to copy the whole array every
+    step (benchmark/x_ghost_overhead.py). ``glo_blk=None`` wraps the
+    cross-row ghost entries from the emitted columns themselves
+    (x-only meshes, where y wraps locally and the local blocks would
+    be aliased slices too)."""
     Y = f.shape[1]
     X = f.shape[2]
+    if cols is not None:
+        colx, Qn = cols
+        lane_of = {0: 0, X - 1: Qn, 1: 2 * Qn, X - 2: 3 * Qn}
     lo = hi = None
     for i in range(grid.Q):
         cx = int(grid.basis[i][0])
@@ -772,8 +786,17 @@ def stream_rho_edge_cols_2d(grid, f, glo_blk, ghi_blk, fxlo, fxhi):
 
         def col_rows(c, i=i, cy=cy):
             """(Y,) rows y - cy of column c, ghosts from the blocks."""
-            ext = jnp.concatenate(
-                [glo_blk[i, -1:, c], f[i, :, c], ghi_blk[i, :1, c]])
+            if cols is not None:
+                col = colx[:, lane_of[c] + i]
+                if glo_blk is None:
+                    e_lo, e_hi = col[-1:], col[:1]
+                else:
+                    e_lo = glo_blk[i, -1:, c]
+                    e_hi = ghi_blk[i, :1, c]
+                ext = jnp.concatenate([e_lo, col, e_hi])
+            else:
+                ext = jnp.concatenate(
+                    [glo_blk[i, -1:, c], f[i, :, c], ghi_blk[i, :1, c]])
             return ext[1 - cy:Y + 1 - cy]
 
         if cx == 1:
