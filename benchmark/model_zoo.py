@@ -183,6 +183,9 @@ CASES = {
     'd2q9_sc_single_1024_yxmesh1': ('sc_phase_separation', 2,
                                     dict(lat_nx=1024, lat_ny=1024,
                                          mesh='1x1')),
+    'bin_d2q9_fe_1024_yxmesh1': ('binary_fluid.fe_separation_2d', 2,
+                                 dict(lat_nx=1024, lat_ny=1024,
+                                      mesh='1x1')),
 }
 
 SIM_CLASSES = {

@@ -35,7 +35,8 @@ from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
 
 def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                             interpret=False, emit_rho=False,
-                            edge_io=False, x_ghosts=False):
+                            edge_io=False, x_ghosts=False,
+                            col_io=False):
     """fused(f_0..f_{K-1}, glo_0..glo_{K-1}, ghi_0..ghi_{K-1},
     rho_0..rho_{K-1}[, mask]) -> (f'_0..f'_{K-1}).
 
@@ -77,7 +78,17 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     lanes (lane 3*side + (dy+1); psi applied in-kernel so the
     substituted lane is bitwise the single-device value). The carried
     rho arrays arrive with their edge COLUMNS already re-streamed
-    fresh by the caller (halo_multi.stream_rho_edge_cols_2d)."""
+    fresh by the caller (halo_multi.stream_rho_edge_cols_2d).
+
+    ``col_io`` (requires ``x_ghosts``): per component, RETURN the
+    post-collision boundary + inner columns as one extra (Y, 128)
+    fp32 output -- lane g*Q + i = column (0, X-1, 1, X-2)[g] of
+    direction i, exact stored bits (read back from the out buffer).
+    The sharded caller builds the next step's xcol inputs and the rho
+    edge-column re-stream from these instead of column-slicing the
+    in-place-aliased states, which forces XLA to defensively copy
+    the whole arrays every step (see pallas_step2d.make_kernel_2d
+    col_io and benchmark/x_ghost_overhead.py)."""
     b0 = mbuilder.b0
     g = mbuilder.grid
     Q = g.Q
@@ -99,6 +110,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     assert Y % by == 0
     assert not (edge_io and not emit_rho)
     assert not (x_ghosts and not emit_rho)
+    assert not (col_io and not x_ghosts)
+    assert not col_io or 4 * Q <= 128
     xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
     NB = Y // by
     if NB < 4:
@@ -128,6 +141,9 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         rho_out_hbm = None
         if emit_rho:
             rho_out_hbm = [refs[idx + c] for c in range(K)]; idx += K
+        colx_out_hbm = None
+        if col_io:
+            colx_out_hbm = [refs[idx + c] for c in range(K)]; idx += K
         blk_buf = refs[idx]; idx += 1     # (4, K*Q, by, X)
         out_buf = refs[idx]; idx += 1     # (2, K*Q, by, X)
         rho_buf = refs[idx]; idx += 1     # (4, K, by, X)
@@ -147,6 +163,9 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         if x_ghosts:
             xcol_buf = refs[idx]; idx += 1    # (2, K, by, 128)
             rxcol_buf = refs[idx]; idx += 1   # (2, K, by, 128)
+        colx_st = None
+        if col_io:
+            colx_st = refs[idx]; idx += 1     # (2, K, by, 128)
         in_sems = refs[idx]; idx += 1      # DMA (4, 2*K+1)
         out_sems = refs[idx]; idx += 1     # DMA (2, K)
         remit_sems = None
@@ -159,6 +178,9 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
         if x_ghosts:
             xcol_sems = refs[idx]; idx += 1   # DMA (2, K)
             rxcol_sems = refs[idx]; idx += 1  # DMA (2, K)
+        colx_sems = None
+        if col_io:
+            colx_sems = refs[idx]; idx += 1   # DMA (2, K)
 
         k = pl.program_id(0)
 
@@ -476,6 +498,43 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                 out_hbm[c].at[:, pl.ds(k * by, by)],
                 out_sems.at[oslot, c]).start()
 
+        # -- col_io: per-component boundary/inner column emission
+        # (exact stored bits, read back from the out buffer) ------------
+        if col_io:
+            def col_copy(s_, c, blk_expr):
+                return pltpu.make_async_copy(
+                    colx_st.at[s_, c],
+                    colx_out_hbm[c].at[pl.ds(blk_expr * by, by)],
+                    colx_sems.at[s_, c])
+
+            # recycle: the DMA that read this staging slot two blocks
+            # ago must have drained before this block's store
+            @pl.when(k >= 2)
+            def _():
+                for c in range(K):
+                    col_copy(oslot, c, k - 2).wait()
+
+            col_lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (by, 128), 1)
+            for c in range(K):
+                acc = jnp.zeros((by, 128), dtype)
+                for grp, cc in ((0, 0), (1, X - 1), (2, 1),
+                                (3, X - 2)):
+                    for i in range(Q):
+                        v = out_buf[oslot, c * Q + i, :, cc:cc + 1]
+                        acc = jnp.where(
+                            col_lane_iota == grp * Q + i,
+                            jnp.broadcast_to(v, (by, 128)), acc)
+                colx_st[oslot, c] = acc
+                col_copy(oslot, c, k).start()
+
+            @pl.when(k == NB - 1)
+            def _():
+                # drain the outstanding column emissions
+                for c in range(K):
+                    col_copy(oslot, c, NB - 1).wait()
+                    col_copy(jax.lax.rem(k + 1, 2), c, NB - 2).wait()
+
         # -- emit-rho: next step's post-stream densities from the
         # post-collision blocks in VMEM (see docstring) ----------------
         if emit_rho:
@@ -591,6 +650,8 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     if x_ghosts:
         scratch.append(pltpu.VMEM((2, K, by, 128), dtype))  # xcol
         scratch.append(pltpu.VMEM((2, K, by, 128), dtype))  # rxcol
+    if col_io:
+        scratch.append(pltpu.VMEM((2, K, by, 128), dtype))  # colx_st
     scratch.append(pltpu.SemaphoreType.DMA((4, 2 * K + 1)))
     scratch.append(pltpu.SemaphoreType.DMA((2, K)))
     if emit_rho:
@@ -600,8 +661,12 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
     if x_ghosts:
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # xcol
         scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # rxcol
+    if col_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2, K)))    # colx
 
     n_out = 2 * K if emit_rho else K
+    if col_io:
+        n_out += K
     out_shape = tuple(jax.ShapeDtypeStruct((Q, Y, X), dtype)
                       for _ in range(K))
     # in-place component updates (wrap blocks come from the ghost
@@ -615,6 +680,9 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
             jax.ShapeDtypeStruct((Y, X), dtype) for _ in range(K))
         for c in range(K):
             io_aliases[3 * K + c] = K + c
+    if col_io:
+        out_shape = out_shape + tuple(
+            jax.ShapeDtypeStruct((Y, 128), dtype) for _ in range(K))
     fused = pl.pallas_call(
         kernel,
         grid=(NB,),
@@ -632,7 +700,7 @@ def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
 
 def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                       wetting=False, interpret=False, emit_rho=False,
-                      edge_io=False, x_ghosts=False):
+                      edge_io=False, x_ghosts=False, col_io=False):
     """Fused binary free-energy step (reference lb_binary_fluid.mako):
     fused(f0, f1, glo0, glo1, ghi0, ghi1, phi_field[, mask][, orient])
     -> (f0', f1').
@@ -668,7 +736,13 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     neighbor columns for the stencil wrap lanes (lane 3*side +
     (dy+1)), exactly the SC kernel's scheme; the emitted phi's edge
     columns are stale-by-contract (the caller re-streams them). The
-    carried phi arrives with fresh edge columns."""
+    carried phi arrives with fresh edge columns.
+
+    ``col_io`` (requires ``x_ghosts``): per component, RETURN the
+    post-collision boundary + inner columns as one extra (Y, 128)
+    fp32 output (lane g*Q + i = column (0, X-1, 1, X-2)[g] of
+    direction i, exact stored bits) -- see
+    make_kernel_2d_sc_multi."""
     from sailfish_tpu.ops.multigrid import _fe_weights
     g = mbuilder.grid
     Q = g.Q
@@ -692,6 +766,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     assert not (edge_io and not emit_rho)
     assert not (x_ghosts and not emit_rho)
     assert not (x_ghosts and wetting)
+    assert not (col_io and not x_ghosts)
+    assert not col_io or 4 * Q <= 128
     xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
     NB = Y // by
     if NB < 4:
@@ -727,6 +803,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         phi_out_hbm = None
         if emit_rho:
             phi_out_hbm = refs[idx]; idx += 1
+        colx_out_hbm = None
+        if col_io:
+            colx_out_hbm = [refs[idx], refs[idx + 1]]; idx += 2
         blk_buf = refs[idx]; idx += 1     # (4, 2Q, by, X)
         out_buf = refs[idx]; idx += 1     # (2, 2Q, by, X)
         phi_buf = refs[idx]; idx += 1     # (4, 1, by, X)
@@ -748,6 +827,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         if x_ghosts:
             xcol_buf = refs[idx]; idx += 1    # (2, 2, by, 128)
             pxcol_buf = refs[idx]; idx += 1   # (2, by, 128)
+        colx_st = None
+        if col_io:
+            colx_st = refs[idx]; idx += 1     # (2, 2, by, 128)
         in_sems = refs[idx]; idx += 1      # DMA (4, 5)
         out_sems = refs[idx]; idx += 1     # DMA (2, 2)
         remit_sems = None
@@ -760,6 +842,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         if x_ghosts:
             xcol_sems = refs[idx]; idx += 1   # DMA (2, 2)
             pxcol_sems = refs[idx]; idx += 1  # DMA (2,)
+        colx_sems = None
+        if col_io:
+            colx_sems = refs[idx]; idx += 1   # DMA (2, 2)
 
         k = pl.program_id(0)
 
@@ -1090,6 +1175,40 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
                 out_hbm[c].at[:, pl.ds(k * by, by)],
                 out_sems.at[oslot, c]).start()
 
+        # -- col_io: per-component boundary/inner column emission
+        # (exact stored bits; see make_kernel_2d_sc_multi) -------------
+        if col_io:
+            def col_copy(s_, c, blk_expr):
+                return pltpu.make_async_copy(
+                    colx_st.at[s_, c],
+                    colx_out_hbm[c].at[pl.ds(blk_expr * by, by)],
+                    colx_sems.at[s_, c])
+
+            @pl.when(k >= 2)
+            def _():
+                for c in range(2):
+                    col_copy(oslot, c, k - 2).wait()
+
+            col_lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (by, 128), 1)
+            for c in range(2):
+                acc = jnp.zeros((by, 128), dtype)
+                for grp, cc in ((0, 0), (1, X - 1), (2, 1),
+                                (3, X - 2)):
+                    for i in range(Q):
+                        v = out_buf[oslot, c * Q + i, :, cc:cc + 1]
+                        acc = jnp.where(
+                            col_lane_iota == grp * Q + i,
+                            jnp.broadcast_to(v, (by, 128)), acc)
+                colx_st[oslot, c] = acc
+                col_copy(oslot, c, k).start()
+
+            @pl.when(k == NB - 1)
+            def _():
+                for c in range(2):
+                    col_copy(oslot, c, NB - 1).wait()
+                    col_copy(jax.lax.rem(k + 1, 2), c, NB - 2).wait()
+
         # -- emit-rho: next step's post-stream order parameter from the
         # post-collision f1 blocks in VMEM (see docstring; same scheme
         # as make_kernel_2d_sc_multi with the single Q..2Q channel set)
@@ -1203,6 +1322,8 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     if x_ghosts:
         scratch.append(pltpu.VMEM((2, 2, by, 128), dtype))  # xcol
         scratch.append(pltpu.VMEM((2, by, 128), dtype))     # pxcol
+    if col_io:
+        scratch.append(pltpu.VMEM((2, 2, by, 128), dtype))  # colx_st
     scratch.append(pltpu.SemaphoreType.DMA((4, 5)))
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     if emit_rho:
@@ -1212,8 +1333,12 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     if x_ghosts:
         scratch.append(pltpu.SemaphoreType.DMA((2, 2)))  # xcol
         scratch.append(pltpu.SemaphoreType.DMA((2,)))    # pxcol
+    if col_io:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))  # colx
 
     n_out = 3 if emit_rho else 2
+    if col_io:
+        n_out += 2
     out_shape = [jax.ShapeDtypeStruct((Q, Y, X), dtype),
                  jax.ShapeDtypeStruct((Q, Y, X), dtype)]
     # in-place component updates (see the SC kernel note); the emitted
@@ -1223,6 +1348,9 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     if emit_rho:
         out_shape.append(jax.ShapeDtypeStruct((Y, X), dtype))
         io_aliases[6] = 2
+    if col_io:
+        out_shape.append(jax.ShapeDtypeStruct((Y, 128), dtype))
+        out_shape.append(jax.ShapeDtypeStruct((Y, 128), dtype))
 
     return pl.pallas_call(
         kernel,

@@ -822,12 +822,16 @@ class ShardedPallasSCMulti2D:
     distribution sets, K densities (interior rows emitted in-kernel;
     the two global edge rows stale-by-contract), K fresh edge-row
     pairs, K ppermuted post-collision boundary BLOCKS (the kernel's
-    wrap-block ghosts). x-sharded meshes add the kernel's per-component
-    ghost-column inputs (post-roll f wrap columns + raw-rho psi
-    columns, built per step with ppermute hops) and re-stream the
-    emitted rho's edge COLUMNS in XLA (stream_rho_edge_cols_2d); on an
-    ('x',)-only mesh y wraps locally and the carry is just (fs, rhos)
-    with rho fully fresh."""
+    wrap-block ghosts). x-sharded meshes carry, per component, the
+    KERNEL-EMITTED boundary/inner columns (colx) and the fresh rho
+    edge-column pair (recols): the kernel's ghost-column inputs
+    (post-roll f wrap columns + raw-rho psi columns) and the rho
+    edge-column re-stream (stream_rho_edge_cols_2d) are built from
+    those -- column-slicing the in-place-aliased states into the
+    ppermutes forces XLA to copy the whole arrays every step (see
+    parallel.halo.ShardedPallasStep2D / benchmark/x_ghost_overhead.py).
+    On an ('x',)-only mesh y wraps locally and the carry is
+    (fs, rhos, colxs, recols) with rho fully fresh."""
 
     def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
         from sailfish_tpu.ops.multigrid import ShanChenMultiStepBuilder
@@ -883,7 +887,8 @@ class ShardedPallasSCMulti2D:
         self.kernel = make_kernel_2d_sc_multi(
             mbuilder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
             emit_rho=True, edge_io=self.y_sharded,
-            x_ghosts=self.x_sharded, interpret=interpret)
+            x_ghosts=self.x_sharded, col_io=self.x_sharded,
+            interpret=interpret)
         self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X_loc, by=by,
                                              interpret=interpret)
         up, down = _ring(ny)
@@ -957,6 +962,86 @@ class ShardedPallasSCMulti2D:
             rho2 = jnp.where(xi == 0, c0[:, None], rho2)
             return jnp.where(xi == X_loc - 1, cX[:, None], rho2)
 
+        Qn = g.Q
+
+        def build_xcols_emitted(colx):
+            """One component's xcol input from its KERNEL-EMITTED
+            boundary columns of the previous step (lane i = x=0 column
+            of direction i, lane Qn+i = x=X-1): same exchange as
+            build_xcols, but nothing slices the in-place-aliased
+            state (see parallel.halo.ShardedPallasStep2D)."""
+            recv_last = jax.lax.ppermute(colx[:, Qn:2 * Qn], 'x', upx)
+            recv_first = jax.lax.ppermute(colx[:, :Qn], 'x', downx)
+            cols = []
+            for i in xdirs:
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                src = recv_last[:, i] if cx == 1 else recv_first[:, i]
+                if cy:
+                    shifted = jnp.roll(src, cy)
+                    if self.y_sharded:
+                        if cy == 1:
+                            e = jax.lax.ppermute(
+                                src[Y_loc - 1:], 'y', up)
+                            shifted = jnp.concatenate(
+                                [e, shifted[1:]], axis=0)
+                        else:
+                            e = jax.lax.ppermute(src[:1], 'y', down)
+                            shifted = jnp.concatenate(
+                                [shifted[:-1], e], axis=0)
+                    src = shifted
+                cols.append(src)
+            xc = jnp.stack(cols, axis=1)
+            return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+        def _fx_cols_emitted(colx2, glo_blk, ghi_blk):
+            """_fx_cols from the kernel-emitted boundary columns of
+            this step's output; ghost entries from the ppermuted
+            boundary blocks (y-sharded; fresh) or the emitted columns'
+            own wrap rows (x-only mesh: pass glo_blk=None)."""
+            exts = []
+            for side, c in ((1, X_loc - 1), (0, 0)):
+                core = colx2[:, side * Qn:side * Qn + Qn].T  # (Q, Y)
+                if self.y_sharded:
+                    ext = jnp.concatenate(
+                        [glo_blk[:, -1:, c], core, ghi_blk[:, :1, c]],
+                        axis=1)
+                else:
+                    ext = jnp.concatenate(
+                        [core[:, Y_loc - 1:], core, core[:, :1]],
+                        axis=1)
+                exts.append(ext)
+            fxlo = jax.lax.ppermute(exts[0], 'x', upx)
+            fxhi = jax.lax.ppermute(exts[1], 'x', downx)
+            return fxlo, fxhi
+
+        def build_rxcols_from(recols):
+            """build_rxcols from one component's carried (Y_loc, 2)
+            fresh edge-column pair (an un-aliased array)."""
+            def ext(col):
+                if self.y_sharded:
+                    e_lo = jax.lax.ppermute(col[-1:], 'y', up)
+                    e_hi = jax.lax.ppermute(col[:1], 'y', down)
+                else:
+                    e_lo, e_hi = col[-1:], col[:1]
+                return jnp.concatenate([e_lo, col, e_hi])
+            rxR = jax.lax.ppermute(ext(recols[:, 0]), 'x', downx)
+            rxL = jax.lax.ppermute(ext(recols[:, 1]), 'x', upx)
+            lanes = [se[1 + dy:Y_loc + 1 + dy]
+                     for se in (rxR, rxL) for dy in (-1, 0, 1)]
+            rx = jnp.stack(lanes, axis=1)
+            return jnp.pad(rx, ((0, 0), (0, 128 - 6)))
+
+        def slice_cols_init(f_local):
+            """Initial colx: one-time column slices of the un-aliased
+            initial state, lane semantics identical to the kernel
+            emission (4 groups: x = 0, X-1, 1, X-2)."""
+            cols = []
+            for c in (0, X_loc - 1, 1, X_loc - 2):
+                for i in range(Qn):
+                    cols.append(f_local[i, :, c])
+            colx = jnp.stack(cols, axis=1).astype(jnp.float32)
+            return jnp.pad(colx, ((0, 0), (0, 128 - len(cols))))
+
         def local_step(*args):
             i = 0
             fs = list(args[i:i + K]); i += K
@@ -965,6 +1050,10 @@ class ShardedPallasSCMulti2D:
             rhis = list(args[i:i + K]); i += K
             glos = list(args[i:i + K]); i += K
             ghis = list(args[i:i + K]); i += K
+            colxs = recolss = None
+            if self.x_sharded:
+                colxs = list(args[i:i + K]); i += K
+                recolss = list(args[i:i + K]); i += K
             mask = args[i] if self.has_mask else None
             # ghost rho blocks: only their boundary row is consumed by
             # the kernel; build them around the neighbors' fresh edge
@@ -980,33 +1069,40 @@ class ShardedPallasSCMulti2D:
                      + [gh[0] for gh in ghis] + rhos + rglos + rghis
                      + [r[0] for r in rlos] + [r[0] for r in rhis])
             if self.x_sharded:
-                kargs += [build_xcols(f) for f in fs]
-                kargs += [build_rxcols(r) for r in rhos]
+                kargs += [build_xcols_emitted(cx) for cx in colxs]
+                kargs += [build_rxcols_from(rc) for rc in recolss]
             if self.has_mask:
                 kargs.append(mask)
             out = self.kernel(*kargs)
             fs2 = out[:K]
-            rhos2 = list(out[K:])
+            rhos2 = list(out[K:2 * K])
+            colxs2 = list(out[2 * K:]) if self.x_sharded else None
             glos2 = [jax.lax.ppermute(f[:, -by:], 'y', up) for f in fs2]
             ghis2 = [jax.lax.ppermute(f[:, :by], 'y', down)
                      for f in fs2]
-            los, his = [], []
+            los, his, recols2 = [], [], []
             for c in range(K):
                 if self.x_sharded:
-                    fxlo, fxhi = _fx_cols(fs2[c], glos2[c], ghis2[c])
+                    fxlo, fxhi = _fx_cols_emitted(
+                        colxs2[c], glos2[c], ghis2[c])
                     lo, hi = stream_rho_edge_rows_2d(
                         g, fs2[c], glos2[c], ghis2[c], fxlo, fxhi)
                     c0, cX = stream_rho_edge_cols_2d(
-                        g, fs2[c], glos2[c], ghis2[c], fxlo, fxhi)
+                        g, fs2[c], glos2[c], ghis2[c], fxlo, fxhi,
+                        cols=(colxs2[c], Qn))
                     rhos2[c] = _patch_cols(rhos2[c], c0, cX)
+                    recols2.append(jnp.stack([c0, cX], axis=1))
                 else:
                     lo, hi = stream_rho_edge_rows_2d(
                         g, fs2[c], glos2[c], ghis2[c])
                 los.append(lo[None])
                 his.append(hi[None])
-            return (tuple(fs2) + tuple(rhos2) + tuple(los)
-                    + tuple(his) + tuple(f[None] for f in glos2)
-                    + tuple(f[None] for f in ghis2))
+            out = (tuple(fs2) + tuple(rhos2) + tuple(los)
+                   + tuple(his) + tuple(f[None] for f in glos2)
+                   + tuple(f[None] for f in ghis2))
+            if self.x_sharded:
+                out += tuple(colxs2) + tuple(recols2)
+            return out
 
         def local_init(*fs):
             glos = [jax.lax.ppermute(f[:, -by:], 'y', up) for f in fs]
@@ -1014,7 +1110,7 @@ class ShardedPallasSCMulti2D:
             # local pre-pass (edge rows stale: it wraps locally) +
             # fresh edge rows from the ppermuted faces
             rhos = [self.rho_kernel(f) for f in fs]
-            los, his = [], []
+            los, his, colxs, recols = [], [], [], []
             for c, f in enumerate(fs):
                 if self.x_sharded:
                     fxlo, fxhi = _fx_cols(f, glos[c], ghis[c])
@@ -1023,40 +1119,52 @@ class ShardedPallasSCMulti2D:
                     c0, cX = stream_rho_edge_cols_2d(
                         g, f, glos[c], ghis[c], fxlo, fxhi)
                     rhos[c] = _patch_cols(rhos[c], c0, cX)
+                    colxs.append(slice_cols_init(f))
+                    recols.append(jnp.stack([c0, cX], axis=1))
                 else:
                     lo, hi = stream_rho_edge_rows_2d(
                         g, f, glos[c], ghis[c])
                 los.append(lo[None])
                 his.append(hi[None])
-            return (tuple(fs) + tuple(rhos) + tuple(los) + tuple(his)
-                    + tuple(f[None] for f in glos)
-                    + tuple(f[None] for f in ghis))
+            out = (tuple(fs) + tuple(rhos) + tuple(los) + tuple(his)
+                   + tuple(f[None] for f in glos)
+                   + tuple(f[None] for f in ghis))
+            if self.x_sharded:
+                out += tuple(colxs) + tuple(recols)
+            return out
 
         def local_step_x(*args):
-            """('x',)-only mesh: y wraps locally, carry (fs, rhos)."""
+            """('x',)-only mesh: y wraps locally, carry
+            (fs, rhos, colxs, recols)."""
             fs = list(args[:K])
             rhos = list(args[K:2 * K])
+            colxs = list(args[2 * K:3 * K])
+            recolss = list(args[3 * K:4 * K])
             kargs = (fs + [f[:, -by:] for f in fs]
                      + [f[:, :by] for f in fs] + rhos
-                     + [build_xcols(f) for f in fs]
-                     + [build_rxcols(r) for r in rhos])
+                     + [build_xcols_emitted(cx) for cx in colxs]
+                     + [build_rxcols_from(rc) for rc in recolss])
             if self.has_mask:
-                kargs.append(args[2 * K])
+                kargs.append(args[4 * K])
             out = self.kernel(*kargs)
             fs2 = out[:K]
-            rhos2 = list(out[K:])
+            rhos2 = list(out[K:2 * K])
+            colxs2 = list(out[2 * K:])
+            recols2 = []
             for c in range(K):
-                glo2 = fs2[c][:, -by:]
-                ghi2 = fs2[c][:, :by]
-                fxlo, fxhi = _fx_cols(fs2[c], glo2, ghi2)
+                fxlo, fxhi = _fx_cols_emitted(colxs2[c], None, None)
                 c0, cX = stream_rho_edge_cols_2d(
-                    g, fs2[c], glo2, ghi2, fxlo, fxhi)
+                    g, fs2[c], None, None, fxlo, fxhi,
+                    cols=(colxs2[c], Qn))
                 rhos2[c] = _patch_cols(rhos2[c], c0, cX)
-            return tuple(fs2) + tuple(rhos2)
+                recols2.append(jnp.stack([c0, cX], axis=1))
+            return (tuple(fs2) + tuple(rhos2) + tuple(colxs2)
+                    + tuple(recols2))
 
         def local_init_x(*fs):
             rhos = [self.rho_kernel(f) for f in fs]
             out = []
+            colxs, recols = [], []
             for c, f in enumerate(fs):
                 glo = f[:, -by:]
                 ghi = f[:, :by]
@@ -1064,7 +1172,10 @@ class ShardedPallasSCMulti2D:
                 c0, cX = stream_rho_edge_cols_2d(
                     g, f, glo, ghi, fxlo, fxhi)
                 out.append(_patch_cols(rhos[c], c0, cX))
-            return tuple(fs) + tuple(out)
+                colxs.append(slice_cols_init(f))
+                recols.append(jnp.stack([c0, cX], axis=1))
+            return (tuple(fs) + tuple(out) + tuple(colxs)
+                    + tuple(recols))
 
         FSPEC = P(None, yax, xax)
         RSPEC = P(yax, xax)
@@ -1077,6 +1188,10 @@ class ShardedPallasSCMulti2D:
         else:
             carry_specs = (FSPEC,) * K + (RSPEC,) * K
             step_fn, init_fn = local_step_x, local_init_x
+        if self.x_sharded:
+            # per-component kernel-emitted colx (Y_loc, 128) + fresh
+            # rho edge-column pairs (Y_loc, 2)
+            carry_specs = carry_specs + (RSPEC,) * 2 * K
         in_specs = carry_specs
         if self.has_mask:
             in_specs = in_specs + (mspec,)
@@ -1122,9 +1237,13 @@ class ShardedPallasFE2D:
     phi + fresh edge rows and ppermuted (their boundary rows must be
     the neighbors' FRESH edges -- a shard's own emitted rows 0/Y-1 are
     stale-by-contract); orientation wrap blocks are static. x-sharded
-    meshes add per-component f ghost columns + raw-phi stencil columns
-    and re-stream the emitted phi's edge columns in XLA; an
-    ('x',)-only mesh carries just (f0, f1, phi)."""
+    meshes carry the KERNEL-EMITTED per-component boundary/inner
+    columns (colx0, colx1) and the fresh phi edge-column pair
+    (pecols): the kernel's ghost-column inputs and the phi
+    edge-column re-stream are built from those -- column-slicing the
+    in-place-aliased states into the ppermutes forces XLA to copy the
+    whole arrays every step (see benchmark/x_ghost_overhead.py). An
+    ('x',)-only mesh carries (f0, f1, phi, colx0, colx1, pecols)."""
 
     def __init__(self, mbuilder, domain_shape, mesh, interpret=False):
         from sailfish_tpu.ops.pallas_multi2d import (
@@ -1207,7 +1326,8 @@ class ShardedPallasFE2D:
             mbuilder, Y_loc, X_loc, by=by, has_mask=self.has_mask,
             wetting=self.wetting and not self.x_sharded,
             emit_rho=True, edge_io=self.y_sharded,
-            x_ghosts=self.x_sharded, interpret=interpret)
+            x_ghosts=self.x_sharded, col_io=self.x_sharded,
+            interpret=interpret)
         self.rho_kernel = make_rho_kernel_2d(b0, Y_loc, X_loc, by=by,
                                              interpret=interpret)
         up, down = _ring(ny)
@@ -1278,6 +1398,80 @@ class ShardedPallasFE2D:
             phi2 = jnp.where(xi == 0, c0[:, None], phi2)
             return jnp.where(xi == X_loc - 1, cX[:, None], phi2)
 
+        Qn = g.Q
+
+        def build_xcols_emitted(colx):
+            """One component's xcol input from its kernel-emitted
+            boundary columns (see ShardedPallasSCMulti2D)."""
+            recv_last = jax.lax.ppermute(colx[:, Qn:2 * Qn], 'x', upx)
+            recv_first = jax.lax.ppermute(colx[:, :Qn], 'x', downx)
+            cols = []
+            for i in xdirs:
+                cx, cy = int(basis[i][0]), int(basis[i][1])
+                src = recv_last[:, i] if cx == 1 else recv_first[:, i]
+                if cy:
+                    shifted = jnp.roll(src, cy)
+                    if self.y_sharded:
+                        if cy == 1:
+                            e = jax.lax.ppermute(
+                                src[Y_loc - 1:], 'y', up)
+                            shifted = jnp.concatenate(
+                                [e, shifted[1:]], axis=0)
+                        else:
+                            e = jax.lax.ppermute(src[:1], 'y', down)
+                            shifted = jnp.concatenate(
+                                [shifted[:-1], e], axis=0)
+                    src = shifted
+                cols.append(src)
+            xc = jnp.stack(cols, axis=1)
+            return jnp.pad(xc, ((0, 0), (0, 128 - len(xdirs))))
+
+        def _fx_cols_emitted(colx2, glo_blk, ghi_blk):
+            """_fx_cols from the kernel-emitted boundary columns;
+            glo_blk=None wraps the ghost entries locally (x-only)."""
+            exts = []
+            for side, c in ((1, X_loc - 1), (0, 0)):
+                core = colx2[:, side * Qn:side * Qn + Qn].T  # (Q, Y)
+                if self.y_sharded:
+                    ext = jnp.concatenate(
+                        [glo_blk[:, -1:, c], core, ghi_blk[:, :1, c]],
+                        axis=1)
+                else:
+                    ext = jnp.concatenate(
+                        [core[:, Y_loc - 1:], core, core[:, :1]],
+                        axis=1)
+                exts.append(ext)
+            fxlo = jax.lax.ppermute(exts[0], 'x', upx)
+            fxhi = jax.lax.ppermute(exts[1], 'x', downx)
+            return fxlo, fxhi
+
+        def build_pxcols_from(pecols):
+            """build_pxcols from the carried (Y_loc, 2) fresh phi
+            edge-column pair (un-aliased)."""
+            def ext(col):
+                if self.y_sharded:
+                    e_lo = jax.lax.ppermute(col[-1:], 'y', up)
+                    e_hi = jax.lax.ppermute(col[:1], 'y', down)
+                else:
+                    e_lo, e_hi = col[-1:], col[:1]
+                return jnp.concatenate([e_lo, col, e_hi])
+            pxR = jax.lax.ppermute(ext(pecols[:, 0]), 'x', downx)
+            pxL = jax.lax.ppermute(ext(pecols[:, 1]), 'x', upx)
+            lanes = [se[1 + dy:Y_loc + 1 + dy]
+                     for se in (pxR, pxL) for dy in (-1, 0, 1)]
+            px = jnp.stack(lanes, axis=1)
+            return jnp.pad(px, ((0, 0), (0, 128 - 6)))
+
+        def slice_cols_init(f_local):
+            """Initial colx from the un-aliased initial state (4
+            groups: x = 0, X-1, 1, X-2; kernel emission layout)."""
+            cols = []
+            for c in (0, X_loc - 1, 1, X_loc - 2):
+                for i in range(Qn):
+                    cols.append(f_local[i, :, c])
+            colx = jnp.stack(cols, axis=1).astype(jnp.float32)
+            return jnp.pad(colx, ((0, 0), (0, 128 - len(cols))))
+
         wall_grad = mbuilder.wall_grad_phase
         orient_vecs = [(int(v[0]), int(v[1]))
                        for v in g.orientation_vectors]
@@ -1315,11 +1509,18 @@ class ShardedPallasFE2D:
 
         def local_step(f0, f1, phi, pelo, pehi, glo0, glo1, ghi0,
                        ghi1, *rest):
-            r = 1 if self.has_mask else 0
+            colx0 = colx1 = pecols = None
+            b = 0
+            if self.x_sharded:
+                colx0, colx1, pecols = rest[0], rest[1], rest[2]
+                b = 3
+            r = b + (1 if self.has_mask else 0)
             phi_k, pelo_k, pehi_k = phi, pelo[0], pehi[0]
             if self.wetting_x:
                 # fresh-rowed raw phi -> XLA-side wetting mirror (see
-                # _phi_w_local); the kernel runs non-wetting on phi_w
+                # _phi_w_local); the kernel runs non-wetting on phi_w.
+                # phi_f is a DERIVED (un-aliased) array, so slicing
+                # its columns is safe
                 orient = rest[r]
                 yi = jnp.arange(Y_loc)[:, None]
                 phi_f = jnp.where(yi == 0, pelo[0], phi)
@@ -1341,27 +1542,38 @@ class ShardedPallasFE2D:
             kargs = [f0, f1, glo0[0], glo1[0], ghi0[0], ghi1[0],
                      phi_k, pglo, pghi, pelo_k, pehi_k]
             if self.x_sharded:
-                kargs += [build_xcols(f0), build_xcols(f1),
-                          build_pxcols(phi_k)]
+                # wetting_x: phi_k is the fresh XLA-side phi_w, safe
+                # to column-slice; non-wetting: phi_k is the ALIASED
+                # carried phi -- use the carried edge-column pair
+                pxin = build_pxcols(phi_k) if self.wetting_x else                     build_pxcols_from(pecols)
+                kargs += [build_xcols_emitted(colx0),
+                          build_xcols_emitted(colx1), pxin]
             if self.has_mask:
-                kargs.append(rest[0])
+                kargs.append(rest[b])
             if self.wetting and not self.wetting_x:
                 kargs += [rest[r], rest[r + 1][0], rest[r + 2][0]]
-            f0_2, f1_2, phi2 = self.kernel(*kargs)
+            out = self.kernel(*kargs)
+            if self.x_sharded:
+                f0_2, f1_2, phi2, colx0_2, colx1_2 = out
+            else:
+                f0_2, f1_2, phi2 = out
             glo0_2 = jax.lax.ppermute(f0_2[:, -by:], 'y', up)
             glo1_2 = jax.lax.ppermute(f1_2[:, -by:], 'y', up)
             ghi0_2 = jax.lax.ppermute(f0_2[:, :by], 'y', down)
             ghi1_2 = jax.lax.ppermute(f1_2[:, :by], 'y', down)
             if self.x_sharded:
-                fxlo, fxhi = _fx_cols(f1_2, glo1_2, ghi1_2)
+                fxlo, fxhi = _fx_cols_emitted(colx1_2, glo1_2, ghi1_2)
                 lo, hi = stream_rho_edge_rows_2d(
                     g, f1_2, glo1_2, ghi1_2, fxlo, fxhi)
                 c0, cX = stream_rho_edge_cols_2d(
-                    g, f1_2, glo1_2, ghi1_2, fxlo, fxhi)
+                    g, f1_2, glo1_2, ghi1_2, fxlo, fxhi,
+                    cols=(colx1_2, Qn))
                 phi2 = _patch_cols(phi2, c0, cX)
-            else:
-                lo, hi = stream_rho_edge_rows_2d(
-                    g, f1_2, glo1_2, ghi1_2)
+                return (f0_2, f1_2, phi2, lo[None], hi[None],
+                        glo0_2[None], glo1_2[None], ghi0_2[None],
+                        ghi1_2[None], colx0_2, colx1_2,
+                        jnp.stack([c0, cX], axis=1))
+            lo, hi = stream_rho_edge_rows_2d(g, f1_2, glo1_2, ghi1_2)
             return (f0_2, f1_2, phi2, lo[None], hi[None],
                     glo0_2[None], glo1_2[None], ghi0_2[None],
                     ghi1_2[None])
@@ -1379,32 +1591,40 @@ class ShardedPallasFE2D:
                 c0, cX = stream_rho_edge_cols_2d(
                     g, f1, glo1, ghi1, fxlo, fxhi)
                 phi = _patch_cols(phi, c0, cX)
-            else:
-                lo, hi = stream_rho_edge_rows_2d(g, f1, glo1, ghi1)
+                return (f0, f1, phi, lo[None], hi[None], glo0[None],
+                        glo1[None], ghi0[None], ghi1[None],
+                        slice_cols_init(f0), slice_cols_init(f1),
+                        jnp.stack([c0, cX], axis=1))
+            lo, hi = stream_rho_edge_rows_2d(g, f1, glo1, ghi1)
             return (f0, f1, phi, lo[None], hi[None], glo0[None],
                     glo1[None], ghi0[None], ghi1[None])
 
-        def local_step_x(f0, f1, phi, *rest):
-            """('x',)-only mesh: y wraps locally, carry (f0, f1, phi)
-            with phi fully fresh (edge columns re-streamed)."""
+        def local_step_x(f0, f1, phi, colx0, colx1, pecols, *rest):
+            """('x',)-only mesh: y wraps locally, carry
+            (f0, f1, phi, colx0, colx1, pecols) with phi fully fresh
+            (edge columns re-streamed from the emitted columns)."""
             phi_k = phi
             if self.wetting_x:
-                pxraw = build_pxcols(phi)
+                # phi is fully fresh on an x-mesh, so the carried
+                # edge-column pair IS phi's own columns -- the raw-phi
+                # stencil columns come from it without slicing phi
+                pxraw = build_pxcols_from(pecols)
                 phi_k = _phi_w_local(
                     phi, phi[-1:], phi[0:1], pxraw[:, 4], pxraw[:, 1],
                     rest[1 if self.has_mask else 0])
+            pxin = build_pxcols(phi_k) if self.wetting_x else                 build_pxcols_from(pecols)
             kargs = [f0, f1, f0[:, -by:], f1[:, -by:], f0[:, :by],
-                     f1[:, :by], phi_k, build_xcols(f0),
-                     build_xcols(f1), build_pxcols(phi_k)]
+                     f1[:, :by], phi_k, build_xcols_emitted(colx0),
+                     build_xcols_emitted(colx1), pxin]
             if self.has_mask:
                 kargs.append(rest[0])
-            f0_2, f1_2, phi2 = self.kernel(*kargs)
-            glo2 = f1_2[:, -by:]
-            ghi2 = f1_2[:, :by]
-            fxlo, fxhi = _fx_cols(f1_2, glo2, ghi2)
-            c0, cX = stream_rho_edge_cols_2d(g, f1_2, glo2, ghi2,
-                                             fxlo, fxhi)
-            return (f0_2, f1_2, _patch_cols(phi2, c0, cX))
+            f0_2, f1_2, phi2, colx0_2, colx1_2 = self.kernel(*kargs)
+            fxlo, fxhi = _fx_cols_emitted(colx1_2, None, None)
+            c0, cX = stream_rho_edge_cols_2d(g, f1_2, None, None,
+                                             fxlo, fxhi,
+                                             cols=(colx1_2, Qn))
+            return (f0_2, f1_2, _patch_cols(phi2, c0, cX),
+                    colx0_2, colx1_2, jnp.stack([c0, cX], axis=1))
 
         def local_init_x(f0, f1):
             phi = self.rho_kernel(f1)   # edge lanes stale (local wrap)
@@ -1413,7 +1633,9 @@ class ShardedPallasFE2D:
             fxlo, fxhi = _fx_cols(f1, glo, ghi)
             c0, cX = stream_rho_edge_cols_2d(g, f1, glo, ghi,
                                              fxlo, fxhi)
-            return (f0, f1, _patch_cols(phi, c0, cX))
+            return (f0, f1, _patch_cols(phi, c0, cX),
+                    slice_cols_init(f0), slice_cols_init(f1),
+                    jnp.stack([c0, cX], axis=1))
 
         FSPEC = P(None, yax, xax)
         RSPEC = P(yax, xax)
@@ -1426,6 +1648,10 @@ class ShardedPallasFE2D:
         else:
             carry_specs = (FSPEC, FSPEC, RSPEC)
             step_fn, init_fn = local_step_x, local_init_x
+        if self.x_sharded:
+            # kernel-emitted colx0/colx1 (Y_loc, 128) + the fresh phi
+            # edge-column pair (Y_loc, 2)
+            carry_specs = carry_specs + (RSPEC, RSPEC, RSPEC)
         in_specs = carry_specs
         if self.has_mask:
             in_specs = in_specs + (mspec,)
