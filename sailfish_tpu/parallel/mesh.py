@@ -23,11 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def parse_mesh_shape(mesh_str, dim, n_devices=None):
     """'4' -> (4,); '2x2' -> (2, 2); '' -> None. Shapes are listed
-    outer-to-inner over spatial axes (z, y) in 3D / (y,) in 2D."""
+    outer-to-inner over spatial axes (z, y, x) in 3D / (y, x) in 2D;
+    3-axis 3D meshes take the exact GSPMD path (no fused kernel)."""
     if not mesh_str:
         return None
     shape = tuple(int(p) for p in mesh_str.lower().split('x'))
-    max_axes = 2
+    max_axes = 3 if dim == 3 else 2
     if len(shape) > max_axes:
         raise ValueError(
             f'mesh {mesh_str!r} has {len(shape)} axes; at most {max_axes} '
@@ -49,9 +50,11 @@ def make_mesh(shape, dim, devices=None):
 
 
 def _axis_names(dim):
-    """Mesh axis names outer-to-inner. In 3D the x axis stays contiguous
-    (lane alignment); in 2D both spatial axes may be sharded."""
-    return ('z', 'y') if dim == 3 else ('y', 'x')
+    """Mesh axis names outer-to-inner. The fused engine shards at most
+    two axes (x stays contiguous in 3D for lane alignment); a 3-axis
+    3D mesh runs on the exact GSPMD/XLA path (the runner warns) --
+    see doc/distributed.md's 3-axis decision note."""
+    return ('z', 'y', 'x') if dim == 3 else ('y', 'x')
 
 
 def dist_spec(mesh, dim):

@@ -66,6 +66,9 @@ def test_sharded_equivalence(mesh):
 
 @pytest.mark.slow
 def test_sharded_equivalence_3d():
+    """2- and 3-axis GSPMD meshes match one device bitwise. The 3-axis
+    ('z','y','x') mesh has no fused kernel by design (the decision
+    note in doc/distributed.md) -- the exact XLA path covers it."""
     from ldc_3d import LDCSim
 
     def run(m):
@@ -76,9 +79,10 @@ def test_sharded_equivalence_3d():
         return np.array(sim.rho), np.array(sim.vx), np.array(sim.vz)
 
     base = run('')
-    test = run('2x2')
-    for a, b in zip(base, test):
-        assert np.array_equal(a, b)
+    for mesh in ('2x2', '2x2x2'):
+        test = run(mesh)
+        for a, b in zip(base, test):
+            assert np.array_equal(a, b), mesh
 
 
 def test_checkpoint_roundtrip(tmp_path):
