@@ -53,10 +53,11 @@ def test_auto_fallback_warns(monkeypatch, caplog):
         [rec.getMessage() for rec in caplog.records]
 
 
-def test_auto_fallback_warns_sharded_multiphase_2axis(monkeypatch,
-                                                      caplog):
-    """A 2-axis-meshed multi-component scene names the sharding
-    blocker (1-axis meshes now run fused for every model family)."""
+def test_sharded_multiphase_2axis_eligible_3axis_falls_back(monkeypatch,
+                                                            caplog):
+    """('y','x')-meshed multi-component scenes are fused-eligible
+    (col_io boundary emission); a 3-axis-style unsupported mesh still
+    falls back, naming the sharding blocker."""
     import jax
     import jax.numpy as jnp
     from fe_separation_2d import SeparationFESim
@@ -65,16 +66,22 @@ def test_auto_fallback_warns_sharded_multiphase_2axis(monkeypatch,
         quiet=True, lat_nx=128, lat_ny=128, max_iters=0, every=0))
     ctrl.run(ignore_cmdline=True)
     r = ctrl._runner
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
 
-    class FakeMesh:
+    class FusedMesh:
         axis_names = ('y', 'x')
 
-    r.mesh = FakeMesh()
-    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    r.mesh = FusedMesh()
+    assert r._select_engine(jnp.float32) == 'pallas'
+
+    class BadMesh:
+        axis_names = ('x', 'y')  # transposed order: GSPMD-only
+
+    r.mesh = BadMesh()
     with caplog.at_level(logging.WARNING):
         engine = r._select_engine(jnp.float32)
     assert engine == 'xla'
-    assert any('2D y meshes' in rec.getMessage()
+    assert any('shard fused on' in rec.getMessage()
                for rec in caplog.records), \
         [rec.getMessage() for rec in caplog.records]
 
