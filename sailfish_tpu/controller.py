@@ -55,6 +55,11 @@ class LBSimulationController:
         group.add_argument('--from', dest='from_', type=int, default=0)
         group.add_argument('--max_iters', type=int, default=0,
                            help='number of iterations to run')
+        group.add_argument('--init_iters', type=int, default=0,
+                           help='number of consistent-initialization '
+                           'iterations (nu=1/6 warmup establishing the '
+                           'initial pressure field; <= 0 disables; '
+                           'reference controller.py:312)')
         group.add_argument('--output', type=str, default='',
                            help='output file base name')
         group.add_argument('--output_format', type=str, default='npy',

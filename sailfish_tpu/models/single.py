@@ -40,6 +40,21 @@ class LBFluidSim(LBSim):
         group.add_argument('--minimize_roundoff', action='store_true',
                            default=False,
                            help='store f - w (shifted populations)')
+        group.add_argument('--entropic_equilibrium', action='store_true',
+                           default=False,
+                           help='use the product-form (entropic) '
+                           'equilibrium instead of the standard LBGK '
+                           'one (reference lb_single.py:31-34)')
+        group.add_argument('--entropy_tolerance', type=float,
+                           default=0.0,
+                           help='ELBM: entropy changes below this are '
+                           'treated as constant (Newton stop); 0.0 '
+                           'selects a precision-dependent default '
+                           '(1e-6 single / 1e-10 double)')
+        group.add_argument('--alpha_tolerance', type=float,
+                           default=1e-10,
+                           help='ELBM: alpha stagnation tolerance '
+                           'ending the Newton iteration')
 
     @classmethod
     def fields(cls):
@@ -118,6 +133,12 @@ class LBFluidSim(LBSim):
         if cfg.precision == 'mixed':
             kwargs.setdefault('storage', 'int16')
             kwargs.setdefault('mixed_range', cfg.mixed_range)
+        if getattr(cfg, 'entropic_equilibrium', False):
+            kwargs.setdefault('equilibrium', 'elbm')
+        kwargs.setdefault('entropy_tolerance',
+                          getattr(cfg, 'entropy_tolerance', 0.0))
+        kwargs.setdefault('alpha_tolerance',
+                          getattr(cfg, 'alpha_tolerance', 1e-10))
         return StepBuilder(
             self.grid, maps,
             model=cfg.model,
@@ -184,7 +205,10 @@ class LBEntropicFluidSim(LBFluidSim):
             import sailfish_tpu.equilibrium as eqm
             rho, u = eqm.macroscopic(b.grid, fs)
             feq = entropic.elbm_equilibrium(b.grid, rho, u)
-            return entropic.entropic_alpha(b.grid, fs, feq - fs)
+            return entropic.entropic_alpha(
+                b.grid, fs, feq - fs,
+                entropy_tol=b.entropy_tolerance,
+                alpha_tol=b.alpha_tolerance)
 
         self._alpha_fn = alpha_of
 

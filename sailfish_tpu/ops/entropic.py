@@ -92,7 +92,7 @@ def alpha_series(grid, f, fneq):
 
 
 def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6,
-                 skip=None):
+                 skip=None, alpha_tol=1e-10):
     """Vectorized Newton iteration on H(f + alpha fneq) = H(f)
     (entropic.mako:90-144), with the max-alpha positivity safeguard.
 
@@ -114,13 +114,13 @@ def alpha_newton(grid, f, fneq, alpha0, iters=20, entropy_tol=1e-6,
         return jax.lax.cond(
             jnp.all(skip), lambda: alpha0,
             lambda: _alpha_newton_loop(grid, f, fneq, alpha0, iters,
-                                       entropy_tol, skip))
+                                       entropy_tol, skip, alpha_tol))
     return _alpha_newton_loop(grid, f, fneq, alpha0, iters,
-                              entropy_tol, skip)
+                              entropy_tol, skip, alpha_tol)
 
 
 def _alpha_newton_loop(grid, f, fneq, alpha0, iters, entropy_tol,
-                       skip):
+                       skip, alpha_tol=1e-10):
     ent0 = _entropy(grid, f)
     # max alpha keeping f + alpha fneq > 0
     big = jnp.asarray(np.float32(3.4e38), f.dtype)
@@ -146,9 +146,10 @@ def _alpha_newton_loop(grid, f, fneq, alpha0, iters, entropy_tol,
                               0.5 * (alpha + max_alpha), new_alpha)
         new_alpha = jnp.where(jnp.isfinite(new_alpha), new_alpha, 1.1)
         # two stops, exactly as the reference (entropic.mako:105,117):
-        # the entropy residual and alpha stagnation
+        # the entropy residual (--entropy_tolerance) and alpha
+        # stagnation (--alpha_tolerance)
         done = (jnp.abs(inc) < entropy_tol) \
-            | (jnp.abs(new_alpha - alpha) < 1e-10)
+            | (jnp.abs(new_alpha - alpha) < alpha_tol)
         if skip is not None:
             done = done | skip
         return jnp.where(done, alpha, new_alpha), done
@@ -175,7 +176,8 @@ def _alpha_newton_loop(grid, f, fneq, alpha0, iters, entropy_tol,
     return alpha
 
 
-def entropic_alpha(grid, f, fneq, alpha0=None, skip=None):
+def entropic_alpha(grid, f, fneq, alpha0=None, skip=None,
+                   entropy_tol=1e-6, alpha_tol=1e-10):
     """Dispatch exactly as the reference (entropic.mako:160-184):
     tiny deviation -> 2; small -> series; large -> Newton.
 
@@ -203,7 +205,9 @@ def entropic_alpha(grid, f, fneq, alpha0=None, skip=None):
     newton_skip = dev < 0.01
     if skip is not None:
         newton_skip = newton_skip | skip
-    a_newton = alpha_newton(grid, f, fneq, alpha0, skip=newton_skip)
+    a_newton = alpha_newton(grid, f, fneq, alpha0, skip=newton_skip,
+                            entropy_tol=entropy_tol,
+                            alpha_tol=alpha_tol)
     alpha = jnp.where(dev < 1e-6, 2.0,
                       jnp.where(dev < 0.01, a_series, a_newton))
     # safeguard (reference dies here; we clamp to BGK-equivalent)
@@ -211,12 +215,18 @@ def entropic_alpha(grid, f, fneq, alpha0=None, skip=None):
     return alpha
 
 
-def elbm_collide(grid, f, rho, u, tau, alpha0=None, skip=None):
+def elbm_collide(grid, f, rho, u, tau, alpha0=None, skip=None,
+                 entropy_tol=1e-6, alpha_tol=1e-10):
     """ELBM collision: f' = f + alpha beta (feq - f), beta = 1/(2 tau);
     alpha == 2 recovers BGK (reference relaxation.mako ELBM_relaxate
-    :56-97). ``skip``: see entropic_alpha. Returns (f', alpha)."""
+    :56-97). ``skip``: see entropic_alpha; ``entropy_tol``/
+    ``alpha_tol``: the Newton stops (--entropy_tolerance /
+    --alpha_tolerance, reference lb_single.py:43-50). Returns
+    (f', alpha)."""
     feq = elbm_equilibrium(grid, rho, u)
     fneq = feq - f
-    alpha = entropic_alpha(grid, f, fneq, alpha0, skip=skip)
+    alpha = entropic_alpha(grid, f, fneq, alpha0, skip=skip,
+                           entropy_tol=entropy_tol,
+                           alpha_tol=alpha_tol)
     beta = 1.0 / (2.0 * tau)
     return f + (alpha * beta)[None] * fneq, alpha

@@ -33,6 +33,61 @@ from sailfish_tpu.ops.pallas_step2d import make_rho_kernel_2d, \
     pick_block_size
 
 
+def fe_mrt_relax(g, z, inv_tau0, dtype):
+    """FE-MRT relaxation terms for the fused kernels (reference
+    relaxation.mako:15-54 / sym.free_energy_mrt_matrix), reformulated
+    moment-wise: with per-moment rates s (0 for conserved, 1/tau0 for
+    shear, exactly 1 for the rest) and P_x = M^-1 diag(e_x) M,
+
+        f - M^-1 diag(s) M fneq
+          == feq + P_cons fneq + (1 - 1/tau0) P_shear fneq
+
+    because P_cons + P_shear + P_rest == I. Only the conserved +
+    shear moments of z are formed (integer Gram-Schmidt rows), so the
+    cost is ~(n_cons + n_shear) plane accumulations instead of two
+    dense Q x Q matmuls -- exact-math equal to the XLA engine's
+    projections (ops/multigrid._fe_mrt_project), fp32-roundoff apart.
+
+    ``z``: list of Q planes, fneq_i (plus 0.5*Fi_i under forcing: the
+    moment-space Guo term Fi - 0.5 M^-1 diag(s) M Fi rewrites the same
+    way). Returns per-direction correction planes (entries may be
+    None when every inverse coefficient vanishes)."""
+    M = np.asarray(g.mrt_matrix, np.float64)
+    Minv = np.asarray(g.mrt_inv, np.float64)
+    ks = [int(k) for k in g.mrt_conserved] + \
+        [int(k) for k in g.mrt_shear]
+    shear = {int(k) for k in g.mrt_shear}
+    one_m_it = 1.0 - inv_tau0
+    moms = {}
+    for kk in ks:
+        acc = None
+        for j in range(g.Q):
+            c = float(M[kk, j])
+            if c == 0.0:
+                continue
+            term = z[j] if c == 1.0 else \
+                (-z[j] if c == -1.0 else jnp.asarray(c, dtype) * z[j])
+            acc = term if acc is None else acc + term
+        if kk in shear and acc is not None:
+            acc = one_m_it * acc
+        moms[kk] = acc
+    out = []
+    for i in range(g.Q):
+        acc = None
+        for kk in ks:
+            mk = moms[kk]
+            if mk is None:
+                continue
+            c = float(Minv[i, kk])
+            if c == 0.0:
+                continue
+            term = mk if c == 1.0 else \
+                (-mk if c == -1.0 else jnp.asarray(c, dtype) * mk)
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out
+
+
 def make_kernel_2d_sc_multi(mbuilder, Y, X, by=16, has_mask=False,
                             interpret=False, emit_rho=False,
                             edge_io=False, x_ghosts=False,
@@ -751,6 +806,7 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
     opp = [int(o) for o in g.opposite]
     tau_a, tau_b = mbuilder.tau_a, mbuilder.tau_b
     tau_phi = mbuilder.tau_phi
+    fe_mrt = getattr(mbuilder, 'fe_model', 'bgk') == 'mrt'
     A_c, kappa, Gamma = mbuilder.A, mbuilder.kappa, mbuilder.Gamma
     wall_grad = mbuilder.wall_grad_phase
     few = {k: np.asarray(v, np.float64)
@@ -1150,15 +1206,41 @@ def make_kernel_2d_fe(mbuilder, Y, X, by=16, has_mask=False,
         feq = [feq0] + feq_parts
         geq = [geq0] + geq_parts
 
+        mrt_corr = half_Fi = None
+        if fe_mrt:
+            # FE-MRT fluid relaxation (order parameter stays BGK at
+            # tau_phi): see fe_mrt_relax for the moment-wise form
+            z = []
+            half_Fi = []
+            for i in range(Q):
+                zi = fs[0][i] - feq[i]
+                if fvec is not None:
+                    cu = signed_sum(basis[i], u)
+                    cF = float(np.dot(basis[i][:2], fvec))
+                    hf = 0.5 * jnp.asarray(g.weights[i], dtype) * \
+                        rho * (3.0 * (jnp.asarray(cF, dtype) - uF)
+                               + 9.0 * cu * cF)
+                    half_Fi.append(hf)
+                    zi = zi + hf
+                z.append(zi)
+            mrt_corr = fe_mrt_relax(g, z, inv_tau0, dtype)
         for i in range(Q):
-            v0 = fs[0][i] + (feq[i] - fs[0][i]) * inv_tau0
-            if fvec is not None:
-                cu = signed_sum(basis[i], u)
-                cF = float(np.dot(basis[i][:2], fvec))
-                pref = jnp.asarray(g.weights[i], dtype) * \
-                    (1.0 - 0.5 * inv_tau0)
-                v0 = v0 + pref * rho * (
-                    3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+            if fe_mrt:
+                v0 = feq[i]
+                if mrt_corr[i] is not None:
+                    v0 = v0 + mrt_corr[i]
+                if fvec is not None:
+                    v0 = v0 + half_Fi[i]
+            else:
+                v0 = fs[0][i] + (feq[i] - fs[0][i]) * inv_tau0
+                if fvec is not None:
+                    cu = signed_sum(basis[i], u)
+                    cF = float(np.dot(basis[i][:2], fvec))
+                    pref = jnp.asarray(g.weights[i], dtype) * \
+                        (1.0 - 0.5 * inv_tau0)
+                    v0 = v0 + pref * rho * (
+                        3.0 * (jnp.asarray(cF, dtype) - uF)
+                        + 9.0 * cu * cF)
             v1 = fs[1][i] + (geq[i] - fs[1][i]) * \
                 jnp.asarray(1.0 / tau_phi, dtype)
             if has_mask:
@@ -1373,10 +1455,6 @@ class PallasStepFE2D:
     def __init__(self, mbuilder, domain_shape, interpret=False):
         Ys, Xs = domain_shape
         self.shape = domain_shape
-        if getattr(mbuilder, 'fe_model', 'bgk') != 'bgk':
-            raise NotImplementedError(
-                'the fused FE kernel implements the BGK collision only; '
-                '--model=mrt scenes use the XLA engine')
         b0 = mbuilder.b0
         mask_np, patch_rows = classify_nodes(b0.maps)
         if patch_rows:

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sailfish_tpu.equilibrium import signed_sum
+from sailfish_tpu.ops.pallas_multi2d import fe_mrt_relax
 from sailfish_tpu.ops.pallas_step import (check_plane_tiling,
                                           classify_nodes, cz_groups,
                                           gy_pad_channels,
@@ -890,6 +891,7 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
     NG1 = Q - s_0
     tau_a, tau_b = mbuilder.tau_a, mbuilder.tau_b
     tau_phi = mbuilder.tau_phi
+    fe_mrt = getattr(mbuilder, 'fe_model', 'bgk') == 'mrt'
     A_c, kappa, Gamma = mbuilder.A, mbuilder.kappa, mbuilder.Gamma
     wall_grad = mbuilder.wall_grad_phase
     few = {k: np.asarray(v, np.float64)
@@ -1339,15 +1341,42 @@ def make_kernel_3d_fe(mbuilder, Z, Y, X, has_mask=False, wetting=False,
 
         v0s = []
         v1s = []
+        mrt_corr = half_Fi = None
+        if fe_mrt:
+            # FE-MRT fluid relaxation (order parameter stays BGK at
+            # tau_phi): moment-wise form, see
+            # pallas_multi2d.fe_mrt_relax
+            z = []
+            half_Fi = []
+            for i in range(Q):
+                zi = fsl[0][i] - feq[i]
+                if fvec is not None:
+                    cu = signed_sum(basis[i], u)
+                    cF = float(np.dot(basis[i], fvec))
+                    hf = 0.5 * jnp.asarray(w_np[i], dtype) * rho * (
+                        3.0 * (jnp.asarray(cF, dtype) - uF)
+                        + 9.0 * cu * cF)
+                    half_Fi.append(hf)
+                    zi = zi + hf
+                z.append(zi)
+            mrt_corr = fe_mrt_relax(g, z, inv_tau0, dtype)
         for i in range(Q):
-            v0 = fsl[0][i] + (feq[i] - fsl[0][i]) * inv_tau0
-            if fvec is not None:
-                cu = signed_sum(basis[i], u)
-                cF = float(np.dot(basis[i], fvec))
-                pref = jnp.asarray(w_np[i], dtype) * \
-                    (1.0 - 0.5 * inv_tau0)
-                v0 = v0 + pref * rho * (
-                    3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+            if fe_mrt:
+                v0 = feq[i]
+                if mrt_corr[i] is not None:
+                    v0 = v0 + mrt_corr[i]
+                if fvec is not None:
+                    v0 = v0 + half_Fi[i]
+            else:
+                v0 = fsl[0][i] + (feq[i] - fsl[0][i]) * inv_tau0
+                if fvec is not None:
+                    cu = signed_sum(basis[i], u)
+                    cF = float(np.dot(basis[i], fvec))
+                    pref = jnp.asarray(w_np[i], dtype) * \
+                        (1.0 - 0.5 * inv_tau0)
+                    v0 = v0 + pref * rho * (
+                        3.0 * (jnp.asarray(cF, dtype) - uF)
+                        + 9.0 * cu * cF)
             v1 = fsl[1][i] + (geq[i] - fsl[1][i]) * \
                 jnp.asarray(1.0 / tau_phi, dtype)
             if has_mask:
@@ -1690,10 +1719,6 @@ class PallasStepFE3D:
     def __init__(self, mbuilder, domain_shape, interpret=False):
         Zs, Ys, Xs = domain_shape
         self.shape = domain_shape
-        if getattr(mbuilder, 'fe_model', 'bgk') != 'bgk':
-            raise NotImplementedError(
-                'the fused FE kernel implements the BGK collision only; '
-                '--model=mrt scenes use the XLA engine')
         b0 = mbuilder.b0
         mask_np, patch_rows = classify_nodes(b0.maps)
         if patch_rows:

@@ -422,8 +422,10 @@ def _collide_elbm(builder, fs, mom, skip=None):
     g = builder.grid
     rho, u, usq, uF = mom
     fstk = jnp.stack(fs)
-    fpost, _ = entropic.elbm_collide(g, fstk, rho, u, builder.tau,
-                                     skip=skip)
+    fpost, _ = entropic.elbm_collide(
+        g, fstk, rho, u, builder.tau, skip=skip,
+        entropy_tol=getattr(builder, 'entropy_tolerance', 1e-6),
+        alpha_tol=getattr(builder, 'alpha_tolerance', 1e-10))
     if uF is not None:
         terms = []
         for i in range(g.Q):

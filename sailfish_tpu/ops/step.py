@@ -83,11 +83,18 @@ class StepBuilder:
                  smagorinsky=0.0, body_force=None, force_model='guo',
                  sc_coupling=0.0, sc_potential='linear',
                  equilibrium='bgk', gravity=0.0,
-                 dtype=jnp.float32, storage='fp', mixed_range=None):
+                 dtype=jnp.float32, storage='fp', mixed_range=None,
+                 entropy_tolerance=0.0, alpha_tolerance=1e-10):
         self.sc_coupling = sc_coupling
         self.sc_potential = sc_potential
         self.equilibrium = equilibrium
         self.gravity = gravity
+        # ELBM Newton stops (--entropy_tolerance / --alpha_tolerance;
+        # reference lb_single.py:43-50,63-66: 0.0 = precision default)
+        self.entropy_tolerance = float(entropy_tolerance) if \
+            entropy_tolerance > 0.0 else \
+            (1e-6 if dtype == jnp.float32 else 1e-10)
+        self.alpha_tolerance = float(alpha_tolerance)
         from sailfish_tpu import lattice as lat
         self.grid = grid
         self.maps = maps
@@ -340,6 +347,11 @@ class StepBuilder:
     def feq(self, rho, u):
         """The model's equilibrium distribution (bgk 2nd-order Hermite or
         shallow-water; ELBM uses its own product form in _collide)."""
+        if self.equilibrium == 'elbm':
+            # --entropic_equilibrium: product form with any collision
+            # model (reference lb_single.py:31-34)
+            from sailfish_tpu.ops import entropic
+            return entropic.elbm_equilibrium(self.grid, rho, u)
         if self.equilibrium == 'shallow_water':
             return eq.shallow_water_equilibrium(self.grid, rho, u,
                                                 self.gravity)
@@ -713,7 +725,9 @@ class StepBuilder:
             skip = jnp.logical_not(self.dev['wet']) if self.has_dry \
                 else None
             fpost, self.last_alpha = entropic.elbm_collide(
-                g, fs, rho, u_eq, self.tau, skip=skip)
+                g, fs, rho, u_eq, self.tau, skip=skip,
+                entropy_tol=self.entropy_tolerance,
+                alpha_tol=self.alpha_tolerance)
         else:
             feq2 = self.feq(rho, u_eq)
             fpost = fs + tau_inv * (feq2 - fs)

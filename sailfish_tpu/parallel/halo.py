@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sailfish_tpu.ops.pallas_step import (
     PallasStep3D, check_plane_tiling, classify_nodes,
-    compute_patch_plane, cz_groups, make_kernel_3d,
+    compute_patch_plane, compute_patch_yrow, cz_groups, make_kernel_3d,
     make_rho_kernel_3d)
 
 
@@ -193,11 +193,46 @@ class ShardedPallasStep3D:
         self.shape = domain_shape
         self.local_shape = (Z_loc, Y_loc, X)
 
-        mask_np, patch_rows = classify_nodes(builder.maps)
+        mask_np, patch_rows, pmask_np = classify_nodes(
+            builder.maps, return_patch_mask=True)
+        self.patch_yrows = ()
         if len(patch_rows) > PallasStep3D.MAX_PATCH_FRACTION * Z:
-            raise NotImplementedError(
-                f'{len(patch_rows)}/{Z} z-planes need complex-BC patches; '
-                'use the XLA engine for this scene')
+            # y-row patch mode (turbulence-channel layout, walls normal
+            # to y): BC faces normal to x or y put a node on every
+            # z-plane. If the complex-BC nodes project onto a FEW
+            # y-rows, patch those instead -- on a z-mesh the wall rows
+            # are LOCAL to every shard, so the global y-row recompute
+            # (compute_patch_yrow, run in GSPMD-land where XLA inserts
+            # the z-neighbor exchange its rolls need) slices per-shard
+            # into the kernel's static patch_yrows selects. The TPU
+            # counterpart of the reference running wall-bounded scenes
+            # at full speed in any decomposition
+            # (subdomain_runner.py:1011-1058, boundary.mako:391-416).
+            yrows = sorted(int(y) for y in np.unique(
+                np.nonzero(pmask_np)[1]))
+            blockers = []
+            if self.two_axis:
+                blockers.append(
+                    "y-row patches need shard-local wall rows "
+                    "(1-axis z meshes only; got ('z','y'))")
+            if builder.model == 'elbm':
+                blockers.append('ELBM (overlaid rows would join the '
+                                'Newton convergence vote)')
+            if builder.sc_coupling != 0.0:
+                blockers.append('Shan-Chen (global psi sampling)')
+            if len(yrows) > min(PallasStep3D.MAX_PATCH_YROWS,
+                                PallasStep3D.MAX_PATCH_FRACTION * Y):
+                blockers.append(
+                    f'{len(yrows)} distinct complex-BC y-rows (max '
+                    f'{PallasStep3D.MAX_PATCH_YROWS})')
+            if blockers:
+                raise NotImplementedError(
+                    f'{len(patch_rows)}/{Z} z-planes need complex-BC '
+                    'overlays and the sharded y-row patch mode does '
+                    f'not apply ({"; ".join(blockers)}); use the XLA '
+                    'engine for this scene')
+            self.patch_yrows = tuple(yrows)
+            patch_rows = []
         self.patch_rows = patch_rows
         self.has_patches = bool(patch_rows)
         self.has_mask = bool((mask_np != 0).any())
@@ -259,7 +294,15 @@ class ShardedPallasStep3D:
             max_patches=self.P, k=self.slab_k, sc=self.sc,
             emit_rho=self.sc, edge_io=self.sc,
             y_ghosts=self.two_axis, mixed=self.mixed,
-            face_io=self.face_io)
+            face_io=self.face_io, patch_yrows=self.patch_yrows)
+        # y-row mode: one all-z GLOBAL window per complex-BC y-row
+        # (the same sub-builders the single-device engine uses, so
+        # sharded == single-device bitwise)
+        self.ypatch_subs = [
+            builder.for_window(
+                (slice(0, Z), slice(r, r + 1), slice(0, X)),
+                flatten=True)
+            for r in self.patch_yrows]
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_3d(
@@ -310,6 +353,8 @@ class ShardedPallasStep3D:
                 args.append(rest[k].reshape(-1)); k += 1
                 args.append(rest[k].reshape(g.Q, self.P,
                                             Y_loc, X)); k += 1
+            if self.patch_yrows:
+                args.append(rest[k]); k += 1   # (Z_loc, Q, R, X)
             return self.kernel(*args)
 
         def local_step_faces(f, zlo, zhi, ylo, yhi, *rest):
@@ -544,6 +589,8 @@ class ShardedPallasStep3D:
             in_specs.append(P(None, 'z', None, 'y', None)
                             if self.two_axis
                             else P(None, 'z', None, None, None))
+        if self.patch_yrows:
+            in_specs.append(P('z', None, None, None))
         if self.sc:
             step_fn = local_step_sc_zy if self.two_axis \
                 else local_step_sc
@@ -598,6 +645,26 @@ class ShardedPallasStep3D:
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(self.mesh, spec))
 
+    def _compute_ypatches_global(self, f, it=0):
+        """Complex-BC y-rows as a z-sharded (Z, Q, R, X) array in
+        kernel layout, ordered like self.patch_yrows -- the exact
+        global recompute the single-device engine runs
+        (PallasStep3D._compute_ypatches): the window machinery's
+        z-rolls wrap over the GLOBAL extent, and GSPMD inserts the
+        boundary-plane exchange those rolls need on a z-mesh."""
+        Z, Y, X = self.shape
+        planes = [compute_patch_yrow(
+            self.builder.grid, sub, f, r, Z, Y, X, it,
+            qinv=self._qinv_np, mixed=self.mixed)
+            for sub, r in zip(self.ypatch_subs, self.patch_yrows)]
+        p = jnp.stack(planes, axis=2)           # (Q, Z, R, X)
+        if self.mixed is not None:
+            p = self.mixed.quant(p)
+        p = p[self._qperm]
+        p = jnp.moveaxis(p, 0, 1)               # (Z, Q, R, X)
+        return jax.lax.with_sharding_constraint(
+            p, NamedSharding(self.mesh, P('z', None, None, None)))
+
     @property
     def padded(self):
         """The kernel layout (cz-grouped Q order) differs from the
@@ -631,6 +698,8 @@ class ShardedPallasStep3D:
             f = carry[0] if tup else carry
             args.append(self.pmap_global)
             args.append(self._compute_patches_padded(f, it))
+        if self.patch_yrows:
+            args.append(self._compute_ypatches_global(carry, it))
         return self._sharded_step(*args)
 
     def run_steps(self, f, n, it0=0):

@@ -285,10 +285,6 @@ class SubdomainRunner:
             reasons = []
             if self.sim.dim not in (2, 3):
                 reasons.append(f'dim={self.sim.dim}')
-            if getattr(b, 'fe_model', 'bgk') != 'bgk':
-                reasons.append(
-                    'the free-energy MRT collision (--model=mrt) runs '
-                    'on the XLA engine only')
             if self.mesh is not None:
                 axes = list(self.mesh.axis_names)
                 mesh_ok = (
@@ -526,10 +522,65 @@ class SubdomainRunner:
 
     # -- main loop -----------------------------------------------------------
 
+    def _consistent_init(self):
+        """--init_iters consistent initialization (reference
+        controller.py:312-315, subdomain_runner.py:1625-1652,
+        kernel_common.mako:227-231): run N LBM steps at nu=1/6 with
+        the iteration pinned to 0 so the density field relaxes to a
+        pressure distribution consistent with the initial velocity
+        field, then rebuild the state as feq(rho_relaxed, u_IC) --
+        the velocity field is held at the user initial conditions,
+        exactly as the reference's initialization kernels skip the
+        velocity writeback."""
+        n = int(getattr(self.config, 'init_iters', 0) or 0)
+        if n <= 0:
+            return
+        from sailfish_tpu.ops.step import StepBuilder
+        if type(self.builder) is not StepBuilder:
+            raise NotImplementedError(
+                '--init_iters covers single-fluid scenes only '
+                f'(got {type(self.builder).__name__})')
+        if getattr(self.builder, 'mixed', None) is not None:
+            raise NotImplementedError(
+                '--init_iters does not combine with mixed int16 '
+                'storage; initialize at --precision=single')
+        log = util.get_logger(self.config)
+        log.info('Consistent initialization started (%d iterations '
+                 'at nu=1/6).', n)
+        visc = self.config.visc
+        self.config.visc = 1.0 / 6.0
+        try:
+            init_b = self.sim.make_step_builder(self.maps,
+                                                self.config.dtype)
+            if self.mesh is not None:
+                init_b.shard_constants(self.mesh)
+            step = init_b.build()
+
+            @jax.jit
+            def warmup(f):
+                # iteration pinned to 0 (time-dependent BCs see t=0)
+                return jax.lax.fori_loop(
+                    0, n, lambda i, fc: step(fc, 0), f)
+
+            f_rel = warmup(self.f)
+            (rho, _u) = init_b.macro_fields(f_rel)
+            u_ic = jnp.asarray(
+                np.stack(self.sim.velocity_components()),
+                dtype=self.config.dtype)
+            if self.mesh is not None:
+                u_ic = pmesh.shard_dists(u_ic, self.mesh, self.sim.dim)
+            self.f = jax.jit(self.builder.feq)(rho, u_ic)
+            jax.block_until_ready(self.f)
+        finally:
+            self.config.visc = visc
+        log.info('Initialization phase complete.')
+
     def run(self):
         self._init_geometry()
         self._init_fields()
         self._init_state()
+        if not self.config.restore_from:
+            self._consistent_init()
         self._init_force_objects()
         if self._output is not None:
             # node-type map in every output: post-processing tools (wss,

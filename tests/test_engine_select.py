@@ -86,9 +86,10 @@ def test_sharded_multiphase_2axis_eligible_3axis_falls_back(monkeypatch,
         [rec.getMessage() for rec in caplog.records]
 
 
-def test_fe_mrt_names_reason(monkeypatch, caplog):
-    """--model=mrt on the FE binary model is XLA-engine-only and says
-    so (both in auto-fallback and when pallas is requested)."""
+def test_fe_mrt_fused_eligible(monkeypatch):
+    """--model=mrt on the FE binary model runs fused (the moment-wise
+    FE-MRT relaxation, pallas_multi2d.fe_mrt_relax) -- the round-4
+    fallback is gone."""
     import jax
     import jax.numpy as jnp
     from fe_separation_2d import SeparationFESim
@@ -99,11 +100,4 @@ def test_fe_mrt_names_reason(monkeypatch, caplog):
     ctrl.run(ignore_cmdline=True)
     r = ctrl._runner
     monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
-    with caplog.at_level(logging.WARNING):
-        engine = r._select_engine(jnp.float32)
-    assert engine == 'xla'
-    assert any('MRT' in rec.getMessage() for rec in caplog.records), \
-        [rec.getMessage() for rec in caplog.records]
-    r.config.engine = 'pallas'
-    with pytest.raises(ValueError, match='MRT'):
-        r._select_engine(jnp.float32)
+    assert r._select_engine(jnp.float32) == 'pallas'

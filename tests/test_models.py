@@ -109,6 +109,121 @@ def test_shallow_water_gravity_wave():
     assert h[N // 2, N // 2] < 1.06
 
 
+def test_init_iters_consistent_initialization():
+    """--init_iters relaxes the density field against the IC velocity
+    at nu=1/6 (iteration pinned to 0), then restarts from
+    feq(rho_relaxed, u_IC): the initial pressure field differs from
+    cold start, the velocity field does not, and the subsequent run
+    stays finite (reference controller.py:312,
+    subdomain_runner.py:1625-1652)."""
+
+    class TG(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            pass
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.vx[:] = 0.05 * np.sin(2 * np.pi * hy / 32) \
+                * np.cos(2 * np.pi * hx / 32)
+            sim.vy[:] = -0.05 * np.cos(2 * np.pi * hy / 32) \
+                * np.sin(2 * np.pi * hx / 32)
+
+    class Sim(LBFluidSim):
+        subdomain = TG
+
+    def run(**extra):
+        cfg = dict(lat_nx=32, lat_ny=32, visc=0.05, max_iters=0,
+                   every=0, quiet=True, periodic_x=True,
+                   periodic_y=True)
+        cfg.update(extra)
+        ctrl = LBSimulationController(Sim, default_config=cfg)
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return (r, np.array(r.sim.rho), np.array(r.sim.vx),
+                np.array(r.sim.vy))
+
+    _, rho_cold, vx_cold, vy_cold = run()
+    r, rho_init, vx_init, vy_init = run(init_iters=50)
+    assert r.config.visc == 0.05          # restored after the warmup
+    assert r.sim.iteration == 0
+    # the pressure field relaxed to something non-uniform...
+    assert np.max(np.abs(rho_init - rho_cold)) > 1e-7
+    assert np.all(np.isfinite(rho_init))
+    # ...while the velocity field stayed at the user ICs (the tiny
+    # residual is the post-stream measurement mixing the now
+    # non-uniform rho field into the moment, ~0.06% of |u|)
+    assert np.max(np.abs(vx_init - vx_cold)) < 1e-4
+    assert np.max(np.abs(vy_init - vy_cold)) < 1e-4
+    # and the subsequent run is stable
+    _, rho2, vx2, _ = run(init_iters=50, max_iters=20, every=20)
+    assert np.all(np.isfinite(rho2)) and np.all(np.isfinite(vx2))
+
+
+def test_elbm_tunables():
+    """--entropy_tolerance / --alpha_tolerance change the Newton stops
+    (reference lb_single.py:43-50): a sloppy entropy tolerance stops
+    the solve earlier and yields measurably different alphas on
+    strongly sheared nodes; --entropic_equilibrium swaps the BGK
+    model's equilibrium for the product form."""
+    import jax.numpy as jnp
+    from sailfish_tpu import lattice
+    from sailfish_tpu.ops import entropic
+
+    grid = lattice.get_grid('D2Q9')
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(1.0 + 0.05 * rng.rand(64).astype(np.float32))
+    u = jnp.asarray(0.08 * (rng.rand(2, 64) - 0.5).astype(np.float32))
+    feq = entropic.elbm_equilibrium(grid, rho, u)
+    # push deviations well into the Newton branch (dev > 0.01)
+    fneq = jnp.asarray(0.2 * (rng.rand(9, 64) - 0.5).astype(np.float32)) \
+        * feq
+    f = feq - fneq
+    a_tight = np.asarray(entropic.entropic_alpha(
+        grid, f, fneq, entropy_tol=1e-10, alpha_tol=1e-14))
+    a_loose = np.asarray(entropic.entropic_alpha(
+        grid, f, fneq, entropy_tol=1e-2, alpha_tol=1e-2))
+    assert np.all(np.isfinite(a_tight)) and np.all(np.isfinite(a_loose))
+    assert np.max(np.abs(a_tight - a_loose)) > 1e-5, \
+        'tolerances had no effect on the Newton solve'
+
+    # flag plumbing: config -> StepBuilder
+    class SW(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            pass
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.vx[:] = 0.01 * np.sin(2 * np.pi * hy / 32)
+
+    class Sim(LBFluidSim):
+        subdomain = SW
+
+    def run(**extra):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=32, lat_ny=32, visc=0.05, max_iters=20, every=20,
+            quiet=True, periodic_x=True, periodic_y=True, **extra))
+        ctrl.run(ignore_cmdline=True)
+        ctrl._runner._fields_to_host()
+        return ctrl._runner, np.array(ctrl._runner.sim.vx)
+
+    r_e, vx_e = run(model='elbm', entropy_tolerance=1e-3,
+                    alpha_tolerance=1e-4)
+    assert r_e.builder.entropy_tolerance == 1e-3
+    assert r_e.builder.alpha_tolerance == 1e-4
+    r_d, _ = run(model='elbm')   # 0.0 -> precision default
+    assert r_d.builder.entropy_tolerance == 1e-6
+
+    # --entropic_equilibrium: product-form feq under BGK collision
+    r_b, vx_b = run()
+    r_p, vx_p = run(entropic_equilibrium=True)
+    assert r_b.builder.equilibrium == 'bgk'
+    assert r_p.builder.equilibrium == 'elbm'
+    assert np.all(np.isfinite(vx_p))
+    assert np.max(np.abs(vx_p - vx_b)) > 1e-9, \
+        'product-form equilibrium had no effect'
+
+
 def test_entropic_sim_class():
     nu = _shear_decay_sim('bgk')  # baseline for comparison
 

@@ -75,6 +75,22 @@ def test_binary_fe_fused_matches_xla():
 
 
 @pytest.mark.slow
+def test_binary_fe_mrt_fused_matches_xla():
+    """FE-MRT collision (--model=mrt, the reference's recommended
+    binary model) on the fused FE kernel: the moment-wise reformulated
+    relaxation (pallas_multi2d.fe_mrt_relax) matches the XLA engine's
+    dense projections to fp32 roundoff."""
+    from fe_separation_2d import SeparationFESim
+    dims = dict(lat_nx=128, lat_ny=128, max_iters=25, every=25,
+                model='mrt', tau_a=3.0, tau_b=0.8)
+    _, rho_a, phi_a = _run(SeparationFESim, 'xla', dims)
+    engine, rho_b, phi_b = _run(SeparationFESim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
+@pytest.mark.slow
 def test_binary_fe_fused_walls_wetting_force():
     """Two-layer FE Poiseuille: walls + wetting mirror + body force +
     phi-interpolated tau through the fused kernel."""
@@ -237,6 +253,21 @@ def test_binary_fe3d_fused_walls_wetting_force():
     assert np.max(np.abs(phi_a - phi_b)) < 5e-6
 
 
+@pytest.mark.slow
+def test_binary_fe3d_mrt_fingering_matches_xla():
+    """The reference-faithful viscous-fingering scene (FE-MRT default,
+    walls + wetting + forcing + eq_force_map) on the fused 3D kernel
+    vs the XLA engine -- the round-4 gap where the reference's
+    RECOMMENDED binary model fell off the fused path."""
+    from fe_viscous_fingering import FingeringFESim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=20, every=20)
+    _, rho_a, phi_a = _run3(FingeringFESim, 'xla', dims)
+    engine, rho_b, phi_b = _run3(FingeringFESim, 'pallas', dims)
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho_a - rho_b)) < 5e-6
+    assert np.max(np.abs(phi_a - phi_b)) < 5e-6
+
+
 # -- z-sharded fused multi-component stepping (parallel/halo_multi) ----------
 #
 # The sharded fused path must be BITWISE equal to the single-device
@@ -300,6 +331,19 @@ def test_sharded_fe_3d_wetting_force_bitwise():
     from fe_viscous_fingering import FingeringFESim
     dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15,
                 model='bgk')
+    _, fs_1 = _run_sharded(FingeringFESim, dims, '')
+    _, fs_n = _run_sharded(FingeringFESim, dims, '4')
+    for a, b in zip(fs_1, fs_n):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_sharded_fe_3d_mrt_bitwise():
+    """The reference-default FE-MRT fingering scene sharded on a
+    z-mesh == single-device fused, bitwise (the MRT relaxation is
+    node-local, so the carries are untouched)."""
+    from fe_viscous_fingering import FingeringFESim
+    dims = dict(lat_nx=32, lat_ny=16, lat_nz=12, max_iters=15, every=15)
     _, fs_1 = _run_sharded(FingeringFESim, dims, '')
     _, fs_n = _run_sharded(FingeringFESim, dims, '4')
     for a, b in zip(fs_1, fs_n):

@@ -668,6 +668,31 @@ def test_pallas3d_yrow_patches_wall_families(wall):
     assert np.max(np.abs(rho_p - rho_x)) < 2e-6
 
 
+def test_sharded_pallas3d_yrow_channel_zmesh():
+    """The turbulence-channel layout (complex-BC walls normal to y)
+    runs FUSED on a z-sharded mesh: the wall rows are local to every
+    shard, the global y-row recompute runs in GSPMD-land, and each
+    shard's kernel selects its slice of the rows (round-4 gap: sharding
+    the channel silently fell back to the ~10x-slower XLA engine)."""
+    from sailfish_tpu.node_type import NTWallTMS
+    from sailfish_tpu.parallel.halo import ShardedPallasStep3D
+    rp, vx_1, vy_1, rho_1 = _run_yrow_channel(NTWallTMS, 'pallas')
+    rs, vx_s, vy_s, rho_s = _run_yrow_channel(NTWallTMS, 'pallas',
+                                              mesh='4')
+    assert rs.engine == 'pallas'
+    assert isinstance(rs._pallas, ShardedPallasStep3D)
+    assert rs._pallas.patch_yrows == (0, 15)
+    assert rs._pallas.patch_rows == [] and not rs._pallas.has_patches
+    # sharded vs single-device fused: identical math modulo XLA's
+    # context-dependent FMA contraction inside shard_map (CLAUDE.md)
+    assert np.max(np.abs(vx_s - vx_1)) < 1e-6
+    assert np.max(np.abs(vy_s - vy_1)) < 1e-6
+    assert np.max(np.abs(rho_s - rho_1)) < 1e-6
+    _, vx_x, vy_x, rho_x = _run_yrow_channel(NTWallTMS, 'xla')
+    assert np.max(np.abs(vx_s - vx_x)) < 2e-6
+    assert np.max(np.abs(rho_s - rho_x)) < 2e-6
+
+
 @pytest.mark.slow
 def test_sharded_pallas2d_x_sharded_lid():
     """Complex-BC (velocity lid) scenes on x-sharded 2D meshes: the
