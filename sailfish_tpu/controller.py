@@ -62,6 +62,16 @@ class LBSimulationController:
                            'reference controller.py:312)')
         group.add_argument('--output', type=str, default='',
                            help='output file base name')
+        group.add_argument('--debug_dump_dists', action='store_true',
+                           default=False,
+                           help='dump the raw distribution arrays to '
+                           'files at every output event (reference '
+                           'controller.py:335-337)')
+        group.add_argument('--debug_dump_node_type_map',
+                           action='store_true', default=False,
+                           help='dump the node type map into a file '
+                           'at initialization (reference '
+                           'controller.py:343-345)')
         group.add_argument('--output_format', type=str, default='npy',
                            choices=sorted(sio.FORMATS))
         group.add_argument('--log', type=str, default='')

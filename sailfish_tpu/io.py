@@ -30,6 +30,17 @@ def checkpoint_filename(base, digits, subdomain_id, it):
     return f'{base}.{subdomain_id}.{it:0{digits}d}.cpoint.npz'
 
 
+def dists_filename(base, digits, subdomain_id, it):
+    """(reference io.py:177-178)"""
+    return filename(base + '_dists', digits, subdomain_id, it)
+
+
+def node_type_filename(base, subdomain_id):
+    """(reference io.py:180-181)"""
+    return filename(base + '_node_type_map', 1, subdomain_id, 0,
+                    suffix='.npy')
+
+
 def resolve_checkpoint(path):
     """Resolve '<base>.last' to the newest matching checkpoint
     (reference io.py:193-202)."""
@@ -85,6 +96,23 @@ class LBOutput:
     def verify(self):
         """NaN/Inf check (reference io.py:77-82)."""
         return all(np.all(np.isfinite(f)) for f in self.fields_dict().values())
+
+    def dump_dists(self, dists, i):
+        """--debug_dump_dists escape (reference io.py:338-341 /
+        subdomain_runner.py:1680-1684): the raw distribution arrays as
+        an npz, one file per output event."""
+        fname = dists_filename(self.basename or 'debug', self.digits,
+                               self.subdomain_id, i)
+        np.savez(fname, *[np.asarray(d) for d in dists])
+        return fname
+
+    def dump_node_type(self, node_type_map):
+        """--debug_dump_node_type_map escape (reference
+        io.py:343-345, subdomain_runner.py:356-357)."""
+        fname = node_type_filename(self.basename or 'debug',
+                                   self.subdomain_id)
+        np.save(fname, np.asarray(node_type_map))
+        return fname
 
     def save(self, i):
         raise NotImplementedError

@@ -586,6 +586,10 @@ class SubdomainRunner:
             # node-type map in every output: post-processing tools (wss,
             # masking) need to distinguish wall/BC nodes from fluid
             self._output.register_field(self.maps.type_map, 'node_type')
+            if getattr(self.config, 'debug_dump_node_type_map', False):
+                # --debug_dump_node_type_map escape (reference
+                # subdomain_runner.py:356-357)
+                self._output.dump_node_type(self.maps.type_map)
         if self.config.restore_from:
             self.restore_checkpoint(
                 sio.resolve_checkpoint(self.config.restore_from))
@@ -724,6 +728,12 @@ class SubdomainRunner:
                 with self.profile.phase(TimeProfile.OUTPUT):
                     if self._output is not None:
                         self._output.save(sim.iteration)
+                        if getattr(cfg, 'debug_dump_dists', False):
+                            # --debug_dump_dists escape (reference
+                            # subdomain_runner.py:1680-1684): the raw
+                            # distribution state, one file per event
+                            self._output.dump_dists(
+                                jax.tree.leaves(self.f), sim.iteration)
                 if getattr(self, '_vis', None) is not None:
                     self._vis.update(sim.iteration)
                 if cfg.check_invalid_results_host:

@@ -46,6 +46,38 @@ def test_async_npz_writer_flushes(tmp_path):
     assert not [p for p in os.listdir(tmp_path) if '.tmp' in p]
 
 
+def test_debug_dump_escapes(tmp_path):
+    """--debug_dump_dists / --debug_dump_node_type_map write the raw
+    distribution state and the node-type map to files (reference
+    controller.py:335-345, subdomain_runner.py:356,1680-1684), and the
+    dumped dists reproduce the simulation's own macroscopic density."""
+    base = str(tmp_path / 'dbg')
+    ctrl = LBSimulationController(_Sim, default_config=dict(
+        lat_nx=32, lat_ny=32, max_iters=20, every=10, quiet=True,
+        periodic_x=True, periodic_y=True, output=base,
+        debug_dump_dists=True, debug_dump_node_type_map=True))
+    ctrl.run(ignore_cmdline=True)
+    r = ctrl._runner
+
+    from sailfish_tpu import io as sio
+    ntm = np.load(sio.node_type_filename(base, 0))
+    assert ntm.shape == (32, 32)
+    np.testing.assert_array_equal(ntm, np.asarray(r.maps.type_map))
+
+    digits = sio.filename_iter_digits(20)
+    for it in (10, 20):
+        d = np.load(sio.dists_filename(base, digits, 0, it))
+        arrs = [d[k] for k in d.files]
+        assert len(arrs) == 1 and arrs[0].shape == (9, 32, 32)
+        assert np.all(np.isfinite(arrs[0]))
+    # the it=20 dump is the live (post-collision) state: per-node rho
+    # differs from the host field's post-stream moment, but streaming
+    # conserves total mass exactly on this all-periodic scene
+    r._fields_to_host()
+    np.testing.assert_allclose(float(arrs[0].sum()),
+                               float(np.sum(r.sim.rho)), rtol=1e-6)
+
+
 def test_npz_to_vti(tmp_path):
     import npz_to_vti
     base = _run_with_output(tmp_path)
