@@ -68,9 +68,13 @@ class SubdomainRunner:
         if (self.config.precision == 'mixed'
                 and getattr(self.builder, 'mixed', None) is None):
             raise NotImplementedError(
-                '--precision=mixed covers single-fluid scenes only '
-                '(multiphase density deviations exceed any useful '
-                'fixed-point range); use --precision=single')
+                '--precision=mixed covers single-fluid scenes only: '
+                'the minority component of a mixture lives at near-'
+                'vacuum density where the int16 step is comparable to '
+                'the distribution value itself -- measured unusable at '
+                'every --mixed_range (8.5-21% surface-tension error, '
+                '>10% mass drift; regtest/mixed_multiphase_probe.py). '
+                'Use --precision=single')
         self.f = self.sim.make_initial_state(self.builder, dtype)
         if getattr(self.builder, 'mixed', None) is not None:
             # snap the initial state to the int16 grid once, so both
