@@ -130,6 +130,20 @@ CASES = {
                                       dict(H=63, wall='tms',
                                            streamwise=384,
                                            precision='mixed')),
+    # z-sharded fused channel (the y-row patch mode on a z-mesh:
+    # parallel.halo.ShardedPallasStep3D.patch_yrows) -- quantifies the
+    # sharding overhead of the wall-row recompute riding GSPMD-land
+    'd3q19_tms_channel_h63_zmesh1': ('turbulence.channel_flow', 3,
+                                     dict(H=63, wall='tms',
+                                          streamwise=384, mesh='1')),
+    # FE-MRT collision (the reference's recommended binary model,
+    # lb_binary.py:175) on the fused kernels vs its BGK sibling
+    'bin_d2q9_fe_mrt_1024': ('binary_fluid.fe_separation_2d', 2,
+                             dict(lat_nx=1024, lat_ny=1024,
+                                  model='mrt')),
+    'bin_d3q19_fe_mrt_128': ('binary_fluid.fe_separation_3d', 3,
+                             dict(lat_nx=128, lat_ny=128, lat_nz=128,
+                                  model='mrt')),
     # --precision=mixed: int16 fixed-point storage, fp32 math
     # (ops/mixed.py) -- halves the HBM streaming bytes
     'd3q19_bgk_ldc_256_mixed16': ('ldc_3d', 3,
