@@ -62,6 +62,10 @@ class LBSimulationController:
                            'reference controller.py:312)')
         group.add_argument('--output', type=str, default='',
                            help='output file base name')
+        group.add_argument('--base_name', type=str, default='',
+                           help='default base name for --log, --output '
+                           'and --checkpoint_file when those are unset '
+                           '(reference controller.py:351-353,778-786)')
         group.add_argument('--debug_dump_dists', action='store_true',
                            default=False,
                            help='dump the raw distribution arrays to '
@@ -74,6 +78,11 @@ class LBSimulationController:
                            'controller.py:343-345)')
         group.add_argument('--output_format', type=str, default='npy',
                            choices=sorted(sio.FORMATS))
+        group.add_argument('--nooutput_compress', action='store_false',
+                           dest='output_compress', default=True,
+                           help='write uncompressed npz output '
+                           '(reference io.py:306-310; compression is '
+                           'the default there and here)')
         group.add_argument('--log', type=str, default='')
         group.add_argument('--loglevel', type=str, default='info')
         group.add_argument('--precision', type=str, default='single',
@@ -94,6 +103,13 @@ class LBSimulationController:
                                 'always uses donated AB buffers')
         group.add_argument('--node_addressing', type=str, default='direct',
                            choices=['direct', 'indirect'])
+        group.add_argument('--nouse_link_tags', action='store_false',
+                           dest='use_link_tags', default=True,
+                           help='disable per-link tagging for node types '
+                           'that support it (HalfBB/TMS walls) and fall '
+                           'back to the cruder orientation-vector tagging '
+                           '(reference lb_base.py:86-92); identical on '
+                           'flat walls, differs at corners/edges')
         group.add_argument('--block_size', type=int, default=128,
                            help='accepted for compatibility (CUDA block)')
         group.add_argument('--check_invalid_results_gpu', action='store_true',
@@ -135,6 +151,12 @@ class LBSimulationController:
         group.add_argument('--checkpoint_every', type=int, default=0)
         group.add_argument('--checkpoint_from', type=int, default=0)
         group.add_argument('--restore_from', type=str, default='')
+        group.add_argument('--norestore_time', action='store_false',
+                           dest='restore_time', default=True,
+                           help='restore the distributions from the '
+                           'checkpoint but restart the iteration counter '
+                           'at 0 (reference controller.py:418-422, '
+                           'subdomain_runner.py:1438-1440)')
         group.add_argument('--final_checkpoint', action='store_true',
                            default=False)
         group.add_argument('--single_checkpoint', action='store_true',
@@ -178,6 +200,15 @@ class LBSimulationController:
         config = self.config_parser.parse(args, internal_defaults=defaults)
         self.config = config
         self.lb_class.modify_config(config)
+        if getattr(config, 'base_name', ''):
+            # --base_name fills unset file options (reference
+            # controller.py:778-786)
+            if not config.log:
+                config.log = config.base_name + '.log'
+            if not config.output:
+                config.output = config.base_name
+            if not config.checkpoint_file:
+                config.checkpoint_file = config.base_name
         import jax
         if config.platform:
             jax.config.update('jax_platforms', config.platform)

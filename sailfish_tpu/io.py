@@ -141,6 +141,11 @@ class NPYOutput(LBOutput):
 
     def __init__(self, config, subdomain_id=0):
         super().__init__(config, subdomain_id)
+        # --nooutput_compress (reference io.py:306-311; compressed is
+        # the default both there and here)
+        self._do_save = (np.savez_compressed
+                         if getattr(config, 'output_compress', True)
+                         else np.savez)
         import queue
         import threading
         self._queue = queue.Queue(maxsize=2)
@@ -156,7 +161,7 @@ class NPYOutput(LBOutput):
                     break
                 fname, snapshot = item
                 tmp = fname + '.tmp.npz'
-                np.savez(tmp, **snapshot)
+                self._do_save(tmp, **snapshot)
                 os.rename(tmp, fname + '.npz')
             except Exception as e:      # surface on the next save/close
                 self._error = e

@@ -48,7 +48,11 @@ class LBSim:
 
     @classmethod
     def add_options(cls, group, dim):
-        pass
+        group.add_argument(
+            '--dt_per_lattice_time_unit', type=float, default=1.0,
+            help='physical time per lattice step: DynamicValue / '
+            'time-series callables receive t = iteration * this '
+            '(reference lb_base.py:55-57, boundary.mako:80-83)')
 
     @classmethod
     def modify_config(cls, config):

@@ -149,6 +149,7 @@ class LBFluidSim(LBSim):
             body_force=body_force,
             force_model=force_model,
             dtype=dtype,
+            time_unit=getattr(cfg, 'dt_per_lattice_time_unit', 1.0),
             **kwargs)
 
 
@@ -279,7 +280,8 @@ class LBIBMFluidSim(LBFluidSim, LBForcedSim):
             ref_positions=ref, stiffness=stiff,
             model='bgk', visc=cfg.visc,
             incompressible=cfg.incompressible,
-            body_force=bf, dtype=dtype)
+            body_force=bf, dtype=dtype,
+            time_unit=getattr(cfg, 'dt_per_lattice_time_unit', 1.0))
 
     def make_initial_state(self, builder, dtype):
         import jax.numpy as jnp

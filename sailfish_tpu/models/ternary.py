@@ -105,4 +105,5 @@ class LBTernaryFluidShanChen(LBTernaryFluidBase, LBForcedSim):
             potential=cfg.sc_potential,
             body_forces=[self.body_force(k) for k in range(3)],
             force_model=getattr(cfg, 'force_implementation', 'guo'),
-            dtype=dtype)
+            dtype=dtype,
+            time_unit=getattr(cfg, 'dt_per_lattice_time_unit', 1.0))

@@ -73,7 +73,8 @@ class MultigridStepBuilder:
     subclasses via ``collide_all``."""
 
     def __init__(self, grid, maps, taus, *, body_force=None,
-                 body_forces=None, force_model='guo', dtype=None):
+                 body_forces=None, force_model='guo', dtype=None,
+                 time_unit=1.0):
         if force_model != 'guo':
             raise NotImplementedError(
                 'multi-component models implement Guo body forcing only '
@@ -105,7 +106,7 @@ class MultigridStepBuilder:
             self.components.append(StepBuilder(
                 grid, maps, model='bgk', tau=tau,
                 body_force=body_forces[k],
-                dtype=dtype))
+                dtype=dtype, time_unit=time_unit))
         # convenience: all components share masks
         self.b0 = self.components[0]
 
@@ -163,12 +164,12 @@ class ShanChenMultiStepBuilder(MultigridStepBuilder):
 
     def __init__(self, grid, maps, taus, couplings, *, potential='linear',
                  body_force=None, body_forces=None, force_model='guo',
-                 dtype=None):
+                 dtype=None, time_unit=1.0):
         """couplings: dict {(j, k): G_jk} (symmetric; includes (k, k) for
         self-interaction, cf. reference force_couplings)."""
         super().__init__(grid, maps, taus, body_force=body_force,
                          body_forces=body_forces, force_model=force_model,
-                         dtype=dtype)
+                         dtype=dtype, time_unit=time_unit)
         self.couplings = dict(couplings)
         self.potential = potential
 
@@ -263,10 +264,10 @@ class FreeEnergyStepBuilder(MultigridStepBuilder):
     def __init__(self, grid, maps, *, tau_a, tau_b, tau_phi, A, kappa,
                  Gamma, wall_grad_phase=0.0, body_force=None,
                  eq_force_map=None, model='bgk', force_model='guo',
-                 dtype=None):
+                 dtype=None, time_unit=1.0):
         super().__init__(grid, maps, [(tau_a + tau_b) / 2.0, tau_phi],
                          body_force=body_force, force_model=force_model,
-                         dtype=dtype)
+                         dtype=dtype, time_unit=time_unit)
         #: fluid-grid collision: 'bgk' or 'mrt' (reference --model,
         #: lb_binary.py:175; MRT relaxation relaxation.mako:15-54)
         if model not in ('bgk', 'mrt'):

@@ -84,7 +84,8 @@ class StepBuilder:
                  sc_coupling=0.0, sc_potential='linear',
                  equilibrium='bgk', gravity=0.0,
                  dtype=jnp.float32, storage='fp', mixed_range=None,
-                 entropy_tolerance=0.0, alpha_tolerance=1e-10):
+                 entropy_tolerance=0.0, alpha_tolerance=1e-10,
+                 time_unit=1.0):
         self.sc_coupling = sc_coupling
         self.sc_potential = sc_potential
         self.equilibrium = equilibrium
@@ -95,6 +96,10 @@ class StepBuilder:
             entropy_tolerance > 0.0 else \
             (1e-6 if dtype == jnp.float32 else 1e-10)
         self.alpha_tolerance = float(alpha_tolerance)
+        # --dt_per_lattice_time_unit: DynamicValue callables see
+        # t = iteration * time_unit (reference lb_base.py:55-57 /
+        # boundary.mako:80-83 get_time_from_iteration)
+        self.time_unit = float(time_unit)
         from sailfish_tpu import lattice as lat
         self.grid = grid
         self.maps = maps
@@ -563,7 +568,7 @@ class StepBuilder:
         vel_bc = self.dev.get('vel_bc')
         if not self.dynamic_dev:
             return rho_bc, vel_bc
-        t = jnp.asarray(it, dtype=self.dtype)
+        t = jnp.asarray(it, dtype=self.dtype) * self.time_unit
         coords = self._coords_cache
         for mask, name, exprs in self.dynamic_dev:
             vals = [jnp.broadcast_to(
@@ -671,7 +676,7 @@ class StepBuilder:
         dependent forces)."""
         if self.force_expr is None:
             return self.force_dev
-        t = jnp.asarray(it, dtype=self.dtype)
+        t = jnp.asarray(it, dtype=self.dtype) * self.time_unit
         coords = self._coords_cache
         shape = self.maps.type_map.shape
         vals = [jnp.asarray(nt.DynamicValue.evaluate(e, t, coords),

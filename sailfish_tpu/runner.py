@@ -506,6 +506,10 @@ class SubdomainRunner:
                 pickle.loads(cpoint['sim_state'].tobytes()))
         else:
             self.sim.iteration = int(cpoint['state'][0])
+        if not getattr(self.config, 'restore_time', True):
+            # --norestore_time: keep the state, restart the clock
+            # (reference subdomain_runner.py:1438-1440)
+            self.sim.iteration = 0
         leaves, treedef = jax.tree.flatten(self.f)
         new_leaves = [jnp.asarray(cpoint[f'dist{i}a'],
                                   dtype=self.config.dtype)

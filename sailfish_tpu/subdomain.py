@@ -314,6 +314,24 @@ class Subdomain:
         if not tagged_types:
             return
         sel = np.isin(m.type_map, tagged_types)
+        if not getattr(self.config, 'use_link_tags', True):
+            # --nouse_link_tags: crude orientation tagging (reference
+            # lb_base.py:86-92) -- tag every link pointing along the
+            # node's orientation vector into the wall instead of
+            # probing per-link wetness. Identical on flat walls;
+            # differs at corners/edges (the point of the escape).
+            lut = np.zeros(len(self.grid.orientation_vectors) + 1,
+                           dtype=np.int32)
+            for k, vec in enumerate(self.grid.orientation_vectors):
+                bits = 0
+                for i in range(1, self.grid.Q):
+                    # orientation points wall -> fluid; f_i whose pull
+                    # source lies inside the wall has c_i . n > 0
+                    if int(np.dot(self.grid.basis[i], vec)) > 0:
+                        bits |= 1 << i
+                lut[k + 1] = bits
+            m.link_tags[sel] = lut[m.orientation[sel]]
+            return
         wet = self._wet_map()
         tags = np.zeros(self.shape, dtype=np.int32)
         for i in range(1, self.grid.Q):

@@ -12,7 +12,7 @@ from sailfish_tpu.node_type import DynamicValue, \
 from sailfish_tpu.subdomain import Subdomain2D
 
 
-def _pulsed_cavity(value_source, iters):
+def _pulsed_cavity(value_source, iters, **extra_cfg):
     N = 32
 
     class Cav(Subdomain2D):
@@ -30,7 +30,7 @@ def _pulsed_cavity(value_source, iters):
 
     ctrl = LBSimulationController(Sim, default_config=dict(
         lat_nx=N, lat_ny=N, visc=0.1, max_iters=iters, every=iters // 4,
-        quiet=True))
+        quiet=True, **extra_cfg))
     runner_lid = []
 
     orig = Sim.after_step
@@ -91,6 +91,24 @@ def test_space_dependent_dynamic():
     # parabolic profile visible at the lid: center faster than edges
     assert vx[-1, N // 2] > vx[-1, 3] > 0
     assert vx[-1, N // 2] == pytest.approx(0.1, rel=0.1)
+
+
+def test_dt_per_lattice_time_unit_scales_t():
+    """--dt_per_lattice_time_unit: DynamicValue callables see physical
+    time t = iteration * dt (reference lb_base.py:55-57,
+    boundary.mako:80-83). Halving dt while doubling the callable's
+    frequency must reproduce the baseline flow bitwise."""
+    om = 2 * np.pi / 100.0
+    base = _pulsed_cavity(DynamicValue(
+        lambda t: 0.05 * jnp.sin(om * t), 0.0), 100)
+    scaled = _pulsed_cavity(DynamicValue(
+        lambda t: 0.05 * jnp.sin(2.0 * om * t), 0.0), 100,
+        dt_per_lattice_time_unit=0.5)
+    assert np.array_equal(base, scaled), (base, scaled)
+    # and the flag actually changes the flow when the callable is fixed
+    other = _pulsed_cavity(DynamicValue(
+        lambda t: 0.05 * jnp.sin(2.0 * om * t), 0.0), 100)
+    assert not np.allclose(base, other)
 
 
 def test_spatial_array_matches_equation():

@@ -46,6 +46,46 @@ def test_async_npz_writer_flushes(tmp_path):
     assert not [p for p in os.listdir(tmp_path) if '.tmp' in p]
 
 
+def test_base_name_fills_unset_outputs(tmp_path):
+    """--base_name defaults --output/--log/--checkpoint_file (reference
+    controller.py:351-353,778-786)."""
+    base = str(tmp_path / 'bn')
+    ctrl = LBSimulationController(_Sim, default_config=dict(
+        lat_nx=32, lat_ny=32, max_iters=10, every=10, quiet=True,
+        periodic_x=True, periodic_y=True, base_name=base))
+    ctrl.run(ignore_cmdline=True)
+    assert ctrl.config.output == base
+    assert ctrl.config.log == base + '.log'
+    assert ctrl.config.checkpoint_file == base
+    assert [p for p in os.listdir(tmp_path)
+            if p.startswith('bn') and p.endswith('.npz')]
+
+
+def test_output_compress_flag(tmp_path):
+    """Compressed npz output is the default (reference io.py:306-311);
+    --nooutput_compress writes plain npz. Same values either way."""
+    comp_dir = tmp_path / 'comp'
+    raw_dir = tmp_path / 'raw'
+    comp_dir.mkdir(), raw_dir.mkdir()
+    _run_with_output(comp_dir)
+    base = str(raw_dir / 'out')
+    ctrl = LBSimulationController(_Sim, default_config=dict(
+        lat_nx=32, lat_ny=32, max_iters=20, every=10, quiet=True,
+        periodic_x=True, periodic_y=True, output=base,
+        output_compress=False))
+    ctrl.run(ignore_cmdline=True)
+    cfile = sorted(p for p in os.listdir(comp_dir)
+                   if p.endswith('.npz'))[-1]
+    rfile = sorted(p for p in os.listdir(raw_dir)
+                   if p.endswith('.npz'))[-1]
+    a = np.load(comp_dir / cfile)
+    b = np.load(raw_dir / rfile)
+    assert np.array_equal(a['rho'], b['rho'])
+    # deflate actually engaged: smooth fp32 fields compress measurably
+    assert (os.path.getsize(comp_dir / cfile)
+            < os.path.getsize(raw_dir / rfile))
+
+
 def test_debug_dump_escapes(tmp_path):
     """--debug_dump_dists / --debug_dump_node_type_map write the raw
     distribution state and the node-type map to files (reference

@@ -103,6 +103,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(straight, np.array(ctrl3._runner.sim.vx))
 
 
+def test_norestore_time(tmp_path):
+    """--norestore_time: the state restores, the clock restarts at 0
+    (reference controller.py:418-422, subdomain_runner.py:1438-1440)."""
+    from ldc_2d import LDCSim
+    cp = str(tmp_path / 'cp')
+
+    ctrl = _run_controller(LDCSim, lat_nx=24, lat_ny=24, max_iters=60,
+                           every=60, quiet=True)
+    straight = np.array(ctrl._runner.sim.vx)
+
+    _run_controller(LDCSim, lat_nx=24, lat_ny=24, max_iters=40,
+                    checkpoint_file=cp, checkpoint_every=40, quiet=True)
+    ctrl3 = _run_controller(LDCSim, lat_nx=24, lat_ny=24, max_iters=20,
+                            every=20, quiet=True,
+                            restore_from=cp + '.last',
+                            restore_time=False)
+    # 40 checkpointed + 20 re-clocked steps == straight 60 (the LDC lid
+    # is time-independent), and the clock ends at 20, not 60
+    assert np.array_equal(straight, np.array(ctrl3._runner.sim.vx))
+    assert ctrl3._runner.sim.iteration == 20
+
+
 def test_periodic_shear_decay():
     """Viscosity from shear-wave decay through the full controller stack
     (mode-resolved; see .claude/skills/verify/SKILL.md)."""

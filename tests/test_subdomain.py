@@ -76,6 +76,38 @@ def test_link_tags():
     assert np.all(m.link_tags[1:-1, :] == 0)
 
 
+def test_nouse_link_tags_crude_orientation():
+    """--nouse_link_tags falls back to orientation-vector tagging
+    (reference lb_base.py:86-92): identical to per-link probing on flat
+    walls, cruder at corners."""
+    precise = make_sub(HalfBBChannel, (6, 8))
+    precise.config.periodic_x = True
+    precise.reset()
+    crude = make_sub(HalfBBChannel, (6, 8))
+    crude.config.periodic_x = True
+    crude.config.use_link_tags = False
+    crude.reset()
+    # flat periodic channel: both taggings agree everywhere
+    assert np.array_equal(precise.maps.link_tags, crude.maps.link_tags)
+
+    class Box(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            self.set_node((hy == 0) | (hy == self.gy - 1) |
+                          (hx == 0) | (hx == self.gx - 1),
+                          nt.NTHalfBBWall)
+
+    precise_b = make_sub(Box, (6, 8))
+    precise_b.reset()
+    crude_b = make_sub(Box, (6, 8))
+    crude_b.config.use_link_tags = False
+    crude_b.reset()
+    # the corner nodes differ: orientation carries one axis only
+    assert not np.array_equal(precise_b.maps.link_tags,
+                              crude_b.maps.link_tags)
+    # but flat wall midpoints still agree
+    assert precise_b.maps.link_tags[0, 3] == crude_b.maps.link_tags[0, 3]
+
+
 def test_multifield_params():
     class MF(Subdomain2D):
         def boundary_conditions(self, hx, hy):
