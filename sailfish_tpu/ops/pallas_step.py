@@ -183,8 +183,12 @@ def gy_pad_channels(Q, mixed=None):
 
 def _moments(builder, fs):
     """Macroscopic moments from Q (Y, X) VMEM planes: returns
-    (rho, u list, usq, uF) with the Guo half-force velocity shift applied
-    (reference relaxation_common.mako fluid_output_velocity)."""
+    (rho, u list, usq, uF) with the equilibrium-velocity shift of the
+    builder's --force_implementation applied (reference
+    relaxation_common.mako:109-133 fluid_velocity): guo shifts by a/2
+    and carries uF for the post-collision Guo term, velocity_shift
+    shifts by tau*a with no post term, edm leaves the bare velocity
+    (the force enters as the feq difference, _edm_term)."""
     g = builder.grid
     dtype = fs[0].dtype
     rho = fs[0]
@@ -193,17 +197,19 @@ def _moments(builder, fs):
     mom = [eq.signed_sum(g.basis[:, a], fs) for a in range(g.dim)]
     inv_rho = 1.0 / rho
     u = [m * inv_rho for m in mom]
-    has_force = (builder.force_dev is not None
-                 and builder.force_model == 'guo')
     uF = None
-    if has_force:
+    if builder.force_dev is not None:
         fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
-        # body-force values are accelerations: u* = u + a/2
-        u = [ua + jnp.asarray(0.5 * fvec[a], dtype)
-             for a, ua in enumerate(u)]
-        uF = u[0] * jnp.asarray(fvec[0], dtype)
-        for a in range(1, g.dim):
-            uF = uF + u[a] * jnp.asarray(fvec[a], dtype)
+        if builder.force_model == 'guo':
+            # body-force values are accelerations: u* = u + a/2
+            u = [ua + jnp.asarray(0.5 * fvec[a], dtype)
+                 for a, ua in enumerate(u)]
+            uF = u[0] * jnp.asarray(fvec[0], dtype)
+            for a in range(1, g.dim):
+                uF = uF + u[a] * jnp.asarray(fvec[a], dtype)
+        elif builder.force_model == 'velocity_shift':
+            u = [ua + jnp.asarray(builder.tau * fvec[a], dtype)
+                 for a, ua in enumerate(u)]
     usq = u[0] * u[0]
     for a in range(1, g.dim):
         usq = usq + u[a] * u[a]
@@ -211,9 +217,20 @@ def _moments(builder, fs):
 
 
 def _feq_i(builder, rho, usq, cu, i):
-    """Second-order equilibrium for direction i given cu = c_i . u."""
+    """Second-order equilibrium for direction i given cu = c_i . u
+    (bgk Hermite, the incompressible He-Luo variant, or the D2Q9
+    shallow-water form -- matches equilibrium.shallow_water_equilibrium
+    / reference sym_equilibrium.py:73-89, where rho is the water
+    height)."""
     w = builder.grid.weights
     dtype = rho.dtype
+    if getattr(builder, 'equilibrium', 'bgk') == 'shallow_water':
+        grav = builder.gravity
+        if i == 0:
+            return rho - jnp.asarray(w[0], dtype) * rho * (
+                (15.0 / 8.0) * grav * rho - 3.0 * usq)
+        return jnp.asarray(w[i], dtype) * rho * (
+            1.5 * grav * rho + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
     poly = 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
     if builder.incompressible:
         return jnp.asarray(w[i], dtype) * (rho + poly)
@@ -231,6 +248,34 @@ def _force_term(builder, mom, cu, i):
     pref = (1.0 - 0.5 * builder.tau_inv) * g.weights[i]
     return jnp.asarray(pref, dtype) * rho * (
         3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+
+
+def _edm_prep(builder, mom):
+    """Shifted-velocity planes (u + a, |u + a|^2) for the exact-difference
+    forcing term (reference sym_force.edm_shift_velocity,
+    sym_force.py:184: the shift is the acceleration). mom's u is the BARE
+    velocity for edm (_moments applies no equilibrium shift)."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    dtype = rho.dtype
+    fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
+    u2 = [ua + jnp.asarray(fvec[a], dtype) for a, ua in enumerate(u)]
+    usq2 = u2[0] * u2[0]
+    for a in range(1, g.dim):
+        usq2 = usq2 + u2[a] * u2[a]
+    return u2, usq2
+
+
+def _edm_term(builder, mom, edm, i):
+    """Exact-difference-method increment for direction i:
+    feq_i(rho, u + a) - feq_i(rho, u) (matches ops/collide.edm_shift)."""
+    g = builder.grid
+    rho, u, usq, uF = mom
+    u2, usq2 = edm
+    cu2 = eq.signed_sum(g.basis[i], u2)
+    cu = eq.signed_sum(g.basis[i], u)
+    return (_feq_i(builder, rho, usq2, cu2, i)
+            - _feq_i(builder, rho, usq, cu, i))
 
 
 def mrt_pair_rates(builder):
@@ -272,17 +317,22 @@ def _collide_prepass(builder, fs, mom):
     extra = {}
     is_mrt = builder.model in ('mrt', 'trt')
     les = builder.smagorinsky > 0.0
+    if builder.force_dev is not None and builder.force_model == 'edm':
+        extra['edm'] = _edm_prep(builder, mom)
     if not (is_mrt or les):
         return extra
 
     if les:
         # XLA reference computes the strain from feq at the UNSHIFTED
         # velocity (ops/step.py smagorinsky block runs before the force
-        # shift)
-        if uF is not None:
+        # shift); undo the equilibrium shift _moments applied (none for
+        # edm, whose mom carries the bare velocity)
+        if builder.force_dev is not None and \
+                builder.force_model in ('guo', 'velocity_shift'):
             fvec = np.asarray(builder.body_force,
                               dtype=np.float64).reshape(-1)
-            u0 = [ua - jnp.asarray(0.5 * fvec[a], dtype)
+            s = 0.5 if builder.force_model == 'guo' else builder.tau
+            u0 = [ua - jnp.asarray(s * fvec[a], dtype)
                   for a, ua in enumerate(u)]
         else:
             u0 = u
@@ -407,6 +457,10 @@ def _collide_pair(builder, fi, fo, mom, i, o, extra):
         if vo is not None:
             cu_o = eq.signed_sum(g.basis[o], u)
             vo = vo + _force_term(builder, mom, cu_o, o)
+    elif 'edm' in extra:
+        vi = vi + _edm_term(builder, mom, extra['edm'], i)
+        if vo is not None:
+            vo = vo + _edm_term(builder, mom, extra['edm'], o)
     return vi, vo
 
 
@@ -432,6 +486,10 @@ def _collide_elbm(builder, fs, mom, skip=None):
             cu = eq.signed_sum(g.basis[i], u)
             terms.append(_force_term(builder, mom, cu, i))
         fpost = fpost + jnp.stack(terms)
+    elif builder.force_dev is not None and builder.force_model == 'edm':
+        edm = _edm_prep(builder, mom)
+        fpost = fpost + jnp.stack(
+            [_edm_term(builder, mom, edm, i) for i in range(g.Q)])
     return fpost
 
 
@@ -551,13 +609,19 @@ def _bc_row_values(builder, instances, fsl, mask_row, bcp):
     # equivalence-tested against ops/step._collide) --
     uF = None
     u_c = list(u)
-    if builder.force_dev is not None and builder.force_model == 'guo':
+    if builder.force_dev is not None:
         fvec = np.asarray(builder.body_force, np.float64).reshape(-1)
-        u_c = [ua + jnp.asarray(0.5 * fvec[a], dtype)
-               for a, ua in enumerate(u_c)]
-        uF = u_c[0] * jnp.asarray(fvec[0], dtype)
-        for a in range(1, g.dim):
-            uF = uF + u_c[a] * jnp.asarray(fvec[a], dtype)
+        if builder.force_model == 'guo':
+            u_c = [ua + jnp.asarray(0.5 * fvec[a], dtype)
+                   for a, ua in enumerate(u_c)]
+            uF = u_c[0] * jnp.asarray(fvec[0], dtype)
+            for a in range(1, g.dim):
+                uF = uF + u_c[a] * jnp.asarray(fvec[a], dtype)
+        elif builder.force_model == 'velocity_shift':
+            u_c = [ua + jnp.asarray(builder.tau * fvec[a], dtype)
+                   for a, ua in enumerate(u_c)]
+        # edm: bare velocity; _collide_prepass/_collide_pair add the
+        # feq-difference term
     usq = u_c[0] * u_c[0]
     for a in range(1, g.dim):
         usq = usq + u_c[a] * u_c[a]
@@ -576,20 +640,6 @@ def _bc_row_values(builder, instances, fsl, mask_row, bcp):
             out[o] = vo
     return out
 
-
-
-def _collide_one(builder, fi, mom, i):
-    """BGK relaxation (+ Guo forcing) of a single direction given the
-    precomputed moments (kept for the plain-BGK fast path)."""
-    g = builder.grid
-    rho, u, usq, uF = mom
-    dtype = fi.dtype
-    cu = eq.signed_sum(g.basis[i], u)
-    feq = _feq_i(builder, rho, usq, cu, i)
-    fpost = fi + jnp.asarray(builder.tau_inv, dtype) * (feq - fi)
-    if uF is not None:
-        fpost = fpost + _force_term(builder, mom, cu, i)
-    return fpost
 
 
 def _sc_psi(builder, rho):

@@ -265,9 +265,10 @@ class SubdomainRunner:
     def _select_engine(self, dtype):
         """'pallas' = fused TPU kernel + XLA boundary patches; 'xla' =
         fully traced step. The pallas bulk path covers 2D/3D
-        BGK/MRT/TRT (+ LES-Smagorinsky) with uniform Guo forcing (3D
-        also z-sharded meshes) in fp32; everything else uses the XLA
-        engine (which is always the reference implementation for
+        BGK/MRT/TRT/ELBM (+ LES-Smagorinsky) with uniform static body
+        forces under any --force_implementation (3D also z / ('z','y')
+        meshes, 2D y / x / ('y','x')) in fp32; everything else uses the
+        XLA engine (which is always the reference implementation for
         equivalence tests)."""
         cfg = self.config
         choice = getattr(cfg, 'engine', 'auto')
@@ -355,6 +356,10 @@ class SubdomainRunner:
             if b.sc_coupling != 0.0:
                 if b.model != 'bgk':
                     reasons.append('Shan-Chen is fused for BGK only')
+                if b.body_force is not None and b.force_model != 'guo':
+                    reasons.append(
+                        'Shan-Chen + body force is fused for the Guo '
+                        'force implementation only')
                 if not (self.mesh is None or
                         (self.sim.dim == 3
                          and list(self.mesh.axis_names)
@@ -365,14 +370,21 @@ class SubdomainRunner:
                     reasons.append(
                         "Shan-Chen shards fused on 3D z / ('z','y') "
                         "meshes or 2D y / x / ('y','x') meshes only")
-            if b.equilibrium != 'bgk':
+            if b.equilibrium not in ('bgk', 'shallow_water'):
                 reasons.append(f'equilibrium={b.equilibrium}')
+            elif b.equilibrium == 'shallow_water':
+                if b.model != 'bgk':
+                    reasons.append('shallow-water equilibrium is '
+                                   'fused for BGK collision only')
+                if b.body_force is not None and b.force_model == 'edm':
+                    # ops/collide.edm_shift evaluates the BGK feq
+                    # regardless of the model equilibrium; keep the
+                    # combination on the reference engine
+                    reasons.append('shallow water + EDM forcing')
             if not (b.body_force is None
                     or (b.force_expr is None
-                        and np.asarray(b.body_force).ndim == 1
-                        and b.force_model == 'guo')):
-                reasons.append(
-                    'non-uniform, dynamic or non-Guo body force')
+                        and np.asarray(b.body_force).ndim == 1)):
+                reasons.append('non-uniform or dynamic body force')
         eligible = not reasons
         if choice == 'xla':
             return 'xla'

@@ -166,6 +166,99 @@ def test_pallas3d_les_forced_matches_xla():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize('fimpl,model,les', [
+    ('edm', 'bgk', False),
+    ('velocity_shift', 'bgk', False),
+    ('edm', 'mrt', False),
+    ('edm', 'elbm', False),
+    ('velocity_shift', 'bgk', True),
+    ('edm', 'bgk', True),
+])
+def test_pallas3d_force_implementations_match_xla(fimpl, model, les):
+    """--force_implementation {edm, velocity_shift} with a uniform
+    static body force runs on the fused kernel (reference
+    relaxation_common.mako:56-133; guo is exercised by every other
+    forced test here) and matches the XLA engine across collision
+    models and under the LES local-tau field (whose strain must use
+    the UNSHIFTED velocity for every force implementation)."""
+    from sphere_3d import SphereSimulation
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(engine):
+        cfg = dict(lat_nx=32, lat_ny=16, lat_nz=16, max_iters=15,
+                   every=15, quiet=True, model=model,
+                   force_implementation=fimpl, engine=engine)
+        if les:
+            cfg.update(subgrid='les-smagorinsky', visc=0.01)
+        ctrl = LBSimulationController(SphereSimulation,
+                                      default_config=cfg)
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    _, vx_ref, rho_ref = run('xla')
+    engine, vx, rho = run('pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    assert np.max(np.abs(rho - rho_ref)) < 1e-6
+
+
+@pytest.mark.slow
+def test_pallas2d_shallow_water_matches_xla():
+    """The D2Q9 shallow-water equilibrium (LBFreeSurface; reference
+    sym_equilibrium.py:73-89) runs on the fused kernel, single-device
+    and y-sharded, and matches the XLA engine."""
+    from fs_gaussian import FSSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(mesh, engine):
+        ctrl = LBSimulationController(FSSim, default_config=dict(
+            lat_nx=128, lat_ny=128, max_iters=20, every=20, quiet=True,
+            mesh=mesh, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.rho), np.array(r.sim.vx)
+
+    _, rho_ref, vx_ref = run('', 'xla')
+    engine, rho, vx = run('', 'pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(rho - rho_ref)) < 1e-6
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    for mesh in ('2', '2x2'):
+        engine, rho2, vx2 = run(mesh, 'pallas')
+        assert engine == 'pallas', mesh
+        assert np.max(np.abs(rho2 - rho_ref)) < 1e-6, mesh
+        assert np.max(np.abs(vx2 - vx_ref)) < 1e-6, mesh
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('fimpl', ['edm', 'velocity_shift'])
+def test_pallas2d_force_implementations_match_xla(fimpl):
+    """The 2D fused kernel under edm / velocity_shift forcing (shared
+    collide helpers; this pins the 2D factory) vs the XLA engine."""
+    from poiseuille import PoiseuilleSim
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(engine):
+        ctrl = LBSimulationController(PoiseuilleSim, default_config=dict(
+            lat_nx=256, lat_ny=128, max_iters=20, every=20, quiet=True,
+            visc=0.05, horizontal=True, force_implementation=fimpl,
+            engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    _, vx_ref, rho_ref = run('xla')
+    engine, vx, rho = run('pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    assert np.max(np.abs(rho - rho_ref)) < 1e-6
+
+
+@pytest.mark.slow
 def test_sharded_pallas2d_periodic_and_ldc():
     """y-sharded 2D fused kernel: periodic scene (ghost blocks) and the
     lid cavity (dynamic patch blocks) vs the XLA engine."""
