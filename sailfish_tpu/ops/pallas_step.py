@@ -181,6 +181,68 @@ def gy_pad_channels(Q, mixed=None):
 
 # -- the kernel --------------------------------------------------------------
 
+class _ForceProxy:
+    """Builder wrapper handing the collide helpers a RUNTIME body-force
+    vector (traced SMEM scalars) in place of the baked constants.
+    Created inside a kernel body for time-dependent uniform forces
+    (--force_implementation x DynamicValue(t)); every other attribute
+    forwards to the real builder."""
+
+    def __init__(self, builder, fvec):
+        self._builder = builder
+        self._rt_force = tuple(fvec)
+
+    def __getattr__(self, name):
+        return getattr(self._builder, name)
+
+
+def _has_force(builder):
+    """True when the collide applies a body force: a baked static vector
+    (force_dev) or a runtime one (_ForceProxy)."""
+    return (getattr(builder, '_rt_force', None) is not None
+            or builder.force_dev is not None)
+
+
+def rt_force_eligible(builder):
+    """True when the builder's body force is a TIME-ONLY uniform
+    DynamicValue: the fused kernels then take force(t) as a per-step
+    SMEM operand (evaluated in XLA by force_now) instead of baking
+    constants (reference lb_base.py:346-352 accepts such forces)."""
+    if builder.force_expr is None:
+        return False
+    for e in builder.force_expr:
+        if nt.DynamicValue.arity(e) > 1:
+            return False
+        try:
+            v = nt.DynamicValue.evaluate(e, 0.0, ())
+        except Exception:
+            return False
+        if np.ndim(v) != 0:
+            return False
+    return True
+
+
+def force_now(builder, it):
+    """force(t) as a (dim,) dtype vector for the kernels' SMEM operand
+    (mirrors StepBuilder.force_at for the time-only uniform case)."""
+    t = jnp.asarray(it, dtype=builder.dtype) * builder.time_unit
+    vals = [jnp.reshape(jnp.asarray(nt.DynamicValue.evaluate(e, t, ()),
+                                    dtype=builder.dtype), ())
+            for e in builder.force_expr]
+    return jnp.stack(vals)
+
+
+def _force_vec(builder):
+    """Per-component body-force accelerations: trace-time floats for
+    static forces, traced scalars through a _ForceProxy."""
+    rt = getattr(builder, '_rt_force', None)
+    if rt is not None:
+        return rt
+    return tuple(float(v) for v in
+                 np.asarray(builder.body_force,
+                            dtype=np.float64).reshape(-1))
+
+
 def _moments(builder, fs):
     """Macroscopic moments from Q (Y, X) VMEM planes: returns
     (rho, u list, usq, uF) with the equilibrium-velocity shift of the
@@ -198,8 +260,8 @@ def _moments(builder, fs):
     inv_rho = 1.0 / rho
     u = [m * inv_rho for m in mom]
     uF = None
-    if builder.force_dev is not None:
-        fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
+    if _has_force(builder):
+        fvec = _force_vec(builder)
         if builder.force_model == 'guo':
             # body-force values are accelerations: u* = u + a/2
             u = [ua + jnp.asarray(0.5 * fvec[a], dtype)
@@ -243,11 +305,12 @@ def _force_term(builder, mom, cu, i):
     g = builder.grid
     rho, u, usq, uF = mom
     dtype = rho.dtype
-    fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
-    cF = float(np.dot(g.basis[i], fvec))
+    fvec = _force_vec(builder)
+    cF = sum(float(g.basis[i][a]) * fvec[a] for a in range(g.dim))
     pref = (1.0 - 0.5 * builder.tau_inv) * g.weights[i]
+    cF = jnp.asarray(cF, dtype)
     return jnp.asarray(pref, dtype) * rho * (
-        3.0 * (jnp.asarray(cF, dtype) - uF) + 9.0 * cu * cF)
+        3.0 * (cF - uF) + 9.0 * cu * cF)
 
 
 def _edm_prep(builder, mom):
@@ -258,7 +321,7 @@ def _edm_prep(builder, mom):
     g = builder.grid
     rho, u, usq, uF = mom
     dtype = rho.dtype
-    fvec = np.asarray(builder.body_force, dtype=np.float64).reshape(-1)
+    fvec = _force_vec(builder)
     u2 = [ua + jnp.asarray(fvec[a], dtype) for a, ua in enumerate(u)]
     usq2 = u2[0] * u2[0]
     for a in range(1, g.dim):
@@ -317,7 +380,7 @@ def _collide_prepass(builder, fs, mom):
     extra = {}
     is_mrt = builder.model in ('mrt', 'trt')
     les = builder.smagorinsky > 0.0
-    if builder.force_dev is not None and builder.force_model == 'edm':
+    if _has_force(builder) and builder.force_model == 'edm':
         extra['edm'] = _edm_prep(builder, mom)
     if not (is_mrt or les):
         return extra
@@ -327,10 +390,9 @@ def _collide_prepass(builder, fs, mom):
         # velocity (ops/step.py smagorinsky block runs before the force
         # shift); undo the equilibrium shift _moments applied (none for
         # edm, whose mom carries the bare velocity)
-        if builder.force_dev is not None and \
+        if _has_force(builder) and \
                 builder.force_model in ('guo', 'velocity_shift'):
-            fvec = np.asarray(builder.body_force,
-                              dtype=np.float64).reshape(-1)
+            fvec = _force_vec(builder)
             s = 0.5 if builder.force_model == 'guo' else builder.tau
             u0 = [ua - jnp.asarray(s * fvec[a], dtype)
                   for a, ua in enumerate(u)]
@@ -486,7 +548,7 @@ def _collide_elbm(builder, fs, mom, skip=None):
             cu = eq.signed_sum(g.basis[i], u)
             terms.append(_force_term(builder, mom, cu, i))
         fpost = fpost + jnp.stack(terms)
-    elif builder.force_dev is not None and builder.force_model == 'edm':
+    elif _has_force(builder) and builder.force_model == 'edm':
         edm = _edm_prep(builder, mom)
         fpost = fpost + jnp.stack(
             [_edm_term(builder, mom, edm, i) for i in range(g.Q)])
@@ -609,8 +671,8 @@ def _bc_row_values(builder, instances, fsl, mask_row, bcp):
     # equivalence-tested against ops/step._collide) --
     uF = None
     u_c = list(u)
-    if builder.force_dev is not None:
-        fvec = np.asarray(builder.body_force, np.float64).reshape(-1)
+    if _has_force(builder):
+        fvec = _force_vec(builder)
         if builder.force_model == 'guo':
             u_c = [ua + jnp.asarray(0.5 * fvec[a], dtype)
                    for a, ua in enumerate(u_c)]
@@ -716,8 +778,7 @@ def _sc_shift_moments(builder, mom, psi_of, shape_yx, y_fix=None,
     for a in range(1, g.dim):
         usq = usq + u[a] * u[a]
     if uF is not None:
-        fvec = np.asarray(builder.body_force,
-                          dtype=np.float64).reshape(-1)
+        fvec = _force_vec(builder)
         uF = u[0] * jnp.asarray(fvec[0], dtype)
         for a in range(1, g.dim):
             uF = uF + u[a] * jnp.asarray(fvec[a], dtype)
@@ -752,7 +813,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
                    sc=False, emit_rho=False, edge_io=False,
                    y_ghosts=False, k=1, mixed=None, patch_yrows=(),
-                   face_io=False):
+                   face_io=False, rt_force=False):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -982,6 +1043,11 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         ypatch_hbm = None
         if patch_yrows:
             ypatch_hbm = refs[idx]; idx += 1   # (Z, Q, R_y, X)
+        cb = builder
+        if rt_force:
+            force_ref = refs[idx]; idx += 1    # SMEM (dim,) force(t)
+            cb = _ForceProxy(builder, tuple(
+                force_ref[a] for a in range(builder.grid.dim)))
         out_hbm = refs[idx]; idx += 1
         rho_out_hbm = None
         if emit_rho:
@@ -1512,7 +1578,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
             fsl = [fwork[ipos[i]] for i in range(Q)]
         else:
             fsl = [fs_buf[slot, ipos[i]] for i in range(Q)]
-        mom_u = _moments(builder, fsl)
+        mom_u = _moments(cb, fsl)
         if sc:
             psi_cache = {}
             yiota = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
@@ -1551,7 +1617,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     edge = Y - 1 if cy == 1 else 0
                     return jnp.where(yiota == edge, psi_row(cy, dz), p)
 
-            mom_u = _sc_shift_moments(builder, mom_u, psi_of, (Y, X),
+            mom_u = _sc_shift_moments(cb, mom_u, psi_of, (Y, X),
                                       y_fix=y_fix)
         if has_mask:
             m = mask_buf[slot]
@@ -1593,7 +1659,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 pvec = jnp.stack([jnp.asarray(False) if p is None
                                   else p for p in prow])[:, None, None]
                 skip = pvec if skip is None else (skip | pvec)
-            fpost = _collide_elbm(builder, fsl, mom_u, skip=skip)
+            fpost = _collide_elbm(cb, fsl, mom_u, skip=skip)
             for i in range(Q):
                 vi = fpost[i]
                 if has_mask:
@@ -1605,7 +1671,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                     emit_faces(i, vi)
                 fs_buf[slot, ipos[i]] = vi
         else:
-            extra = _collide_prepass(builder, fsl, mom_u)
+            extra = _collide_prepass(cb, fsl, mom_u)
             # pairwise collide+store in place: out_i depends only on
             # fs_i/fs_opp (+ whole-slab moments), both read before
             # either is overwritten within a pair
@@ -1616,7 +1682,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 else:
                     fi = fs_buf[slot, ipos[i]]
                     fo = fs_buf[slot, ipos[o]] if o != i else None
-                vi, vo = _collide_pair(builder, fi, fo, mom_u, i, o,
+                vi, vo = _collide_pair(cb, fi, fo, mom_u, i, o,
                                        extra)
                 if o == i:
                     if has_mask:
@@ -1941,6 +2007,8 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if patch_yrows:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if rt_force:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     scratch.append(pltpu.SemaphoreType.DMA((2, Q + 10)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
@@ -2408,11 +2476,19 @@ class PallasStep3D:
         # (elbm excluded: the alpha-gate amplifies the prologue's
         # summation-tree ulps into ~1e-4 field drift vs the XLA engine;
         # those scenes keep the exact XLA patch prologue)
+        # (dynamic BC params AND dynamic forces need per-step values --
+        # such rows keep the exact XLA patch-plane path)
         native_ok = (NATIVE_BC_ENABLED
                      and builder.sc_coupling == 0.0
                      and builder.model != 'elbm'
                      and not builder.maps.dynamic
+                     and builder.force_expr is None
                      and not require_no_patches)
+        self.rt_force = builder.force_expr is not None
+        if self.rt_force and not rt_force_eligible(builder):
+            raise NotImplementedError(
+                'space-dependent DynamicValue body forces need the '
+                'whole-domain coordinate machinery; use the XLA engine')
         self.bc_instances = ()
         if native_ok:
             mask_np, patch_rows, bc_inst, pmask_np = classify_nodes(
@@ -2559,7 +2635,8 @@ class PallasStep3D:
                                      interpret=interpret, sc=self.sc,
                                      emit_rho=self.emit_rho,
                                      k=slab_k, mixed=self.mixed,
-                                     patch_yrows=self.patch_yrows)
+                                     patch_yrows=self.patch_yrows,
+                                     rt_force=self.rt_force)
         # Pallas patch prologue for the native-BC rows: parameter
         # planes ([rho_bc, vel_*], padded with safe values -- pad nodes
         # are masked out), the rows' mask planes, the tiny per-row
@@ -2688,6 +2765,8 @@ class PallasStep3D:
             args.append(self._compute_patches(f, it))
         if self.patch_yrows:
             args.append(self._compute_ypatches(f, it))
+        if self.rt_force:
+            args.append(force_now(self.builder, it))
         out = self.kernel(*args)
         if self.emit_rho:
             return tuple(out)

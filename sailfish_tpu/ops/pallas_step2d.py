@@ -28,14 +28,15 @@ from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
     classify_nodes, window_shifted, \
     _bc_patch_compute, _collide_elbm, _collide_pair, _collide_prepass, \
-    _moments, _sc_psi, _sc_shift_moments
+    _ForceProxy, _moments, _sc_psi, _sc_shift_moments, force_now, \
+    rt_force_eligible
 
 
 def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
                    max_patches=0, sc=False, emit_rho=False,
                    edge_io=False, mixed=None, x_ghosts=False,
-                   col_io=False):
+                   col_io=False, rt_force=False):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -181,6 +182,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         if dyn_patches:
             pmap_ref = refs[idx]; idx += 1
             patch_hbm = refs[idx]; idx += 1
+        cb = builder
+        if rt_force:
+            force_ref = refs[idx]; idx += 1   # SMEM (2,) force(t)
+            cb = _ForceProxy(builder, (force_ref[0], force_ref[1]))
         out_hbm = refs[idx]; idx += 1
         rho_out_hbm = None
         if emit_rho:
@@ -460,7 +465,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     else:
                         plane = pltpu.roll(plane, cx % X, axis=1)
                 fs.append(plane)
-            mom_u = _moments(builder, fs)
+            mom_u = _moments(cb, fs)
             if sc:
                 def rho_cur():
                     cur = rho_buf[s_cur, 0]
@@ -506,7 +511,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                         return jnp.concatenate(
                             [col, p[:, :X - 1]], axis=1)
 
-                mom_u = _sc_shift_moments(builder, mom_u, psi_of,
+                mom_u = _sc_shift_moments(cb, mom_u, psi_of,
                                           (by, X), x_fix=x_fix)
             if has_mask:
                 m = mask_buf[s_cur, 0]
@@ -526,7 +531,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                 skip = (m != 0) if has_mask else None
                 if patched is not None:
                     skip = patched if skip is None else (skip | patched)
-                fpost = _collide_elbm(builder, fs, mom_u, skip=skip)
+                fpost = _collide_elbm(cb, fs, mom_u, skip=skip)
                 for i in range(Q):
                     vi = fpost[i]
                     if has_mask:
@@ -542,10 +547,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                                       out_sems.at[oslot]).start()
                 return
 
-            extra = _collide_prepass(builder, fs, mom_u)
+            extra = _collide_prepass(cb, fs, mom_u)
             for i, o in pairs:
                 fo = fs[o] if o != i else None
-                vi, vo = _collide_pair(builder, fs[i], fo, mom_u, i, o,
+                vi, vo = _collide_pair(cb, fs[i], fo, mom_u, i, o,
                                        extra)
                 if o == i:
                     if has_mask:
@@ -759,6 +764,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if dyn_patches:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if rt_force:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     scratch.append(pltpu.SemaphoreType.DMA((4, 3)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if emit_rho:
@@ -1096,7 +1103,13 @@ class PallasStep2D:
         native_ok = (_ps.NATIVE_BC_ENABLED
                      and builder.sc_coupling == 0.0
                      and builder.model != 'elbm'
-                     and not builder.maps.dynamic)
+                     and not builder.maps.dynamic
+                     and builder.force_expr is None)
+        self.rt_force = builder.force_expr is not None
+        if self.rt_force and not rt_force_eligible(builder):
+            raise NotImplementedError(
+                'space-dependent DynamicValue body forces need the '
+                'whole-domain coordinate machinery; use the XLA engine')
         self.bc_instances = ()
         if native_ok:
             mask_np, patch_rows, bc_inst = classify_nodes(
@@ -1152,7 +1165,8 @@ class PallasStep2D:
                                      has_mask=self.has_mask,
                                      interpret=interpret, sc=self.sc,
                                      emit_rho=self.emit_rho,
-                                     mixed=self.mixed)
+                                     mixed=self.mixed,
+                                     rt_force=self.rt_force)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_2d(builder, Ys, Xs, by=by,
@@ -1212,6 +1226,8 @@ class PallasStep2D:
             args.append(self.mask)
         if self.patch_blocks:
             args.append(self._compute_patches(f, it))
+        if self.rt_force:
+            args.append(force_now(self.builder, it))
         out = self.kernel(*args)
         if self.emit_rho:
             return tuple(out)

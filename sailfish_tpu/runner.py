@@ -360,6 +360,8 @@ class SubdomainRunner:
                     reasons.append(
                         'Shan-Chen + body force is fused for the Guo '
                         'force implementation only')
+                if b.force_expr is not None:
+                    reasons.append('Shan-Chen + dynamic body force')
                 if not (self.mesh is None or
                         (self.sim.dim == 3
                          and list(self.mesh.axis_names)
@@ -381,10 +383,19 @@ class SubdomainRunner:
                     # regardless of the model equilibrium; keep the
                     # combination on the reference engine
                     reasons.append('shallow water + EDM forcing')
-            if not (b.body_force is None
-                    or (b.force_expr is None
-                        and np.asarray(b.body_force).ndim == 1)):
-                reasons.append('non-uniform or dynamic body force')
+            if b.body_force is not None and not (
+                    b.force_expr is None
+                    and np.asarray(b.body_force).ndim == 1):
+                # dynamic forces: time-only uniform DynamicValues ride
+                # a per-step SMEM operand into the fused kernel (single
+                # device); space-varying ones stay on the XLA engine
+                from sailfish_tpu.ops.pallas_step import \
+                    rt_force_eligible
+                if b.force_expr is None or not rt_force_eligible(b):
+                    reasons.append('space-varying body force')
+                elif self.mesh is not None:
+                    reasons.append('time-dependent body forces are '
+                                   'fused on single devices only')
         eligible = not reasons
         if choice == 'xla':
             return 'xla'

@@ -205,6 +205,119 @@ def test_pallas3d_force_implementations_match_xla(fimpl, model, les):
 
 
 @pytest.mark.slow
+def test_pallas2d_dynamic_force_matches_xla():
+    """Time-dependent UNIFORM DynamicValue body forces ride a per-step
+    SMEM operand into the fused kernel (force_now; reference
+    lb_base.py:346-352): a strongly-driven pulsatile channel matches
+    the XLA engine, including under --precision=mixed. The shipped
+    poiseuille_pulsatile --drive=force scene is fused-eligible (its
+    own forcing is too weak to gate numerics at test length)."""
+    import jax.numpy as jnp
+
+    from poiseuille_pulsatile import PulsatileSim
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.base import LBForcedSim
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import DynamicValue, NTFullBBWall
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    class Dom(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            self.set_node((hy == 0) | (hy == self.gy - 1), NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+
+    class Sim(LBFluidSim, LBForcedSim):
+        subdomain = Dom
+
+        def __init__(self, config):
+            super().__init__(config)
+            self.add_body_force(DynamicValue(
+                lambda t: 1e-4 * jnp.sin(0.05 * t), 0.0))
+
+    def run(engine, **extra):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=256, lat_ny=128, visc=0.05, periodic_x=True,
+            max_iters=40, every=40, quiet=True, engine=engine, **extra))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx), np.array(r.sim.rho)
+
+    _, vx_ref, rho_ref = run('xla')
+    engine, vx, rho = run('pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx_ref)) > 1e-4   # the drive actually acted
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+    assert np.max(np.abs(rho - rho_ref)) < 1e-6
+
+    _, vx_mref, _ = run('xla', precision='mixed')
+    engine, vx_m, _ = run('pallas', precision='mixed')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx_m - vx_mref)) < 1e-6
+
+    # the shipped scene selects the fused engine off-CPU
+    import jax
+    ctrl = LBSimulationController(PulsatileSim, default_config=dict(
+        lat_nx=256, lat_ny=128, visc=0.05, max_iters=0, every=0,
+        quiet=True, drive='force'))
+    ctrl.run(ignore_cmdline=True)
+    real_backend = jax.default_backend
+    jax.default_backend = lambda: 'tpu'
+    try:
+        assert ctrl._runner._select_engine(jnp.float32) == 'pallas'
+    finally:
+        jax.default_backend = real_backend
+
+
+@pytest.mark.slow
+def test_pallas3d_dynamic_force_matches_xla():
+    """The 3D fused kernel under a time-dependent uniform body force
+    (per-step SMEM force operand) vs the XLA engine."""
+    import jax.numpy as jnp
+
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.geo import LBGeometry3D
+    from sailfish_tpu.models.base import LBForcedSim
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import DynamicValue, NTFullBBWall
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Dom(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            self.set_node((hy == 0) | (hy == self.gy - 1), NTFullBBWall)
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+
+    class Sim(LBFluidSim, LBForcedSim):
+        subdomain = Dom
+
+        def __init__(self, config):
+            super().__init__(config)
+            self.add_body_force(DynamicValue(
+                lambda t: 1e-4 * jnp.sin(0.05 * t), 0.0, 0.0))
+
+    def run(engine):
+        ctrl = LBSimulationController(
+            Sim, LBGeometry3D, default_config=dict(
+                lat_nx=32, lat_ny=16, lat_nz=16, visc=0.05,
+                periodic_x=True, periodic_z=True, max_iters=20,
+                every=20, quiet=True, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r.engine, np.array(r.sim.vx)
+
+    _, vx_ref = run('xla')
+    engine, vx = run('pallas')
+    assert engine == 'pallas'
+    assert np.max(np.abs(vx_ref)) > 1e-6
+    assert np.max(np.abs(vx - vx_ref)) < 1e-6
+
+
+@pytest.mark.slow
 def test_pallas2d_shallow_water_matches_xla():
     """The D2Q9 shallow-water equilibrium (LBFreeSurface; reference
     sym_equilibrium.py:73-89) runs on the fused kernel, single-device
