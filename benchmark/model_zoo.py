@@ -200,9 +200,19 @@ CASES = {
     'bin_d2q9_fe_1024_yxmesh1': ('binary_fluid.fe_separation_2d', 2,
                                  dict(lat_nx=1024, lat_ny=1024,
                                       mesh='1x1')),
+    # round-5 fused additions: shallow-water equilibrium (LBFreeSurface)
+    # and a time-dependent uniform DynamicValue force (per-step SMEM
+    # operand; poiseuille_pulsatile --drive=force)
+    'd2q9_sw_fs_2048': ('fs_gaussian', 2,
+                        dict(lat_nx=2048, lat_ny=2048)),
+    'd2q9_bgk_pulsatile_2048': ('poiseuille_pulsatile', 2,
+                                dict(lat_nx=2048, lat_ny=2048,
+                                     drive='force')),
 }
 
 SIM_CLASSES = {
+    'fs_gaussian': 'FSSim',
+    'poiseuille_pulsatile': 'PulsatileSim',
     'ldc_2d': 'LDCSim',
     'ldc_3d': 'LDCSim',
     'turbulence.kida_vortex': 'KidaSim',

@@ -802,6 +802,24 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         else:
             out_shape = [out_shape, col_out]
             out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
+    # scoped-VMEM request (the 3D kernel's pattern): the limit is only
+    # a gate, so size it from the buffers plus a generous compute
+    # margin. This keeps explicit by > 16 compilable at wide X; the
+    # DEFAULT pick_block_size choices measure fastest as-is (by sweep
+    # at 4096^2: by=8 8564, by=16 8511, by=32 8361, by=64 8384 MLUPS),
+    # so the deeper pipeline beats bigger blocks and defaults stand.
+    sbytes = 2 if mixed is not None else 4
+    vmem_need = 6 * Q * by * X * sbytes          # blk_buf(4) + out(2)
+    if has_mask:
+        vmem_need += 4 * by * X * 4
+    if sc:
+        vmem_need += 4 * by * X * 4
+    if emit_rho:
+        vmem_need += (2 * Q + 2) * X * 4 + Q * by * X * 4 \
+            + 2 * by * X * 4
+    margin = 8 * 2 ** 20 + 2 * Q * by * X * 4
+    vmem_limit = min(max(16 * 2 ** 20, vmem_need + margin),
+                     100 * 2 ** 20)
     fused = pl.pallas_call(
         kernel,
         grid=(NB,),
@@ -809,7 +827,8 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit),
         input_output_aliases=io_aliases,
         interpret=interpret,
     )
