@@ -139,8 +139,15 @@ def main():
                 else:
                     ref = np.load(golden)
                     for k in ref.keys():
+                        # atol covers cross-session CPU FMA-contraction
+                        # drift (XLA re-associates differently across
+                        # jax builds/machines; fe_poiseuille_2d once
+                        # accumulated 1.7e-7 on ~5e-6 near-zero vy over
+                        # 20 iters with NO code change). Physics values
+                        # are 1e-3..1, so 5e-7 still catches real
+                        # regressions.
                         np.testing.assert_allclose(
-                            data[k], ref[k], rtol=1e-5, atol=1e-7,
+                            data[k], ref[k], rtol=1e-5, atol=5e-7,
                             err_msg=f'{name}:{k}')
                     status = 'matches golden'
             print(f'{name:<40s} {status}')
