@@ -813,7 +813,7 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                    interpret=False, dyn_patches=False, max_patches=0,
                    sc=False, emit_rho=False, edge_io=False,
                    y_ghosts=False, k=1, mixed=None, patch_yrows=(),
-                   face_io=False, rt_force=False):
+                   face_io=False, rt_force=False, kbc=()):
     """Fused step kernel, software-pipelined across the z grid: gathers
     for the next slab of k z-planes are prefetched into the other buffer
     slot while the current slab computes (double buffering;
@@ -941,6 +941,23 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     computed (parallel.halo). Signature appends
     ``(zlo, zhi, ylo, yhi)`` to the output tuple.
 
+    With ``kbc`` (in-kernel native BCs) each entry is a static spec
+    ``(code, tid, orient, rho, (vx, vy, vz), slabs, (y0, y1),
+    (x0, x1))`` describing one native-BC instance (see
+    NATIVE_BC_TYPES) whose prescribed parameters are spatially
+    UNIFORM: the full local phase chain (_bc_row_values -- the same
+    math the Pallas patch prologue runs) is evaluated directly inside
+    the kernel on the instance's tile-rounded static window and merged
+    into the stored slab wherever ``mask == code``. No prologue
+    kernel, no overlay DMA, no extra inputs (the scalars are baked
+    into the trace) -- and, unlike the z-plane patch path, NO
+    orientation restriction: BC faces normal to x or y run fused at
+    the same cost as z-faces (the window bounds the extra compute).
+    ``slabs`` is the static set of slab indices containing instance
+    nodes; other slabs skip the evaluation entirely. Requires
+    ``has_mask``; excluded for sc/ELBM (same reasons as patch_yrows)
+    and dynamic parameters (scalars are trace-time constants).
+
     With ``mixed`` set (a MixedScales; --precision=mixed) the state,
     ghosts and patch planes are int16 fixed-point codes (ops/mixed.py):
     the DMA pipeline, rolls and ghost-row overwrites move raw codes
@@ -967,6 +984,14 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
         assert not (patch_rows or dyn_patches or sc or y_ghosts)
         assert builder.model != 'elbm'
     R_y = len(patch_yrows)
+    kbc = tuple(kbc)
+    if kbc:
+        assert has_mask, 'in-kernel BCs are addressed via mask codes'
+        assert not sc and builder.model != 'elbm'
+        assert not rt_force
+        # face_io emits rows at store time, before the BC merge would
+        # correct them; combine only after wiring emit-after-merge
+        assert not face_io
     assert Z % k == 0, (Z, k)
     B = Z // k
     if emit_rho:
@@ -1713,6 +1738,44 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
                 fs_buf[slot, ipos[i]] = vi
                 fs_buf[slot, ipos[o]] = vo
 
+        if kbc:
+            # in-kernel native BCs: run the full local phase chain on
+            # each instance's static window (pre-collision post-stream
+            # values were captured in fsl above) and merge the results
+            # into the stored slab by mask code. Slabs outside the
+            # instance's static slab set skip the evaluation.
+            for code, tid, ko, rho_s, vel_s, slabs, (wy0, wy1), \
+                    (wx0, wx1) in kbc:
+                pred = None
+                if len(slabs) < B:
+                    for bb in slabs:
+                        c = b0 == bb
+                        pred = c if pred is None else pred | c
+
+                def apply_inst(code=code, tid=tid, ko=ko, rho_s=rho_s,
+                               vel_s=vel_s, wy0=wy0, wy1=wy1, wx0=wx0,
+                               wx1=wx1):
+                    mw = mask_buf[slot][:, wy0:wy1, wx0:wx1]
+                    sel = mw == code
+                    mrow = jnp.where(sel, 3, 0)
+                    fsw = [fsl[i][:, wy0:wy1, wx0:wx1]
+                           for i in range(Q)]
+                    vals = _bc_row_values(cb, [(tid, ko)], fsw, mrow,
+                                          [rho_s] + list(vel_s))
+                    for i in range(Q):
+                        vi = vals[i]
+                        if mixed is not None:
+                            vi = mixed.quant_i(i, vi)
+                        cur = fs_buf[slot, ipos[i], :, wy0:wy1,
+                                     wx0:wx1]
+                        fs_buf[slot, ipos[i], :, wy0:wy1, wx0:wx1] = \
+                            jnp.where(sel, vi, cur)
+
+                if pred is None:
+                    apply_inst()
+                else:
+                    pl.when(pred)(apply_inst)
+
         pre_write_waits()
         pltpu.make_async_copy(fs_buf.at[slot],
                               out_hbm.at[:, pl.ds(base, k)],
@@ -2035,6 +2098,10 @@ def make_kernel_3d(builder, Z, Y, X, patch_rows=(), has_mask=False,
     if patch_yrows:
         # R_y rows tile-round to 8 sublanes per (slab, q)
         vmem_need += 2 * k * Q * max(R_y, 8) * X * sbytes
+    for _c, _t, _o, _r, _v, _s, (_y0, _y1), (_x0, _x1) in kbc:
+        # in-kernel BC temporaries: the window's Q-direction phase
+        # chain lives alongside the slab during the merge
+        vmem_need += 2 * Q * k * (_y1 - _y0) * (_x1 - _x0) * 4
     if sc:
         vmem_need += 2 * (k + 2) * Y * X * 4
     if emit_rho:
@@ -2456,6 +2523,60 @@ def make_rho_kernel_3d(builder, Z, Y, X, interpret=False):
 NATIVE_BC_ENABLED = True
 
 
+def kbc_instance_spec(builder, idx, tid, ko, sel):
+    """In-kernel native-BC raw spec for classify instance ``idx``
+    (mask code 3+idx): ``(code, tid, ko, rho, (vx, vy, vz), zrows,
+    (ymin, ymax+1), (xmin, xmax+1))`` with GLOBAL unrounded bounds --
+    or None when the instance cannot run in-kernel (spatially varying
+    prescribed parameters, which would need per-node parameter planes,
+    or a bounding window so large the windowed re-evaluation would
+    rival the whole slab's collide)."""
+    m = builder.maps
+    cls = nt.get_node_type(tid)
+    rho_s, vel_s = 1.0, (0.0, 0.0, 0.0)
+    if 'velocity' in cls.param_names:
+        vs = []
+        for a in range(m.param_vel.shape[0]):
+            u = np.unique(m.param_vel[a][sel])
+            if u.size > 1:
+                return None
+            vs.append(float(u[0]) if u.size else 0.0)
+        vel_s = tuple(vs) + (0.0,) * (3 - len(vs))
+    else:
+        u = np.unique(m.param_rho[sel])
+        if u.size > 1:
+            return None
+        rho_s = float(u[0]) if u.size else 1.0
+    zs, ys, xs = (np.unique(ix) for ix in np.nonzero(sel))
+    vol = (len(zs) * 8 * (int(ys[-1]) + 1 - int(ys[0]))
+           * (int(xs[-1]) + 1 - int(xs[0])))
+    if vol > 0.5 * sel.size:
+        return None
+    return (3 + idx, tid, ko, rho_s, vel_s,
+            tuple(int(z) for z in zs),
+            (int(ys[0]), int(ys[-1]) + 1),
+            (int(xs[0]), int(xs[-1]) + 1))
+
+
+def kbc_round_windows(raw, slab_k, Ys, Xs, z_local=None):
+    """Finish raw kbc specs into kernel specs: slab sets in units of
+    ``slab_k`` (mapped into local coordinates when ``z_local`` is the
+    per-shard extent -- the UNION over shards, each shard's mask gating
+    actual application) and tile-rounded (sublane 8 / lane 128) y/x
+    windows clamped to the (padded) plane extents."""
+    out = []
+    for code, tid, ko, rho_s, vel_s, zrows, ybox, xbox in raw:
+        if z_local is not None:
+            slabs = sorted({(z % z_local) // slab_k for z in zrows})
+        else:
+            slabs = sorted({z // slab_k for z in zrows})
+        out.append((code, tid, ko, rho_s, vel_s, tuple(slabs),
+                    (ybox[0] // 8 * 8, min(-(-ybox[1] // 8) * 8, Ys)),
+                    (xbox[0] // 128 * 128,
+                     min(-(-xbox[1] // 128) * 128, Xs))))
+    return tuple(out)
+
+
 class PallasStep3D:
     """Drop-in replacement for StepBuilder.build() (3D, single device or
     one shard of a z-sharded mesh)."""
@@ -2490,15 +2611,52 @@ class PallasStep3D:
                 'space-dependent DynamicValue body forces need the '
                 'whole-domain coordinate machinery; use the XLA engine')
         self.bc_instances = ()
+        bc_inst = []
         if native_ok:
             mask_np, patch_rows, bc_inst, pmask_np = classify_nodes(
                 builder.maps, native_bc=True, return_patch_mask=True)
-            self.bc_instances = tuple((tid, k) for tid, k, _ in bc_inst)
         else:
             mask_np, patch_rows, pmask_np = classify_nodes(
                 builder.maps, return_patch_mask=True)
+        # Split the native instances: spatially UNIFORM parameters run
+        # IN-KERNEL (mask-code windows -- _bc_row_values evaluated on a
+        # static tile-rounded window inside the fused kernel, scalars
+        # baked into the trace), which works for BC faces of ANY
+        # orientation (x/y/z-normal alike) at the cost of the window's
+        # extra compute. Spatially-varying parameters keep the Pallas
+        # patch-plane prologue (z-plane overlays, so z-normal only).
+        proto_inst = []
+        kbc_cand = []
+        if bc_inst:
+            for idx, (tid, ko, sel) in enumerate(bc_inst):
+                ent = kbc_instance_spec(builder, idx, tid, ko, sel)
+                if ent is not None:
+                    kbc_cand.append(ent)
+                else:
+                    zs = np.unique(np.nonzero(sel)[0])
+                    proto_inst.append(
+                        (3 + idx, tid, ko, None, None,
+                         tuple(int(z) for z in zs), None, None))
+            # an in-kernel instance sharing a z-plane with a prologue
+            # instance would be clobbered by the plane overlay (which
+            # rewrites whole planes AFTER the slab store): demote it
+            prows = set()
+            for ent in proto_inst:
+                prows |= set(ent[5])
+            moved = True
+            while moved:
+                moved = False
+                for ent in list(kbc_cand):
+                    if set(ent[5]) & prows:
+                        kbc_cand.remove(ent)
+                        proto_inst.append(ent)
+                        prows |= set(ent[5])
+                        moved = True
+            self.bc_instances = tuple(
+                (ent[1], ent[2]) for ent in proto_inst)
+        self._kbc_raw = kbc_cand
         self.bc_rows = tuple(sorted(
-            int(z) for z in np.unique(np.nonzero(mask_np >= 3)[0])))
+            {int(z) for ent in proto_inst for z in ent[5]}))
         # Mosaic rejects partial-tile plane DMAs (Y%8 / X%128). Pad the
         # in-kernel state instead of falling back, when it is safe: the
         # outermost original layers along a padded axis must hold no wet
@@ -2624,6 +2782,7 @@ class PallasStep3D:
                                  k_max=4 if heavy else 8)
         assert Zs % slab_k == 0, (Zs, slab_k)
         self.slab_k = slab_k
+        self.kbc = kbc_round_windows(self._kbc_raw, slab_k, Ys, Xs)
         # Shan-Chen: emit next step's post-stream rho from the kernel
         # itself (carrying (f, rho) between steps) instead of paying
         # the ~80 B/node rho pre-pass every step; needs >= 3 pipeline
@@ -2636,7 +2795,8 @@ class PallasStep3D:
                                      emit_rho=self.emit_rho,
                                      k=slab_k, mixed=self.mixed,
                                      patch_yrows=self.patch_yrows,
-                                     rt_force=self.rt_force)
+                                     rt_force=self.rt_force,
+                                     kbc=self.kbc)
         # Pallas patch prologue for the native-BC rows: parameter
         # planes ([rho_bc, vel_*], padded with safe values -- pad nodes
         # are masked out), the rows' mask planes, the tiny per-row
@@ -2656,7 +2816,16 @@ class PallasStep3D:
                           (0, self.pad_x)),
                     constant_values=1.0)
             self.bcp = jnp.asarray(bcp)
-            self._bc_mask_rows = jnp.asarray(mask_np[rows])
+            # the prologue addresses instances positionally (mask code
+            # 3 + index into self.bc_instances); the global mask holds
+            # classify's codes, so remap the prologue rows' copy.
+            # In-kernel instances never share these planes (demotion
+            # fixpoint above), so only prologue codes appear.
+            marr = mask_np[rows]
+            remap = marr.copy()
+            for j, ent in enumerate(proto_inst):
+                remap[marr == ent[0]] = 3 + j
+            self._bc_mask_rows = jnp.asarray(remap)
             self._bc_rows_dev = jnp.asarray(rows, dtype=jnp.int32)
             self.bc_kernel = make_bc_patch_kernel_3d(
                 builder, Zs, len(rows), Ys, Xs, self.bc_instances,

@@ -30,8 +30,9 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sailfish_tpu.ops.pallas_step import (
-    PallasStep3D, check_plane_tiling, classify_nodes,
-    compute_patch_plane, compute_patch_yrow, cz_groups, make_kernel_3d,
+    NATIVE_BC_ENABLED, PallasStep3D, check_plane_tiling, classify_nodes,
+    compute_patch_plane, compute_patch_yrow, cz_groups,
+    kbc_instance_spec, kbc_round_windows, make_kernel_3d,
     make_rho_kernel_3d)
 
 
@@ -193,8 +194,36 @@ class ShardedPallasStep3D:
         self.shape = domain_shape
         self.local_shape = (Z_loc, Y_loc, X)
 
-        mask_np, patch_rows, pmask_np = classify_nodes(
-            builder.maps, return_patch_mask=True)
+        # in-kernel native BCs on sharded meshes: uniform-parameter
+        # local BC families evaluate inside the kernel on static
+        # windows gated by the SHARDED mask, so the slab set is the
+        # union over shards of local slab indices (shards without
+        # instance nodes pay the window's compute, never its values).
+        # All-or-nothing: if ANY native instance is ineligible
+        # (spatially varying parameters), reclassify without native
+        # instances so every complex node rides the exact dyn-patch
+        # plane path, as before. Two-axis meshes stay on that path too
+        # (face_io emits rows before the in-kernel BC merge).
+        kbc_raw = []
+        native_ok = (NATIVE_BC_ENABLED
+                     and builder.sc_coupling == 0.0
+                     and builder.model != 'elbm'
+                     and not builder.maps.dynamic
+                     and builder.force_expr is None
+                     and not self.two_axis)
+        if native_ok:
+            mask_np, patch_rows, bc_inst, pmask_np = classify_nodes(
+                builder.maps, native_bc=True, return_patch_mask=True)
+            for idx, (tid, ko, sel) in enumerate(bc_inst):
+                ent = kbc_instance_spec(builder, idx, tid, ko, sel)
+                if ent is None:
+                    native_ok = False
+                    break
+                kbc_raw.append(ent)
+        if not native_ok:
+            kbc_raw = []
+            mask_np, patch_rows, pmask_np = classify_nodes(
+                builder.maps, return_patch_mask=True)
         self.patch_yrows = ()
         if len(patch_rows) > PallasStep3D.MAX_PATCH_FRACTION * Z:
             # y-row patch mode (turbulence-channel layout, walls normal
@@ -288,13 +317,16 @@ class ShardedPallasStep3D:
         # in XLA row-slices the state (see local_step_faces; sc scenes
         # consume the emitted rows inside _sc_zy_exchange instead)
         self.face_io = self.two_axis
+        self.kbc = kbc_round_windows(kbc_raw, self.slab_k, Y_loc, X,
+                                     z_local=Z_loc)
         self.kernel = make_kernel_3d(
             builder, Z_loc, Y_loc, X, has_mask=self.has_mask,
             interpret=interpret, dyn_patches=self.has_patches,
             max_patches=self.P, k=self.slab_k, sc=self.sc,
             emit_rho=self.sc, edge_io=self.sc,
             y_ghosts=self.two_axis, mixed=self.mixed,
-            face_io=self.face_io, patch_yrows=self.patch_yrows)
+            face_io=self.face_io, patch_yrows=self.patch_yrows,
+            kbc=self.kbc)
         # y-row mode: one all-z GLOBAL window per complex-BC y-row
         # (the same sub-builders the single-device engine uses, so
         # sharded == single-device bitwise)

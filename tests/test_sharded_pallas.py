@@ -666,12 +666,122 @@ def test_pallas3d_native_bc_rows_match_xla(bc_pair, model):
     _, rho_a, vz_a = run('xla')
     rp, rho_b, vz_b = run('pallas')
     assert rp.engine == 'pallas'
-    # the BC rows must come from the Pallas patch prologue, not the
-    # XLA window machinery
-    assert rp._pallas.bc_rows == (0, 15)
+    # uniform-parameter native BCs run IN-KERNEL (mask-code windows),
+    # not through the patch prologue or the XLA window machinery
+    assert rp._pallas.bc_rows == ()
+    assert len(rp._pallas.kbc) == 2
     assert rp._pallas.xla_patch_rows == []
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
     assert np.max(np.abs(vz_a - vz_b)) < 2e-6
+
+
+@pytest.mark.parametrize('bc_pair,model', [
+    ('equilibrium', 'bgk'), ('zouhe', 'bgk'), ('regularized', 'mrt'),
+])
+@pytest.mark.slow
+def test_pallas3d_xnormal_bc_faces_match_xla(bc_pair, model):
+    """BC faces NORMAL TO X run fused through the in-kernel native-BC
+    windows (the z-plane patch path cannot express them -- they put a
+    node on every z-plane). Velocity inlet at x=0, density outlet at
+    x=X-1, bounce-back walls normal to y; reference scene family:
+    /root/reference/examples/duct_flow-style orientations."""
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import (
+        NTEquilibriumDensity, NTEquilibriumVelocity, NTFullBBWall,
+        NTRegularizedDensity, NTRegularizedVelocity, NTZouHeDensity,
+        NTZouHeVelocity)
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    vel_cls, den_cls = {
+        'equilibrium': (NTEquilibriumVelocity, NTEquilibriumDensity),
+        'zouhe': (NTZouHeVelocity, NTZouHeDensity),
+        'regularized': (NTRegularizedVelocity, NTRegularizedDensity),
+    }[bc_pair]
+
+    class Duct(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            walls = (hy == 0) | (hy == self.gy - 1)
+            self.set_node(walls, NTFullBBWall)
+            self.set_node((hx == 0) & ~walls,
+                          vel_cls((0.03, 0.0, 0.0)))
+            self.set_node((hx == self.gx - 1) & ~walls,
+                          den_cls(1.0))
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+            sim.vx[:] = 0.01
+
+    class Sim(LBFluidSim):
+        subdomain = Duct
+
+    def run(engine):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=32, lat_ny=16, lat_nz=16, max_iters=20, every=20,
+            quiet=True, periodic_z=True, engine=engine, model=model))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.array(r.sim.rho), np.array(r.sim.vx)
+
+    _, rho_a, vx_a = run('xla')
+    rp, rho_b, vx_b = run('pallas')
+    assert rp.engine == 'pallas'
+    assert rp._pallas.bc_rows == ()
+    assert rp._pallas.patch_rows == []
+    assert len(rp._pallas.kbc) == 2
+    # the windows cover single lane tiles, not the whole plane
+    for _c, _t, _o, _r, _v, _slabs, _ys, (x0, x1) in rp._pallas.kbc:
+        assert x1 - x0 <= 128
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+    assert np.max(np.abs(vx_a - vx_b)) < 2e-6
+
+
+@pytest.mark.slow
+def test_sharded_pallas_xnormal_bc_faces_zmesh():
+    """x-normal BC faces on a z-sharded mesh: the in-kernel native-BC
+    windows are identical in every shard (x is unsharded), the sharded
+    mask gates application, and the result matches the XLA engine.
+    Previously these scenes fell off the fused path in ANY
+    decomposition."""
+    from sailfish_tpu.controller import LBSimulationController
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import (
+        NTEquilibriumDensity, NTEquilibriumVelocity, NTFullBBWall)
+    from sailfish_tpu.subdomain import Subdomain3D
+
+    class Duct(Subdomain3D):
+        def boundary_conditions(self, hx, hy, hz):
+            walls = (hy == 0) | (hy == self.gy - 1)
+            self.set_node(walls, NTFullBBWall)
+            self.set_node((hx == 0) & ~walls,
+                          NTEquilibriumVelocity((0.03, 0.0, 0.0)))
+            self.set_node((hx == self.gx - 1) & ~walls,
+                          NTEquilibriumDensity(1.0))
+
+        def initial_conditions(self, sim, hx, hy, hz):
+            sim.rho[:] = 1.0
+            sim.vx[:] = 0.01
+
+    class Sim(LBFluidSim):
+        subdomain = Duct
+
+    def run(mesh, engine):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=32, lat_ny=16, lat_nz=16, max_iters=15, every=15,
+            quiet=True, periodic_z=True, mesh=mesh, engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.array(r.sim.rho), np.array(r.sim.vx)
+
+    _, rho_a, vx_a = run('', 'xla')
+    rp, rho_b, vx_b = run('4', 'pallas')
+    assert rp.engine == 'pallas'
+    assert len(rp._pallas.kbc) == 2
+    assert not rp._pallas.has_patches
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+    assert np.max(np.abs(vx_a - vx_b)) < 2e-6
 
 
 def test_pallas3d_padding_rejects_shan_chen():
