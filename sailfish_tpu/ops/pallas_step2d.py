@@ -27,7 +27,8 @@ from sailfish_tpu import equilibrium as eq
 from sailfish_tpu import node_type as nt
 from sailfish_tpu.ops.pallas_step import check_plane_tiling, \
     classify_nodes, window_shifted, \
-    _bc_patch_compute, _collide_elbm, _collide_pair, _collide_prepass, \
+    _bc_patch_compute, _bc_row_values, _collide_elbm, _collide_pair, \
+    _collide_prepass, \
     _ForceProxy, _moments, _sc_psi, _sc_shift_moments, force_now, \
     rt_force_eligible
 
@@ -36,7 +37,7 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                    interpret=False, dyn_patches=False,
                    max_patches=0, sc=False, emit_rho=False,
                    edge_io=False, mixed=None, x_ghosts=False,
-                   col_io=False, rt_force=False):
+                   col_io=False, rt_force=False, kbc=()):
     """fused(f, ghost_lo, ghost_hi, mask?, patch...?) -> out,
     f of shape (Q, Y, X).
 
@@ -104,6 +105,22 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     with col_io the full sharded path runs at 8096 (c_sharded_1x1)).
     dyn_patches: patched blocks' column rows are DMA'd as zeros; the
     caller overwrites them from the patch planes it computed.
+
+    ``kbc`` (in-kernel native BCs; the 2D analog of
+    pallas_step.make_kernel_3d's kbc): each entry is a static spec
+    ``(code, tid, orient, rho, (vx, vy), blocks, (x0, x1))``
+    describing one native-BC instance (NATIVE_BC_TYPES) with spatially
+    UNIFORM prescribed parameters. The full local phase chain
+    (_bc_row_values) is evaluated inside the kernel on the instance's
+    lane-rounded static x-window of each listed y-block and merged
+    into the out buffer wherever ``mask == code`` -- BEFORE the col_io
+    emission, so emitted boundary columns carry the corrected values.
+    No prologue kernel, no overlay DMA, and NO orientation
+    restriction: a BC column normal to x (which puts a node in every
+    y-block and previously forced a full-domain prologue) costs only
+    one 128-lane window of extra compute per block. Requires
+    ``has_mask``; excluded for sc/ELBM/rt_force (scalars are
+    trace-time constants; same reasons as the 3D mode).
     """
     g = builder.grid
     Q = g.Q
@@ -138,6 +155,11 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     # sharded caller carries the fresh c0/cX edge-column streams it
     # already computes every step
     assert not col_io or (4 if sc else 2) * Q <= 128
+    kbc = tuple(kbc)
+    if kbc:
+        assert has_mask, 'in-kernel BCs are addressed via mask codes'
+        assert not sc and builder.model != 'elbm'
+        assert not rt_force
     xdirs = [i for i in range(Q) if int(basis[i][0]) != 0]
 
     if NB < 4:
@@ -570,6 +592,42 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
                     vo = mixed.quant_i(o, vo)
                 out_buf[oslot, i] = vi
                 out_buf[oslot, o] = vo
+            if kbc:
+                # in-kernel native BCs: evaluate the full local phase
+                # chain on each instance's static lane window (the
+                # post-stream values fs were captured above) for the
+                # blocks in its static set, merging by mask code into
+                # the stored block BEFORE the col_io emission
+                for code, tid, ko, rho_s, vel_s, blocks, (wx0, wx1) \
+                        in kbc:
+                    pred = None
+                    if len(blocks) < NB:
+                        for bb in blocks:
+                            c = k == bb
+                            pred = c if pred is None else pred | c
+
+                    def apply_inst(code=code, tid=tid, ko=ko,
+                                   rho_s=rho_s, vel_s=vel_s,
+                                   wx0=wx0, wx1=wx1):
+                        mw = m[:, wx0:wx1]
+                        sel = mw == code
+                        mrow = jnp.where(sel, 3, 0)
+                        fsw = [fs[i][:, wx0:wx1] for i in range(Q)]
+                        vals = _bc_row_values(cb, [(tid, ko)], fsw,
+                                              mrow,
+                                              [rho_s] + list(vel_s))
+                        for i in range(Q):
+                            vi = vals[i]
+                            if mixed is not None:
+                                vi = mixed.quant_i(i, vi)
+                            cur = out_buf[oslot, i, :, wx0:wx1]
+                            out_buf[oslot, i, :, wx0:wx1] = \
+                                jnp.where(sel, vi, cur)
+
+                    if pred is None:
+                        apply_inst()
+                    else:
+                        pl.when(pred)(apply_inst)
             if col_io:
                 emit_cols(out_buf.at[oslot])
             pltpu.make_async_copy(out_buf.at[oslot],
@@ -817,6 +875,10 @@ def make_kernel_2d(builder, Y, X, by=32, patch_blocks=(), has_mask=False,
     if emit_rho:
         vmem_need += (2 * Q + 2) * X * 4 + Q * by * X * 4 \
             + 2 * by * X * 4
+    for _c, _t, _o, _r, _v, _b, (_x0, _x1) in kbc:
+        # in-kernel BC temporaries: the window's Q-direction phase
+        # chain lives alongside the block during the merge
+        vmem_need += 2 * Q * by * (_x1 - _x0) * 4
     margin = 8 * 2 ** 20 + 2 * Q * by * X * 4
     vmem_limit = min(max(16 * 2 ** 20, vmem_need + margin),
                      100 * 2 ** 20)
@@ -947,6 +1009,61 @@ def make_bc_patch_kernel_2d(builder, Y, X, by, blocks, bc_instances,
         interpret=interpret,
     )
 
+
+
+def kbc_instance_spec_2d(builder, idx, tid, ko, sel, by):
+    """In-kernel native-BC raw spec for classify instance ``idx``
+    (mask code 3+idx) on a 2D domain: ``(code, tid, ko, rho,
+    (vx, vy), yrows, (xmin, xmax+1))`` with GLOBAL unrounded x bounds
+    -- or None when the instance cannot run in-kernel (spatially
+    varying prescribed parameters, which would need per-node parameter
+    planes, or a bounding window so large the windowed re-evaluation
+    would rival the whole domain's collide). The 2D counterpart of
+    pallas_step.kbc_instance_spec."""
+    m = builder.maps
+    cls = nt.get_node_type(tid)
+    rho_s, vel_s = 1.0, (0.0, 0.0)
+    if 'velocity' in cls.param_names:
+        vs = []
+        for a in range(m.param_vel.shape[0]):
+            u = np.unique(m.param_vel[a][sel])
+            if u.size > 1:
+                return None
+            vs.append(float(u[0]) if u.size else 0.0)
+        vel_s = tuple(vs) + (0.0,) * (2 - len(vs))
+    else:
+        u = np.unique(m.param_rho[sel])
+        if u.size > 1:
+            return None
+        rho_s = float(u[0]) if u.size else 1.0
+    ys, xs = (np.unique(ix) for ix in np.nonzero(sel))
+    # evaluation cost ~ blocks-touched x by x lane-rounded x-extent
+    vol = (len({int(y) // by for y in ys}) * by
+           * min(-(-(int(xs[-1]) + 1 - int(xs[0])) // 128) * 128,
+                 sel.shape[1]))
+    if vol > 0.5 * sel.size:
+        return None
+    return (3 + idx, tid, ko, rho_s, vel_s,
+            tuple(int(y) for y in ys),
+            (int(xs[0]), int(xs[-1]) + 1))
+
+
+def kbc_round_blocks_2d(raw, by, Xs, y_local=None):
+    """Finish raw 2D kbc specs into kernel specs: y-block sets in units
+    of ``by`` (mapped into local coordinates when ``y_local`` is the
+    per-shard extent -- the UNION over shards, each shard's mask gating
+    actual application) and lane-rounded x windows clamped to the
+    (padded) row extent."""
+    out = []
+    for code, tid, ko, rho_s, vel_s, yrows, xbox in raw:
+        if y_local is not None:
+            blocks = sorted({(y % y_local) // by for y in yrows})
+        else:
+            blocks = sorted({y // by for y in yrows})
+        out.append((code, tid, ko, rho_s, vel_s, tuple(blocks),
+                    (xbox[0] // 128 * 128,
+                     min(-(-xbox[1] // 128) * 128, Xs))))
+    return tuple(out)
 
 
 def make_rho_kernel_2d(builder, Y, X, by=32, interpret=False):
@@ -1130,18 +1247,58 @@ class PallasStep2D:
                 'space-dependent DynamicValue body forces need the '
                 'whole-domain coordinate machinery; use the XLA engine')
         self.bc_instances = ()
+        bc_inst = []
         if native_ok:
             mask_np, patch_rows, bc_inst = classify_nodes(
                 builder.maps, native_bc=True)
-            self.bc_instances = tuple((tid, k) for tid, k, _ in bc_inst)
         else:
             mask_np, patch_rows = classify_nodes(builder.maps)
         xla_patch_blocks = sorted({r // by for r in patch_rows})
+        # Split the native instances (the 2D analog of PallasStep3D):
+        # spatially UNIFORM parameters run IN-KERNEL on static
+        # lane-rounded x-windows (any orientation -- an x-normal BC
+        # column, which previously forced a prologue plane for EVERY
+        # y-block, costs one 128-lane window per block); spatially
+        # varying parameters keep the Pallas patch-block prologue.
+        proto_inst = []
+        kbc_cand = []
+        if bc_inst:
+            for idx, (tid, ko, sel) in enumerate(bc_inst):
+                ent = kbc_instance_spec_2d(builder, idx, tid, ko, sel,
+                                           by)
+                if ent is not None:
+                    kbc_cand.append(ent)
+                else:
+                    ys = np.unique(np.nonzero(sel)[0])
+                    proto_inst.append(
+                        (3 + idx, tid, ko, None, None,
+                         tuple(int(y) for y in ys), None))
+            # an in-kernel instance sharing a y-BLOCK with a prologue
+            # instance would be clobbered by the block overlay (which
+            # knows only the prologue instances' codes): demote it.
+            # XLA-patched blocks need no demotion -- their window
+            # machinery recomputes every node type from builder.maps,
+            # and the in-kernel merge never runs there (patch_body).
+            prows = set()
+            for ent in proto_inst:
+                prows |= {y // by for y in ent[5]}
+            moved = True
+            while moved:
+                moved = False
+                for ent in list(kbc_cand):
+                    if {y // by for y in ent[5]} & prows:
+                        kbc_cand.remove(ent)
+                        proto_inst.append(ent)
+                        prows |= {y // by for y in ent[5]}
+                        moved = True
+            self.bc_instances = tuple(
+                (ent[1], ent[2]) for ent in proto_inst)
+        self._kbc_raw = kbc_cand
+        self.kbc = kbc_round_blocks_2d(kbc_cand, by, Xs)
         # native rows whose BLOCK already needs an XLA overlay are
         # covered by it (the window machinery recomputes every type)
         self.bc_blocks = tuple(sorted(
-            {int(r) // by
-             for r in np.unique(np.nonzero(mask_np >= 3)[0])}
+            {int(y) // by for ent in proto_inst for y in ent[5]}
             - set(xla_patch_blocks)))
         if len(xla_patch_blocks) > self.MAX_PATCH_FRACTION * (Ys // by):
             raise NotImplementedError(
@@ -1169,8 +1326,17 @@ class PallasStep2D:
                     [m.param_vel[a][sl] for a in range(2)]))
             self.bcp = jnp.asarray(
                 np.stack(planes, axis=1).astype(builder.dtype))
-            self._bc_mask_blocks = jnp.asarray(np.stack(
-                [mask_np[b * by:(b + 1) * by] for b in self.bc_blocks]))
+            # the prologue addresses instances positionally (mask code
+            # 3 + index into self.bc_instances); the global mask holds
+            # classify's codes, so remap the prologue blocks' copy.
+            # In-kernel instances never share these blocks (demotion
+            # fixpoint above), so only prologue codes appear.
+            marr = np.stack(
+                [mask_np[b * by:(b + 1) * by] for b in self.bc_blocks])
+            remap = marr.copy()
+            for j, ent in enumerate(proto_inst):
+                remap[marr == ent[0]] = 3 + j
+            self._bc_mask_blocks = jnp.asarray(remap)
             self.bc_kernel = make_bc_patch_kernel_2d(
                 builder, Ys, Xs, by, self.bc_blocks, self.bc_instances,
                 interpret=interpret, mixed=self.mixed)
@@ -1185,7 +1351,8 @@ class PallasStep2D:
                                      interpret=interpret, sc=self.sc,
                                      emit_rho=self.emit_rho,
                                      mixed=self.mixed,
-                                     rt_force=self.rt_force)
+                                     rt_force=self.rt_force,
+                                     kbc=self.kbc)
         self.rho_kernel = None
         if self.sc:
             self.rho_kernel = make_rho_kernel_2d(builder, Ys, Xs, by=by,

@@ -741,6 +741,22 @@ class ShardedPallasStep3D:
         return self.crop_state(f)
 
 
+def _local_xwindow(xbox, X_loc, nx):
+    """Lane-rounded LOCAL x-window covering a global x-interval on an
+    nx-way x-sharded row: the union over shards of the interval's
+    local intersections (one static window serves every shard; the
+    sharded mask gates actual application)."""
+    x0g, x1g = xbox
+    lo = hi = None
+    for s in range(nx):
+        a, b = max(x0g, s * X_loc), min(x1g, (s + 1) * X_loc)
+        if a < b:
+            la, lb = a - s * X_loc, b - s * X_loc
+            lo = la if lo is None else min(lo, la)
+            hi = lb if hi is None else max(hi, lb)
+    return (lo // 128 * 128, min(-(-hi // 128) * 128, X_loc))
+
+
 class ShardedPallasStep2D:
     """Sharded 2D fused stepping over ('y',), ('x',) or ('y', 'x')
     meshes: each shard runs the block-cached 2D kernel with its y-wrap
@@ -762,8 +778,8 @@ class ShardedPallasStep2D:
                 "the sharded 2D fused kernel shards ('y',), ('x',) or "
                 f"('y', 'x') meshes; got mesh axes {mesh.axis_names}")
         from sailfish_tpu.ops.pallas_step2d import (
-            PallasStep2D, compute_patch_block_2d, make_kernel_2d,
-            pick_block_size)
+            PallasStep2D, compute_patch_block_2d, kbc_instance_spec_2d,
+            make_kernel_2d, pick_block_size)
         self.builder = builder
         self.mixed = builder.mixed
         self.mesh = mesh
@@ -792,7 +808,43 @@ class ShardedPallasStep2D:
         self.by = by
         NB_loc = Y_loc // by
 
-        mask_np, patch_rows = classify_nodes(builder.maps)
+        # in-kernel native BCs on sharded 2D meshes (the 2D analog of
+        # the 3D path above): uniform-parameter local BC families
+        # evaluate inside the kernel on static windows gated by the
+        # SHARDED mask -- block sets are the union over y-shards of
+        # local block indices, x windows the union over x-shards of
+        # each instance's local intersection (shards without instance
+        # nodes pay the window's compute, never its values). The merge
+        # runs BEFORE the col_io emission, so emitted boundary columns
+        # carry corrected values and the mode composes with x-sharding.
+        # All-or-nothing: if ANY native instance is ineligible
+        # (spatially varying parameters), reclassify without native
+        # instances so every complex node rides the exact global
+        # dyn-patch path, as before.
+        kbc_raw = []
+        native_ok = (NATIVE_BC_ENABLED
+                     and builder.sc_coupling == 0.0
+                     and builder.model != 'elbm'
+                     and not builder.maps.dynamic
+                     and builder.force_expr is None)
+        if native_ok:
+            mask_np, patch_rows, bc_inst = classify_nodes(
+                builder.maps, native_bc=True)
+            for idx, (tid, ko, sel) in enumerate(bc_inst):
+                ent = kbc_instance_spec_2d(builder, idx, tid, ko, sel,
+                                           by)
+                if ent is None:
+                    native_ok = False
+                    break
+                kbc_raw.append(ent)
+        if not native_ok:
+            kbc_raw = []
+            mask_np, patch_rows = classify_nodes(builder.maps)
+        self.kbc = tuple(
+            (code, tid, ko, rho_s, vel_s,
+             tuple(sorted({(y % Y_loc) // by for y in yrows})),
+             _local_xwindow(xbox, X_loc, nx))
+            for code, tid, ko, rho_s, vel_s, yrows, xbox in kbc_raw)
         patch_blocks = sorted({r // by for r in patch_rows})
         if len(patch_blocks) > PallasStep2D.MAX_PATCH_FRACTION * (Y // by):
             raise NotImplementedError(
@@ -858,7 +910,7 @@ class ShardedPallasStep2D:
             edge_io=self.sc and self.y_sharded,
             dyn_patches=self.has_patches, max_patches=self.P,
             mixed=self.mixed, x_ghosts=self.x_sharded,
-            col_io=self.x_sharded)
+            col_io=self.x_sharded, kbc=self.kbc)
         # x-sharded non-SC: the kernel emits its boundary columns and
         # the step carries (f, colx) -- ppermuting a strided column
         # slice of the in-place-aliased state forces XLA to copy the

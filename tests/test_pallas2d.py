@@ -161,10 +161,76 @@ def test_pallas2d_native_bc_blocks_match_xla(bc_pair):
     _, rho_a, vy_a = run('xla')
     rp, rho_b, vy_b = run('pallas')
     assert rp.engine == 'pallas'
-    assert rp._pallas.bc_blocks  # Pallas patch prologue active
+    # uniform-parameter native BCs run IN-KERNEL (mask-code windows),
+    # not through the patch prologue or the XLA window machinery
+    assert rp._pallas.bc_blocks == ()
+    assert len(rp._pallas.kbc) == 2
     assert rp._pallas.xla_patch_blocks == []
     assert np.max(np.abs(rho_a - rho_b)) < 2e-6
     assert np.max(np.abs(vy_a - vy_b)) < 2e-6
+
+
+@pytest.mark.parametrize('bc_pair', ['equilibrium', 'zouhe',
+                                     'regularized'])
+@pytest.mark.slow
+def test_pallas2d_xnormal_bc_cols_match_xla(bc_pair):
+    """2D BC COLUMNS normal to x run fused through the in-kernel
+    native-BC windows. Previously an x-normal column put a node in
+    every y-block, forcing a full-domain prologue; now it costs one
+    128-lane window per block. Velocity inlet x=0, density outlet
+    x=X-1, bounce-back walls normal to y (the reference's 2D duct
+    orientation, e.g. /root/reference/examples/poiseuille.py with
+    horizontal flow)."""
+    from sailfish_tpu.models.single import LBFluidSim
+    from sailfish_tpu.node_type import (
+        NTEquilibriumDensity, NTEquilibriumVelocity, NTFullBBWall,
+        NTRegularizedDensity, NTRegularizedVelocity, NTZouHeDensity,
+        NTZouHeVelocity)
+    from sailfish_tpu.subdomain import Subdomain2D
+
+    vel_cls, den_cls = {
+        'equilibrium': (NTEquilibriumVelocity, NTEquilibriumDensity),
+        'zouhe': (NTZouHeVelocity, NTZouHeDensity),
+        'regularized': (NTRegularizedVelocity, NTRegularizedDensity),
+    }[bc_pair]
+
+    class Duct(Subdomain2D):
+        def boundary_conditions(self, hx, hy):
+            walls = (hy == 0) | (hy == self.gy - 1)
+            self.set_node(walls, NTFullBBWall)
+            self.set_node((hx == 0) & ~walls, vel_cls((0.03, 0.0)))
+            self.set_node((hx == self.gx - 1) & ~walls, den_cls(1.0))
+
+        def initial_conditions(self, sim, hx, hy):
+            sim.rho[:] = 1.0
+            sim.vx[:] = 0.01
+
+    class Sim(LBFluidSim):
+        subdomain = Duct
+
+    from sailfish_tpu.controller import LBSimulationController
+
+    def run(engine):
+        ctrl = LBSimulationController(Sim, default_config=dict(
+            lat_nx=256, lat_ny=64, max_iters=20, every=20, quiet=True,
+            engine=engine))
+        ctrl.run(ignore_cmdline=True)
+        r = ctrl._runner
+        r._fields_to_host()
+        return r, np.array(r.sim.rho), np.array(r.sim.vx)
+
+    _, rho_a, vx_a = run('xla')
+    rp, rho_b, vx_b = run('pallas')
+    assert rp.engine == 'pallas'
+    assert rp._pallas.bc_blocks == ()
+    assert rp._pallas.patch_blocks == []
+    assert len(rp._pallas.kbc) == 2
+    # the windows cover single lane tiles, not whole rows
+    for _c, _t, _o, _r, _v, blocks, (x0, x1) in rp._pallas.kbc:
+        assert x1 - x0 <= 128
+        assert len(blocks) == 64 // rp._pallas.by
+    assert np.max(np.abs(rho_a - rho_b)) < 2e-6
+    assert np.max(np.abs(vx_a - vx_b)) < 2e-6
 
 
 @pytest.mark.slow
